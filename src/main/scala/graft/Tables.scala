@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet readers for the driver corpus (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Scale note: these are plain `spark.read.parquet` scans so Catalyst can
+  * push filters and prune columns into the scan; at cluster scale the same
+  * call reads a partitioned directory tree and partition-prunes for free.
+  *
+  * `events.parquet` stores `ts` as Parquet INT64 TIMESTAMP(NANOS,false).
+  * Spark 4 refuses it ([PARQUET_TYPE_ILLEGAL]) unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, which reads it as LongType
+  * (nanoseconds since epoch). The driver-owned sessions don't set the flag,
+  * so it is set dynamically here before any `events` read.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** Register every corpus table as a temp view, for spark.sql operators. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => read(spark, sfDir, n).createOrReplaceTempView(n))
+}

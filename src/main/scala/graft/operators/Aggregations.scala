@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.functions.WeightedAvg
+
+/** SURVEY §2.4 — aggregation.
+  *
+  * All grouped aggregates are plain `groupBy().agg()`: Spark plans them as
+  * partial (map-side) + final hash aggregation automatically, which is the
+  * shape that scales — the shuffle carries one row per (partition, group),
+  * not per input row. Sums follow §2.0 rule 2: decimal-cast before SUM
+  * (exact, order-independent — safe under any partial/final merge order),
+  * explicit DOUBLE/BIGINT casts in the final projection.
+  */
+object Aggregations {
+
+  private val qtyDec = col("l_quantity").cast(DecimalType(18, 2))
+  private val priceDec = col("l_extendedprice").cast(DecimalType(18, 2))
+  private val totalDec = col("o_totalprice").cast(DecimalType(18, 2))
+
+  /** Ungrouped COUNT/SUM (§2.0 rule-2 form). */
+  val aggGlobal: Q = Q(
+    "agg_global",
+    (s, d) =>
+      Tables.read(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(qtyDec).cast(DoubleType).as("sum_qty")),
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem"""))
+
+  /** TPC-H-Q1-shaped grouped aggregation on lineitem — the flagship query
+    * (scan → project → partial agg → shuffle 6 groups → final agg → sort).
+    */
+  val aggHashGroupby: Q = Q(
+    "agg_hash_groupby",
+    (s, d) =>
+      Tables.read(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qtyDec).cast(DoubleType).as("sum_qty"),
+          sum(priceDec).cast(DoubleType).as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 2))).cast(DoubleType).as("sum_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
+
+  /** Ordered string aggregation (reference `setup.sh:62`):
+    * `string_agg(x, ',' ORDER BY x)` ≡ concat_ws over a sorted collect_list.
+    */
+  val aggStringAggOrdered: Q = Q(
+    "agg_string_agg_ordered",
+    (s, d) => {
+      val n = Tables.read(s, d, "nation")
+      val r = Tables.read(s, d, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy(asc_nulls_first("r_name"))
+    },
+    Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name NULLS FIRST"""))
+
+  val aggCountDistinct: Q = Q(
+    "agg_count_distinct",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderstatus
+            ORDER BY o_orderstatus NULLS FIRST"""))
+
+  /** HLL approximate distinct — no oracle (property-tested within 5% of
+    * exact). The scale answer to count-distinct: no per-key shuffle of raw
+    * values, just mergeable sketches.
+    */
+  val aggApproxDistinct: Q = Q(
+    "agg_approx_distinct",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+        .orderBy(asc_nulls_first("o_orderstatus")),
+    None)
+
+  val aggMinMaxAvg: Q = Q(
+    "agg_min_max_avg",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min(col("o_totalprice")).as("min_p"),
+          max(col("o_totalprice")).as("max_p"),
+          (sum(totalDec).cast(DoubleType) / count(lit(1))).as("avg_p"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+                   MIN(o_totalprice) AS min_p, MAX(o_totalprice) AS max_p,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_p,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority NULLS FIRST"""))
+
+  /** Exact interpolated percentile (gate rule 7 — registered only if the
+    * interpolation hash-matches DuckDB's quantile_cont on real data).
+    */
+  val aggMedianPercentile: Q = Q(
+    "agg_median_percentile",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(o_totalprice, 0.5)").as("median_p"),
+          expr("percentile(o_totalprice, 0.9)").as("p90"))
+        .orderBy(asc_nulls_first("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+                   quantile_cont(o_totalprice, 0.5) AS median_p,
+                   quantile_cont(o_totalprice, 0.9) AS p90
+            FROM orders GROUP BY o_orderstatus
+            ORDER BY o_orderstatus NULLS FIRST"""))
+
+  /** GROUPING SETS + GROUPING() — one SQL text, both engines. */
+  val aggGroupingSets: Q = Q.sql(
+    "agg_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+              CAST(grouping(o_orderstatus) AS INT) AS g1,
+              CAST(grouping(o_orderpriority) AS INT) AS g2,
+              CAST(COUNT(*) AS BIGINT) AS cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+       ORDER BY g1 NULLS FIRST, g2 NULLS FIRST,
+                o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+
+  val aggRollup: Q = Q(
+    "agg_rollup",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast(IntegerType).as("g1"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g2"),
+          count(lit(1)).as("cnt"),
+          sum(totalDec).cast(DoubleType).as("total"))
+        .orderBy(asc_nulls_first("g1"), asc_nulls_first("g2"),
+          asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS INT) AS g1,
+                   CAST(grouping(o_orderpriority) AS INT) AS g2,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY g1 NULLS FIRST, g2 NULLS FIRST,
+                     o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  val aggCube: Q = Q(
+    "agg_cube",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast(IntegerType).as("g1"),
+          grouping(col("o_orderpriority")).cast(IntegerType).as("g2"),
+          count(lit(1)).as("cnt"),
+          sum(totalDec).cast(DoubleType).as("total"))
+        .orderBy(asc_nulls_first("g1"), asc_nulls_first("g2"),
+          asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS INT) AS g1,
+                   CAST(grouping(o_orderpriority) AS INT) AS g2,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY g1 NULLS FIRST, g2 NULLS FIRST,
+                     o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  val aggDistinctRows: Q = Q(
+    "agg_distinct_rows",
+    (s, d) =>
+      Tables.read(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"))
+        .distinct()
+        .orderBy(asc_nulls_first("c_mktsegment"), asc_nulls_first("c_nationkey")),
+    Some("""SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+            ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST"""))
+
+  /** Pivot event_type → per-user count columns. The pivot value list is
+    * pinned (never inferred) — at scale inference would be an extra pass.
+    */
+  val opPivot: Q = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Q(
+      "op_pivot",
+      (s, d) => {
+        val pivoted = Tables.read(s, d, "events")
+          .groupBy(col("user_id"))
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        types.foldLeft(pivoted)((df, t) =>
+            df.withColumn(t, coalesce(col(t), lit(0L))))
+          .orderBy(asc_nulls_first("user_id"))
+      },
+      Some("""SELECT user_id,
+                     CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                     CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                     CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                     CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                     CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+              FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST"""))
+  }
+
+  /** Typed Aggregator UDAF surface — see functions.WeightedAvg. */
+  val opUdafWeightedAvg: Q = Q(
+    "op_udaf_weighted_avg",
+    (s, d) => {
+      val wavg = udaf(WeightedAvg)
+      Tables.read(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(wavg(col("l_quantity"), col("l_extendedprice")).as("wavg_price"))
+        .orderBy(asc_nulls_first("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    aggGlobal, aggHashGroupby, aggStringAggOrdered, aggCountDistinct,
+    aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
+    aggRollup, aggCube, aggDistinctRows, opPivot, opUdafWeightedAvg)
+}

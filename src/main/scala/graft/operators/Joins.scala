@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** SURVEY §2.3 — joins (all EXT; star-schema surface).
+  *
+  * Scale notes: equi joins shuffle on their keys and AQE picks
+  * broadcast/skew handling at runtime; `join_broadcast` pins the broadcast
+  * explicitly for the dimension side. The as-of join deliberately avoids a
+  * per-key sort-merge self-join: it is a union + single key-partitioned
+  * window pass (one shuffle), which survives 100× scale-up; the interval
+  * join keeps an equality key so Catalyst plans a hash join with the range
+  * as a post-filter (never a BroadcastNestedLoop over the fact table).
+  */
+object Joins {
+
+  private def ordersCustomer(s: org.apache.spark.sql.SparkSession, d: String,
+                             joinType: String): DataFrame = {
+    val o = Tables.read(s, d, "orders")
+    val c = Tables.read(s, d, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"), joinType)
+  }
+
+  val joinInnerHash: Q = Q(
+    "join_inner_hash",
+    (s, d) =>
+      ordersCustomer(s, d, "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+        .orderBy(asc_nulls_first("o_orderkey")),
+    Some("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey NULLS FIRST"""))
+
+  /** Broadcast equi join — same result as a shuffled join, physically a
+    * BroadcastHashJoin (the correct plan for a 25-row dimension at any
+    * scale).
+    */
+  val joinBroadcast: Q = Q(
+    "join_broadcast",
+    (s, d) => {
+      val n = Tables.read(s, d, "nation")
+      val r = Tables.read(s, d, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy(asc_nulls_first("n_nationkey"))
+    },
+    Some("""SELECT n_nationkey, n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY n_nationkey NULLS FIRST"""))
+
+  val joinLeftOuter: Q = Q(
+    "join_left_outer",
+    (s, d) => {
+      val c = Tables.read(s, d, "customer")
+      val o = Tables.read(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST"""))
+
+  val joinRightOuter: Q = Q(
+    "join_right_outer",
+    (s, d) => {
+      val o = Tables.read(s, d, "orders")
+      val c = Tables.read(s, d, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+            FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+            ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST"""))
+
+  /** Full outer over deliberately part-disjoint key subsets of nation. */
+  val joinFullOuter: Q = Q(
+    "join_full_outer",
+    (s, d) => {
+      val n = Tables.read(s, d, "nation")
+      val n1 = n.filter(col("n_nationkey") < 15)
+        .select(col("n_nationkey").as("k1"), col("n_name").as("name1"))
+      val n2 = n.filter(col("n_nationkey") >= 10)
+        .select(col("n_nationkey").as("k2"), col("n_name").as("name2"))
+      n1.join(n2, n1("k1") === n2("k2"), "full")
+        .orderBy(asc_nulls_first("k1"), asc_nulls_first("k2"))
+    },
+    Some("""SELECT n1.k1, n1.name1, n2.k2, n2.name2
+            FROM (SELECT n_nationkey AS k1, n_name AS name1 FROM nation WHERE n_nationkey < 15) n1
+            FULL JOIN (SELECT n_nationkey AS k2, n_name AS name2 FROM nation WHERE n_nationkey >= 10) n2
+              ON n1.k1 = n2.k2
+            ORDER BY k1 NULLS FIRST, k2 NULLS FIRST"""))
+
+  val joinLeftSemi: Q = Q(
+    "join_left_semi",
+    (s, d) => {
+      val c = Tables.read(s, d, "customer")
+      val o = Tables.read(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(asc_nulls_first("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey NULLS FIRST"""))
+
+  val joinLeftAnti: Q = Q(
+    "join_left_anti",
+    (s, d) => {
+      val c = Tables.read(s, d, "customer")
+      val o = Tables.read(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(asc_nulls_first("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey NULLS FIRST"""))
+
+  val joinCross: Q = Q(
+    "join_cross",
+    (s, d) => {
+      val r = Tables.read(s, d, "region")
+      val a = r.select(col("r_regionkey").as("ka"), col("r_name").as("name_a"))
+      val b = r.select(col("r_regionkey").as("kb"), col("r_name").as("name_b"))
+      a.crossJoin(b).orderBy(asc_nulls_first("ka"), asc_nulls_first("kb"))
+    },
+    Some("""SELECT a.r_regionkey AS ka, a.r_name AS name_a,
+                   b.r_regionkey AS kb, b.r_name AS name_b
+            FROM region a CROSS JOIN region b
+            ORDER BY ka NULLS FIRST, kb NULLS FIRST"""))
+
+  /** Non-equi theta join (BroadcastNestedLoop — acceptable only because both
+    * sides are tiny dimensions; never do this on a fact table).
+    */
+  val joinThetaRange: Q = Q(
+    "join_theta_range",
+    (s, d) => {
+      val n = Tables.read(s, d, "nation")
+      val a = n.select(col("n_nationkey").as("ka"), col("n_name").as("name_a"))
+      val b = n.select(col("n_nationkey").as("kb"), col("n_name").as("name_b"))
+      a.join(b, col("ka") < col("kb"))
+        .orderBy(asc_nulls_first("ka"), asc_nulls_first("kb"))
+    },
+    Some("""SELECT a.n_nationkey AS ka, a.n_name AS name_a,
+                   b.n_nationkey AS kb, b.n_name AS name_b
+            FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+            ORDER BY ka NULLS FIRST, kb NULLS FIRST"""))
+
+  /** As-of join (backward): each click matched to the latest prior-or-equal
+    * signup of the same user. No native Spark asof → union-tag + one
+    * key-partitioned window with `last(_, ignoreNulls=true)`. Signups are
+    * pre-deduped to max event_id per (user, ts) so the inclusive tie is
+    * deterministic (matches the oracle's ASOF + tiebreak contract).
+    */
+  val joinAsofBackward: Q = Q(
+    "join_asof_backward",
+    (s, d) => {
+      val ev = Tables.read(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts").as("ts_ns"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ns"), col("event_id").as("click_id"),
+          lit(null).cast("bigint").as("signup_ts"), lit(null).cast("bigint").as("signup_id"),
+          lit(1).as("kind"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts_ns"))
+        .agg(max(col("event_id")).as("signup_id"))
+        .select(col("user_id"), col("ts_ns"), lit(null).cast("bigint").as("click_id"),
+          col("ts_ns").as("signup_ts"), col("signup_id"), lit(0).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("kind"), col("click_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      signups.unionByName(clicks)
+        .withColumn("last_signup_ts", last(col("signup_ts"), ignoreNulls = true).over(w))
+        .withColumn("last_signup_id", last(col("signup_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("click_id").as("event_id"), col("user_id"), col("ts_ns"),
+          col("last_signup_ts").as("signup_ts"), col("last_signup_id").as("signup_id"))
+        .orderBy(asc_nulls_first("event_id"))
+    },
+    Some("""WITH clicks AS (
+              SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+              FROM events WHERE event_type = 'click'),
+            signups AS (
+              SELECT user_id, epoch_ns(ts) AS ts_ns, max(event_id) AS signup_id
+              FROM events WHERE event_type = 'signup'
+              GROUP BY user_id, epoch_ns(ts))
+            SELECT c.event_id, c.user_id, c.ts_ns,
+                   s.ts_ns AS signup_ts, s.signup_id
+            FROM clicks c ASOF LEFT JOIN signups s
+              ON c.user_id = s.user_id AND c.ts_ns >= s.ts_ns
+            ORDER BY c.event_id NULLS FIRST"""))
+
+  /** Interval join: event pairs of the same user within 1 hour of each
+    * other. The user_id equality keeps this a hash join (range predicate is
+    * a post-join filter) — the only join shape that survives at fact-table
+    * scale; a time-bucket co-partitioning refines it further at 100 TB.
+    */
+  val joinIntervalOverlap: Q = Q(
+    "join_interval_overlap",
+    (s, d) => {
+      val ev = Tables.read(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"))
+      val a = ev.select(col("event_id").as("id1"), col("user_id"), col("ts_ns").as("t1"))
+      val b = ev.select(col("event_id").as("id2"), col("user_id").as("u2"), col("ts_ns").as("t2"))
+      a.join(b, col("user_id") === col("u2") && col("id1") < col("id2") &&
+          abs(col("t2") - col("t1")) <= 3600000000000L)
+        .select(col("id1"), col("id2"), col("user_id"), (col("t2") - col("t1")).as("gap_ns"))
+        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events)
+            SELECT a.event_id AS id1, b.event_id AS id2, a.user_id,
+                   b.ts_ns - a.ts_ns AS gap_ns
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(b.ts_ns - a.ts_ns) <= 3600000000000
+            ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    joinInnerHash, joinBroadcast, joinLeftOuter, joinRightOuter,
+    joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
+    joinAsofBackward, joinIntervalOverlap)
+}

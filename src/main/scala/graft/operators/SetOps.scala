@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** SURVEY §2.6 — sort / limit / set operations.
+  *
+  * `op_topk_global` relies on Catalyst turning ORDER BY + LIMIT into
+  * TakeOrderedAndProject (per-partition top-k then a k-row merge on the
+  * driver — no global sort shuffle), which is the only global-top-k plan
+  * that works at 100 TB.
+  */
+object SetOps {
+
+  /** Multi-key ORDER BY asc/desc with explicit null placement
+    * (reference `setup.sh:52,180`).
+    */
+  val opSortMulti: Q = Q(
+    "op_sort_multi",
+    (s, d) =>
+      Tables.read(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_shipdate"))
+        .orderBy(asc_nulls_first("l_returnflag"), desc_nulls_first("l_shipdate"),
+          asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+            FROM lineitem
+            ORDER BY l_returnflag ASC NULLS FIRST, l_shipdate DESC NULLS FIRST,
+                     l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST"""))
+
+  /** LIMIT k after a total sort (reference `setup.sh:58`). */
+  val opLimitSorted: Q = Q(
+    "op_limit_sorted",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc_nulls_first("o_totalprice"), asc_nulls_first("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC NULLS FIRST, o_orderkey ASC NULLS FIRST
+            LIMIT 10"""))
+
+  /** Global top-k → TakeOrderedAndProject. */
+  val opTopkGlobal: Q = Q(
+    "op_topk_global",
+    (s, d) =>
+      Tables.read(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(desc_nulls_first("l_extendedprice"),
+          asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"))
+        .limit(100),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+            ORDER BY l_extendedprice DESC NULLS FIRST,
+                     l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST
+            LIMIT 100"""))
+
+  private def segA(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.read(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  private def segB(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.read(s, d, "customer")
+      .filter(col("c_acctbal") > 5000.0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+  /** UNION ALL — the snapshot ∪ stream merge of the CDC pipeline
+    * (reference `setup.sh:92` semantics).
+    */
+  val setopUnionAll: Q = Q(
+    "setop_union_all",
+    (s, d) =>
+      segA(s, d).unionAll(segB(s, d))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("c_mktsegment")),
+    Some("""SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION ALL
+            SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0
+            ORDER BY c_custkey NULLS FIRST, c_mktsegment NULLS FIRST"""))
+
+  val setopUnionDistinct: Q = Q(
+    "setop_union_distinct",
+    (s, d) =>
+      segA(s, d).union(segB(s, d)).distinct()
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("c_mktsegment")),
+    Some("""SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+            UNION
+            SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0
+            ORDER BY c_custkey NULLS FIRST, c_mktsegment NULLS FIRST"""))
+
+  val setopIntersect: Q = Q(
+    "setop_intersect",
+    (s, d) =>
+      segA(s, d).intersect(segB(s, d))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("c_mktsegment")),
+    Some("""SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+            INTERSECT
+            SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0
+            ORDER BY c_custkey NULLS FIRST, c_mktsegment NULLS FIRST"""))
+
+  val setopExcept: Q = Q(
+    "setop_except",
+    (s, d) =>
+      segA(s, d).except(segB(s, d))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("c_mktsegment")),
+    Some("""SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+            EXCEPT
+            SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0
+            ORDER BY c_custkey NULLS FIRST, c_mktsegment NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    opSortMulti, opLimitSorted, opTopkGlobal, setopUnionAll,
+    setopUnionDistinct, setopIntersect, setopExcept)
+}

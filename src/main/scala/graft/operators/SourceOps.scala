@@ -1,0 +1,169 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.sources.{CdcEnvelope, TypeMap}
+import graft.streaming.StreamRunner
+
+/** SURVEY §2.1 — sources / sinks / CDC core. */
+object SourceOps {
+
+  /** Full-table snapshot read (Debezium `snapshot.mode=initial`,
+    * reference `setup.sh:92`). The scan is a bare parquet read: Catalyst
+    * prunes columns/partitions; at scale this is the JDBC/parquet backfill
+    * leg of snapshot-then-stream.
+    */
+  val srcSnapshotScan: Q = Q(
+    "src_snapshot_scan",
+    (s, d) => Tables.read(s, d, "customer").orderBy(asc_nulls_first("c_custkey")),
+    Some("SELECT * FROM customer ORDER BY c_custkey NULLS FIRST"))
+
+  /** Typed field extraction from a JSON record payload (the JsonConverter
+    * surface, reference `setup.sh:96-99`). `get_json_object` is codegen'd.
+    */
+  val srcJsonPayloadExtract: Q = Q(
+    "src_json_payload_extract",
+    (s, d) =>
+      Tables.read(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_val"))
+        .orderBy(asc_nulls_first("event_id")),
+    Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+            FROM events ORDER BY event_id NULLS FIRST"""))
+
+  /** Debezium envelope unwrap (`ExtractNewRecordState` SMT, reference
+    * `setup.sh:105-107`): build envelope JSON strings from `events` rows,
+    * then decode via the real CdcEnvelope path. Non-SQL-expressible → no
+    * oracle; unit-tested against the literal captured messages
+    * (reference `README.md:127-129`).
+    */
+  val srcCdcEnvelopeUnwrap: Q = Q(
+    "src_cdc_envelope_unwrap",
+    (s, d) => {
+      val payload = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("updated_at", LongType)))
+      val raw = Tables.read(s, d, "events").select(
+        concat(
+          lit("""{"schema":{"type":"struct","fields":[{"type":"int64","optional":false,"field":"event_id"}],"name":"postgres_cdc.iman.events.Value"},"payload":"""),
+          to_json(struct(
+            col("event_id"), col("user_id"), col("event_type"),
+            expr("ts div 1000").as("updated_at"))),
+          lit("}")).as("value"))
+      CdcEnvelope.unwrap(raw, col("value"), payload, Seq("updated_at"))
+        .orderBy(asc_nulls_first("event_id"))
+    },
+    None)
+
+  /** Continuous keyed-record stream from earliest offsets (reference
+    * `setup.sh:144`): file-streaming stand-in for the Kafka source (offline),
+    * run to completion. Rows-only check.
+    */
+  val srcKafkaStream: Q = Q(
+    "src_kafka_stream",
+    (s, d) => {
+      val streamed = StreamRunner.streamTable(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      StreamRunner.runToTable(streamed, "append").orderBy(asc_nulls_first("event_id"))
+    },
+    None)
+
+  /** Topic routing by regex (`RegexRouter` `^postgres_cdc\.iman\.(.*)$` → $1,
+    * reference `setup.sh:119-122`), exercised over synthesized topic names.
+    */
+  val opTopicRouteRegex: Q = Q(
+    "op_topic_route_regex",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"),
+          concat(lit("postgres_cdc.iman."), col("source")).as("topic"))
+        .withColumn("route",
+          regexp_extract(col("topic"), "^postgres_cdc\\.iman\\.(.*)$", 1))
+        .orderBy(asc_nulls_first("doc_id")),
+    Some("""SELECT doc_id, 'postgres_cdc.iman.' || source AS topic,
+            regexp_extract('postgres_cdc.iman.' || source, '^postgres_cdc\.iman\.(.*)$', 1) AS route
+            FROM documents ORDER BY doc_id NULLS FIRST"""))
+
+  /** ReplacingMergeTree state read: latest event per user_id
+    * (reference `setup.sh:63,136-137`), deterministic tiebreak event_id desc.
+    */
+  val sinkUpsertLatestByKey: Q = Q(
+    "sink_upsert_latest_by_key",
+    (s, d) => {
+      val ev = Tables.read(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts").as("ts_ns"))
+      Upsert.latestByKey(ev, Seq(col("user_id")), Seq(col("ts_ns"), col("event_id")))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH ranked AS (
+              SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_id, event_type, value, ts_ns
+            FROM ranked WHERE rn = 1 ORDER BY user_id NULLS FIRST"""))
+
+  /** CDC op-log apply with the reference's delete semantics (deletes never
+    * reach the sink, reference `setup.sh:94,107,192-197`). Golden-replay
+    * tested; here exercised over a synthesized op-log. Rows-only check.
+    */
+  val sinkCdcApplyUpsertOnly: Q = Q(
+    "sink_cdc_apply_upsert_only",
+    (s, d) => {
+      val opLog = Tables.read(s, d, "events").select(
+        col("user_id"), col("event_id"), col("value"), col("ts").as("ts_ns"),
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("op"))
+      Upsert.applyCdc(opLog, col("op"), Seq(col("user_id")),
+          Seq(col("ts_ns"), col("event_id")))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    None)
+
+  /** Schema introspection + PG→CH DDL synthesis (reference `setup.sh:36-66`);
+    * unit-tested against the golden DDL at reference `README.md:108`.
+    */
+  val opSchemaDdlTypemap: Q = Q(
+    "op_schema_ddl_typemap",
+    (s, d) => {
+      val usersDdl = TypeMap.renderDdl("iman", "users", Seq(
+        "user_id" -> "integer", "username" -> "character varying",
+        "account_type" -> "character varying",
+        "updated_at" -> "timestamp without time zone",
+        "created_at" -> "timestamp without time zone"))
+      val liveDdl = TypeMap.renderDdlFromSpark(
+        "graft", "customer", Tables.read(s, d, "customer").schema)
+      s.range(1).select(lit(usersDdl).as("users_ddl"), lit(liveDdl).as("customer_ddl"))
+    },
+    None)
+
+  /** Row inserts into a table (reference `setup.sh:155-161`): real
+    * write-append-read cycle through the parquet sink. Rows-only check.
+    */
+  val opInsertAppend: Q = Q(
+    "op_insert_append",
+    (s, d) => {
+      val dir = Files.createTempDirectory("graft_append").toString
+      val c = Tables.read(s, d, "customer")
+      c.filter(col("c_custkey") <= 50).write.mode("overwrite").parquet(dir)
+      c.filter(col("c_custkey") > 50 && col("c_custkey") <= 100)
+        .write.mode("append").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("c_mktsegment"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(
+    srcSnapshotScan, srcJsonPayloadExtract, srcCdcEnvelopeUnwrap,
+    srcKafkaStream, opTopicRouteRegex, sinkUpsertLatestByKey,
+    sinkCdcApplyUpsertOnly, opSchemaDdlTypemap, opInsertAppend)
+}

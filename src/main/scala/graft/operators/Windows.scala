@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** SURVEY §2.5 — window functions.
+  *
+  * Every spec is `Window.partitionBy(...).orderBy(...)` with a unique-key
+  * tiebreaker in the sort (§2.0 rule 6), so rank/lag/frames are total-order
+  * deterministic. Partitioned windows shuffle once on the partition key —
+  * the scalable shape. The single global-window query (`win_ntile`) is
+  * inherently single-partition and kept small-column.
+  */
+object Windows {
+
+  private val byCust = Window.partitionBy(col("o_custkey"))
+
+  val winRowNumber: Q = Q(
+    "win_row_number",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          row_number().over(byCust.orderBy(col("o_orderdate"), col("o_orderkey")))
+            .cast(LongType).as("rn"))
+        .orderBy(asc_nulls_first("o_orderkey")),
+    Some("""SELECT o_orderkey, o_custkey,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+            FROM orders ORDER BY o_orderkey NULLS FIRST"""))
+
+  val winRankDense: Q = Q(
+    "win_rank_dense",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderpriority"))
+      Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          rank().over(w).cast(LongType).as("rnk"),
+          dense_rank().over(w).cast(LongType).as("drnk"))
+        .orderBy(asc_nulls_first("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                   CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS BIGINT) AS drnk
+            FROM orders ORDER BY o_orderkey NULLS FIRST"""))
+
+  val winLagLead: Q = Q(
+    "win_lag_lead",
+    (s, d) => {
+      val w = byCust.orderBy(col("o_orderkey"))
+      Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1, -1.0).over(w).as("next_price"))
+        .orderBy(asc_nulls_first("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                   lag(o_totalprice, 1, -1.0) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price,
+                   lead(o_totalprice, 1, -1.0) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_price
+            FROM orders ORDER BY o_orderkey NULLS FIRST"""))
+
+  val winRunningSum: Q = Q(
+    "win_running_sum",
+    (s, d) => {
+      val w = byCust.orderBy(col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("running_total"))
+        .orderBy(asc_nulls_first("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+            FROM orders ORDER BY o_orderkey NULLS FIRST"""))
+
+  val winSlidingFrame: Q = Q(
+    "win_sliding_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-3, Window.currentRow)
+      Tables.read(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("moving_qty"))
+        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_suppkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
+            FROM lineitem
+            ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST"""))
+
+  /** RANGE frame over a numeric sort key. */
+  val winRangeFrame: Q = Q(
+    "win_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+        .rangeBetween(-50, Window.currentRow)
+      Tables.read(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"),
+          sum(col("p_retailprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("range_total"))
+        .orderBy(asc_nulls_first("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_brand,
+                   CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY p_brand ORDER BY p_partkey
+                              RANGE BETWEEN 50 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_total
+            FROM part ORDER BY p_partkey NULLS FIRST"""))
+
+  val winFirstLast: Q = Q(
+    "win_first_last",
+    (s, d) => {
+      val w = byCust.orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_orderkey")).over(w).as("cheapest_order"),
+          last(col("o_orderkey")).over(w).as("dearest_order"))
+        .orderBy(asc_nulls_first("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+                   first_value(o_orderkey) OVER w AS cheapest_order,
+                   last_value(o_orderkey) OVER w AS dearest_order
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_orderkey NULLS FIRST"""))
+
+  val winNtile: Q = Q(
+    "win_ntile",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .select(col("o_orderkey"),
+          ntile(4).over(Window.orderBy(col("o_orderkey"))).cast(LongType).as("quartile"))
+        .orderBy(asc_nulls_first("o_orderkey")),
+    Some("""SELECT o_orderkey,
+                   CAST(ntile(4) OVER (ORDER BY o_orderkey) AS BIGINT) AS quartile
+            FROM orders ORDER BY o_orderkey NULLS FIRST"""))
+
+  /** Top-k per group: the window-filter idiom (no global sort; one shuffle
+    * on the group key).
+    */
+  val aggTopkPerGroup: Q = Q(
+    "agg_topk_per_group",
+    (s, d) => {
+      val w = byCust.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.read(s, d, "orders")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(asc_nulls_first("o_custkey"), asc_nulls_first("rn"))
+    },
+    Some("""WITH ranked AS (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     CAST(row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+              FROM orders)
+            SELECT o_custkey, rn, o_orderkey, o_totalprice
+            FROM ranked WHERE rn <= 3
+            ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    winRowNumber, winRankDense, winLagLead, winRunningSum, winSlidingFrame,
+    winRangeFrame, winFirstLast, winNtile, aggTopkPerGroup)
+}

@@ -1,0 +1,209 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+import graft.operators.Upsert
+
+/** SURVEY §2.7 — Structured Streaming.
+  *
+  * Test oracle is the batch-equivalence property (Structured Streaming,
+  * SIGMOD 2018): incremental execution over the finite corpus must equal the
+  * batch query. Streaming queries run with `Trigger.AvailableNow` so the
+  * batch harness can consume their results; windows are integer nano-buckets
+  * (`ts div 1h`) because `events.ts` is epoch-nanos (FIXTURES.md) — integer
+  * division in both engines, aligned to epoch exactly like Spark's
+  * `window()`.
+  */
+object StreamingOps {
+
+  private val HourNs = 3600000000000L
+
+  private def streamedEvents(s: SparkSession, d: String): DataFrame =
+    StreamRunner.streamTable(s, d, "events")
+
+  /** Tumbling 1h counts as a genuine streaming aggregation (complete mode);
+    * oracle = the batch form on the same prefix.
+    */
+  val streamTumblingCount: Q = Q(
+    "stream_tumbling_count",
+    (s, d) => {
+      val agg = streamedEvents(s, d)
+        .groupBy(expr(s"ts div $HourNs").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      StreamRunner.runToTable(agg, "complete").orderBy(asc_nulls_first("bucket"))
+    },
+    Some("""SELECT epoch_ns(ts) // 3600000000000 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1 ORDER BY bucket NULLS FIRST"""))
+
+  /** Sliding window (2h, slide 1h): each event contributes to the window
+    * starting at its bucket and the one before (explode, then one streaming
+    * aggregation — map-side fanout of 2, no self-join).
+    */
+  val streamSlidingSum: Q = Q(
+    "stream_sliding_sum",
+    (s, d) => {
+      val agg = streamedEvents(s, d)
+        .select(col("value"), expr(s"ts div $HourNs").as("h"))
+        .select(col("value"),
+          explode(array(col("h") - 1, col("h"))).as("win_start"))
+        .groupBy(col("win_start"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_val"),
+          count(lit(1)).as("cnt"))
+      StreamRunner.runToTable(agg, "complete").orderBy(asc_nulls_first("win_start"))
+    },
+    Some("""WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS h, value FROM events),
+            x AS (SELECT h AS win_start, value FROM e
+                  UNION ALL
+                  SELECT h - 1 AS win_start, value FROM e)
+            SELECT win_start,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM x GROUP BY win_start ORDER BY win_start NULLS FIRST"""))
+
+  /** Session windows (30 min gap, per user) — batch gaps-and-islands form
+    * (lag + cumulative break flag), the t2 contract for session semantics.
+    */
+  val streamSessionWindow: Q = Q(
+    "stream_session_window",
+    (s, d) => {
+      val ev = Tables.read(s, d, "events")
+        .select(col("user_id"), col("ts").as("ts_ns"), col("event_id"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val brk = when(
+        col("ts_ns") - lag(col("ts_ns"), 1).over(wOrd) > HourNs / 2, lit(1))
+        .otherwise(lit(0))
+      ev.withColumn("brk", brk)
+        .withColumn("session_id",
+          sum(col("brk")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(LongType))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ns")).as("start_ns"), max(col("ts_ns")).as("end_ns"))
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events),
+            flagged AS (
+              SELECT user_id, ts_ns, event_id,
+                     CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY user_id
+                          ORDER BY ts_ns, event_id) > 1800000000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM e),
+            sessions AS (
+              SELECT user_id, ts_ns,
+                     CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+              FROM flagged)
+            SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts_ns) AS start_ns, MAX(ts_ns) AS end_ns
+            FROM sessions GROUP BY user_id, session_id
+            ORDER BY user_id NULLS FIRST, session_id NULLS FIRST"""))
+
+  /** Watermark + late-data drop, demonstrated end-to-end: the corpus is
+    * split into an on-time file and a file of older ("late") rows, streamed
+    * one file per micro-batch (deterministic order via explicit file
+    * mtimes). With a 10-minute watermark the second file's rows fall below
+    * the watermark and are dropped; emitted result = finalized windows of
+    * the on-time file only. Golden-tested; rows-only check here.
+    */
+  val streamWatermarkLate: Q = Q(
+    "stream_watermark_late",
+    (s, d) => {
+      val base = Files.createTempDirectory("graft_late")
+      val streamDir = base.resolve("stream")
+      Files.createDirectories(streamDir)
+      val ev = Tables.read(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"))
+      val minB = ev.agg(min(expr(s"ts div $HourNs"))).head().getLong(0)
+      writeSingleFile(ev.filter(expr(s"ts div $HourNs") > minB),
+        base.resolve("f1"), streamDir.resolve("f1.parquet"), 1000000L)
+      writeSingleFile(ev.filter(expr(s"ts div $HourNs") <= minB),
+        base.resolve("f2"), streamDir.resolve("f2.parquet"), 2000000L)
+      val agg = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+        .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts_t", "10 minutes")
+        .groupBy(window(col("ts_t"), "1 hour")).agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("win_start"), col("cnt"))
+      StreamRunner.runToTable(agg, "append").orderBy(asc_nulls_first("win_start"))
+    },
+    None)
+
+  /** Streaming dedup by key within state (reference at-least-once replay
+    * tolerance); oracle = batch DISTINCT equivalent.
+    */
+  val streamDedupKeys: Q = Q(
+    "stream_dedup_keys",
+    (s, d) => {
+      val deduped = streamedEvents(s, d)
+        .select(col("event_id"), col("event_type"))
+        .dropDuplicates("event_id")
+      StreamRunner.runToTable(deduped, "append")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    Some("""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT DISTINCT event_id, event_type FROM events) t
+            GROUP BY event_type ORDER BY event_type NULLS FIRST"""))
+
+  /** The full CDC sink: micro-batch upsert into keyed state via
+    * foreachBatch + checkpoint. State is versioned by batch id
+    * (`state/v<id>`), so replaying a batch overwrites the same version —
+    * the idempotence that makes at-least-once delivery exactly-once in
+    * effect (reference `setup.sh:101-103,144-147` + ReplacingMergeTree).
+    * Golden-replay tested; rows-only check here.
+    */
+  val streamForeachBatchUpsert: Q = Q(
+    "stream_foreachbatch_upsert",
+    (s, d) => {
+      val base = Files.createTempDirectory("graft_upsert").toString
+      val cp = s"$base/checkpoint"
+      val stateBase = s"$base/state"
+      @volatile var cur = -1L
+      val src = streamedEvents(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts").as("ts_ns"))
+      val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
+        val prev =
+          if (cur >= 0) batch.sparkSession.read.parquet(s"$stateBase/v$cur")
+          else batch.limit(0)
+        Upsert.latestByKey(prev.unionByName(batch),
+            Seq(col("user_id")), Seq(col("ts_ns"), col("event_id")))
+          .write.mode("overwrite").parquet(s"$stateBase/v$id")
+        cur = id
+      }
+      val query = src.writeStream
+        .foreachBatch(mergeBatch)
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      s.read.parquet(s"$stateBase/v$cur").orderBy(asc_nulls_first("user_id"))
+    },
+    None)
+
+  /** Write df as exactly one parquet part-file at `dest` with a pinned
+    * mtime, so the file-stream source discovers files in a deterministic
+    * order.
+    */
+  private def writeSingleFile(df: DataFrame, tmp: Path, dest: Path, mtime: Long): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    Files.move(part, dest)
+    Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
+  }
+
+  val all: Seq[Q] = Seq(
+    streamTumblingCount, streamSlidingSum, streamSessionWindow,
+    streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert)
+}
