@@ -43,14 +43,19 @@ object Aggregations {
         .agg(
           sum(qtyDec).cast(DoubleType).as("sum_qty"),
           sum(priceDec).cast(DoubleType).as("sum_base"),
-          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast(DecimalType(18, 2))).cast(DoubleType).as("sum_disc"),
+          // decimal × decimal is exact (scale 4) — casting the double
+          // PRODUCT to decimal would instead hit engine-specific rounding
+          // of binary near-ties
+          sum(priceDec * (lit(1).cast(DecimalType(18, 2)) -
+            col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("sum_disc"),
           count(lit(1)).as("cnt"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-                   CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))
@@ -227,9 +232,15 @@ object Aggregations {
     "op_udaf_weighted_avg",
     (s, d) => {
       val wavg = udaf(WeightedAvg)
+      // Decimal-cast in the DataFrame (not inside the Aggregator) so Spark's
+      // own CAST does the .xx rounding, exactly as DuckDB's CAST does on the
+      // oracle side — a double's shortest-string BigDecimal near a .xx5 tie
+      // could otherwise round differently than CAST of the exact binary value.
       Tables.read(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(wavg(col("l_quantity"), col("l_extendedprice")).as("wavg_price"))
+        .agg(wavg(
+          col("l_quantity").cast(DecimalType(18, 2)).cast(DoubleType),
+          col("l_extendedprice").cast(DecimalType(18, 2)).cast(DoubleType)).as("wavg_price"))
         .orderBy(asc_nulls_first("l_returnflag"))
     },
     Some("""SELECT l_returnflag,

@@ -26,11 +26,15 @@ object Expressions {
       Tables.read(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
-        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber")),
+        // (l_orderkey, l_linenumber) is not unique in this corpus — every
+        // output column joins the sort so the order is total
+        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
+          asc_nulls_first("net_price")),
     Some("""SELECT l_orderkey, l_linenumber,
                    l_extendedprice * (1.0 - l_discount) AS net_price
             FROM lineitem
-            ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST"""))
+            ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+                     net_price NULLS FIRST"""))
 
   /** WHERE with =, AND, > (reference `setup.sh:51,57,193,197`). The filter
     * reaches the parquet scan as PushedFilters.
@@ -100,14 +104,16 @@ object Expressions {
           col("l_linenumber").cast(LongType).as("line_l"),
           col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"),
           col("l_shipdate").cast(DateType).as("ship_d"))
-        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber")),
+        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
+          asc_nulls_first("price_dec"), asc_nulls_first("ship_d")),
     Some("""SELECT l_orderkey, l_linenumber,
                    CAST(l_orderkey AS VARCHAR) AS key_str,
                    CAST(l_linenumber AS BIGINT) AS line_l,
                    CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
                    CAST(l_shipdate AS DATE) AS ship_d
             FROM lineitem
-            ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST"""))
+            ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+                     price_dec NULLS FIRST, ship_d NULLS FIRST"""))
 
   /** Scalar subquery in expression position (reference `setup.sh:54-59,64`);
     * Catalyst decorrelates via RewriteCorrelatedScalarSubquery. Same SQL
@@ -233,7 +239,9 @@ object Expressions {
           ceil(col("l_extendedprice")).cast(LongType).as("ce"),
           abs(col("l_discount") - 0.05).as("ad"),
           (col("l_orderkey") % 7).as("m7"))
-        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber")),
+        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
+          asc_nulls_first("r1"), asc_nulls_first("fl"), asc_nulls_first("ce"),
+          asc_nulls_first("ad")),
     Some("""SELECT l_orderkey, l_linenumber,
                    ROUND(l_extendedprice, 1) AS r1,
                    CAST(FLOOR(l_extendedprice) AS BIGINT) AS fl,
@@ -241,7 +249,9 @@ object Expressions {
                    ABS(l_discount - 0.05) AS ad,
                    l_orderkey % 7 AS m7
             FROM lineitem
-            ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST"""))
+            ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+                     r1 NULLS FIRST, fl NULLS FIRST, ce NULLS FIRST,
+                     ad NULLS FIRST"""))
 
   /** Nested JSON paths (the CDC envelope is nested JSON, `README.md:127`):
     * wrap the flat `props` into an outer object and extract through two
@@ -279,16 +289,18 @@ object Expressions {
             FROM embeddings ORDER BY vec_id NULLS FIRST"""))
 
   /** Map construct + lookup (scalar result form; the oracle states the
-    * equivalent values directly).
+    * equivalent values directly). The missing-key probe uses `try_element_at`:
+    * under Spark 4 default ANSI mode, `element_at` on an absent map key
+    * throws MAP_KEY_DOES_NOT_EXIST instead of returning NULL.
     */
   val fnMap: Q = Q(
     "fn_map",
     (s, d) =>
       Tables.read(s, d, "documents")
         .select(col("doc_id"),
-          element_at(map(lit("lang"), col("lang"), lit("src"), col("source")),
-            "src").as("src_val"),
-          element_at(map(lit("lang"), col("lang")), "nope").as("missing_val"))
+          try_element_at(map(lit("lang"), col("lang"), lit("src"), col("source")),
+            lit("src")).as("src_val"),
+          try_element_at(map(lit("lang"), col("lang")), lit("nope")).as("missing_val"))
         .orderBy(asc_nulls_first("doc_id")),
     Some("""SELECT doc_id, source AS src_val, CAST(NULL AS VARCHAR) AS missing_val
             FROM documents ORDER BY doc_id NULLS FIRST"""))

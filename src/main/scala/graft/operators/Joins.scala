@@ -157,43 +157,47 @@ object Joins {
     * key-partitioned window with `last(_, ignoreNulls=true)`. Signups are
     * pre-deduped to max event_id per (user, ts) so the inclusive tie is
     * deterministic (matches the oracle's ASOF + tiebreak contract).
+    * Timestamps are µs (`ts div 1000` ↔ DuckDB `epoch_us`) — DuckDB 1.0's
+    * parquet reader truncates nano timestamps to µs, so µs is the highest
+    * cross-engine-exact resolution.
     */
   val joinAsofBackward: Q = Q(
     "join_asof_backward",
     (s, d) => {
       val ev = Tables.read(s, d, "events")
-        .select(col("event_id"), col("user_id"), col("event_type"), col("ts").as("ts_ns"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_ns"), col("event_id").as("click_id"),
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"),
           lit(null).cast("bigint").as("signup_ts"), lit(null).cast("bigint").as("signup_id"),
           lit(1).as("kind"))
       val signups = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id"), col("ts_ns"))
+        .groupBy(col("user_id"), col("ts_us"))
         .agg(max(col("event_id")).as("signup_id"))
-        .select(col("user_id"), col("ts_ns"), lit(null).cast("bigint").as("click_id"),
-          col("ts_ns").as("signup_ts"), col("signup_id"), lit(0).as("kind"))
+        .select(col("user_id"), col("ts_us"), lit(null).cast("bigint").as("click_id"),
+          col("ts_us").as("signup_ts"), col("signup_id"), lit(0).as("kind"))
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ns"), col("kind"), col("click_id"))
+        .orderBy(col("ts_us"), col("kind"), col("click_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       signups.unionByName(clicks)
         .withColumn("last_signup_ts", last(col("signup_ts"), ignoreNulls = true).over(w))
         .withColumn("last_signup_id", last(col("signup_id"), ignoreNulls = true).over(w))
         .filter(col("kind") === 1)
-        .select(col("click_id").as("event_id"), col("user_id"), col("ts_ns"),
+        .select(col("click_id").as("event_id"), col("user_id"), col("ts_us"),
           col("last_signup_ts").as("signup_ts"), col("last_signup_id").as("signup_id"))
         .orderBy(asc_nulls_first("event_id"))
     },
     Some("""WITH clicks AS (
-              SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
               FROM events WHERE event_type = 'click'),
             signups AS (
-              SELECT user_id, epoch_ns(ts) AS ts_ns, max(event_id) AS signup_id
+              SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS signup_id
               FROM events WHERE event_type = 'signup'
-              GROUP BY user_id, epoch_ns(ts))
-            SELECT c.event_id, c.user_id, c.ts_ns,
-                   s.ts_ns AS signup_ts, s.signup_id
+              GROUP BY user_id, epoch_us(ts))
+            SELECT c.event_id, c.user_id, c.ts_us,
+                   s.ts_us AS signup_ts, s.signup_id
             FROM clicks c ASOF LEFT JOIN signups s
-              ON c.user_id = s.user_id AND c.ts_ns >= s.ts_ns
+              ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
             ORDER BY c.event_id NULLS FIRST"""))
 
   /** Interval join: event pairs of the same user within 1 hour of each
@@ -205,20 +209,20 @@ object Joins {
     "join_interval_overlap",
     (s, d) => {
       val ev = Tables.read(s, d, "events")
-        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"))
-      val a = ev.select(col("event_id").as("id1"), col("user_id"), col("ts_ns").as("t1"))
-      val b = ev.select(col("event_id").as("id2"), col("user_id").as("u2"), col("ts_ns").as("t2"))
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val a = ev.select(col("event_id").as("id1"), col("user_id"), col("ts_us").as("t1"))
+      val b = ev.select(col("event_id").as("id2"), col("user_id").as("u2"), col("ts_us").as("t2"))
       a.join(b, col("user_id") === col("u2") && col("id1") < col("id2") &&
-          abs(col("t2") - col("t1")) <= 3600000000000L)
-        .select(col("id1"), col("id2"), col("user_id"), (col("t2") - col("t1")).as("gap_ns"))
+          abs(col("t2") - col("t1")) <= 3600000000L)
+        .select(col("id1"), col("id2"), col("user_id"), (col("t2") - col("t1")).as("gap_us"))
         .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
     },
-    Some("""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events)
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
             SELECT a.event_id AS id1, b.event_id AS id2, a.user_id,
-                   b.ts_ns - a.ts_ns AS gap_ns
+                   b.ts_us - a.ts_us AS gap_us
             FROM e a JOIN e b
               ON a.user_id = b.user_id AND a.event_id < b.event_id
-             AND abs(b.ts_ns - a.ts_ns) <= 3600000000000
+             AND abs(b.ts_us - a.ts_us) <= 3600000000
             ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
 
   val all: Seq[Q] = Seq(

@@ -1,0 +1,582 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** SURVEY §2.8 — LLM-training-data pipeline operators (all EXT;
+  * `BASELINE.json` north_star: dedup, similarity search, multimodal columns,
+  * text analysis) over the `documents` / `embeddings` corpus tables.
+  *
+  * Scale design: the all-pairs ops (`llm_jaccard_near_dup`,
+  * `llm_embed_cosine_dup`, brute-force `llm_cosine_topk`) are the exact
+  * ground-truth baselines; their 100 TB counterparts are the banded/LSH ops
+  * (`llm_dedup_minhash`, `llm_dedup_simhash`, `llm_ann_lsh_topk`) which
+  * replace the quadratic self-join with an equi-join on band/bucket keys —
+  * one shuffle keyed by (band, hash), candidate set ≪ n², verified exactly
+  * only within buckets. Token pipelines go through `explode(split(...))`
+  * (Catalyst Generator → stays in codegen) + hash aggregation; no UDFs in
+  * any hot path — everything below is built from codegen'd builtins and
+  * higher-order array functions (the one deliberate exception is the typed
+  * mapPartitions in `llm_multimodal_features`, whose point is the typed
+  * per-partition batch surface for opaque binary payloads).
+  */
+object LlmOps {
+
+  /** Distinct (doc_id, token) pairs — the inverted-index building block. */
+  private def docTokens(s: SparkSession, d: String): DataFrame =
+    Tables.read(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup: canonical (min) doc_id per distinct text
+    * (hash groupBy on the full text — at 100 TB group on a text digest
+    * instead, same plan shape).
+    */
+  val llmDedupExactText: Q = Q(
+    "llm_dedup_exact_text",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("text"))
+        .orderBy(asc_nulls_first("keep_id")),
+    Some("""SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies, text
+            FROM documents GROUP BY text ORDER BY keep_id NULLS FIRST"""))
+
+  /** Exact token-set Jaccard near-dup pairs (ground truth for the MinHash
+    * op): inverted-index self-join on token, pair-intersection counts,
+    * Jaccard = |∩| / (|A|+|B|-|∩|). Integers throughout + one final double
+    * ratio (§2.0 rule 3).
+    */
+  val llmJaccardNearDup: Q = Q(
+    "llm_jaccard_near_dup",
+    (s, d) => {
+      val toks = docTokens(s, d)
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = toks.select(col("doc_id").as("id1"), col("tok"))
+        .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
+        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+    },
+    Some("""WITH toks AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id1, id2, inter,
+                   s1.sz AS n1, s2.sz AS n2,
+                   CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+            FROM inter JOIN sizes s1 ON id1 = s1.doc_id
+                       JOIN sizes s2 ON id2 = s2.doc_id
+            WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.9
+            ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
+
+  /** Token-shingle (3-gram) Jaccard near-dup pairs — the n-gram flavor of
+    * the exact path; shingles are far more discriminative than unigrams, so
+    * the threshold is lower. Shingling via a higher-order transform over the
+    * token array (no UDF).
+    */
+  val llmNgramJaccard: Q = Q(
+    "llm_ngram_jaccard",
+    (s, d) => {
+      val sh = Tables.read(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
+          .as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("doc_id").as("id1"), col("sh"))
+        .join(sh.select(col("doc_id").as("id2"), col("sh")), "sh")
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.04)
+        .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
+        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+    },
+    Some("""WITH sh AS (
+              SELECT DISTINCT doc_id, unnest(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> concat_ws(' ', string_split(text, ' ')[i],
+                                           string_split(text, ' ')[i+1],
+                                           string_split(text, ' ')[i+2]))) AS sh
+              FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id1, id2, inter,
+                   s1.sz AS n1, s2.sz AS n2,
+                   CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+            FROM inter JOIN sizes s1 ON id1 = s1.doc_id
+                       JOIN sizes s2 ON id2 = s2.doc_id
+            WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.04
+            ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
+
+  /** MinHash + LSH near-dup candidates — the 100 TB path. k=16 min-hashes
+    * per doc, banded 4×4: candidate pairs are those equal on ALL 4 rows of
+    * some band, found by an equi-join on (band, band-hash) — no quadratic
+    * self-join ever materializes. Estimated similarity = matching signature
+    * fraction. No oracle (randomized estimator); property-tested for
+    * recall/precision against `llm_jaccard_near_dup` (§5).
+    */
+  val llmDedupMinhash: Q = Q(
+    "llm_dedup_minhash",
+    (s, d) => {
+      val numHashes = 16
+      val bands = 4
+      val rows = numHashes / bands
+      val toks = docTokens(s, d)
+      val sigCols = (0 until numHashes).map(i =>
+        min(xxhash64(concat(col("tok"), lit(s"#$i")))).as(s"h$i"))
+      val sigs = toks.groupBy(col("doc_id"))
+        .agg(sigCols.head, sigCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> named_struct('band', b, 'bh', xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows)))))"))
+          .as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val pairs = banded.select(col("band"), col("bh"), col("doc_id").as("id1"), col("sig").as("sig1"))
+        .join(banded.select(col("band"), col("bh"), col("doc_id").as("id2"), col("sig").as("sig2")),
+          Seq("band", "bh"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m))").as("matching"))
+        .distinct()
+      pairs
+        .withColumn("est_jaccard", col("matching").cast(DoubleType) / lit(numHashes))
+        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+    },
+    None)
+
+  /** SimHash near-dup: 64-bit per-doc fingerprint (sign of per-bit sums of
+    * token hashes), then ALL pairs with Hamming distance ≤ 3 — found
+    * completely via 4×16-bit chunk banding (pigeonhole: ≤3 differing bits
+    * cannot hit all 4 chunks), so the quadratic scan is replaced by an
+    * equi-join on (chunk, value) with exact post-verification by
+    * `bit_count(xor)`. Deterministic given xxhash64 — but not
+    * SQL-portable, so covered by unit tests instead of a DuckDB oracle.
+    */
+  val llmDedupSimhash: Q = Q(
+    "llm_dedup_simhash",
+    (s, d) => {
+      val sims = simhashes(s, d)
+      val chunked = sims.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), " +
+          "c -> named_struct('chunk', c, 'v', (simhash >> (c * 16)) & 65535))")).as("cc"))
+        .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+      chunked.select(col("chunk"), col("v"), col("doc_id").as("id1"), col("simhash").as("sh1"))
+        .join(chunked.select(col("chunk"), col("v"), col("doc_id").as("id2"), col("simhash").as("sh2")),
+          Seq("chunk", "v"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"), expr("bit_count(sh1 ^ sh2)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+    },
+    None)
+
+  /** 64-bit simhash per document: sum ±1 per bit position over token hashes
+    * (weighted by token multiplicity), take the sign bit-vector. Built
+    * entirely from higher-order array functions — per-token bit matrix,
+    * element-wise array sum, sign-pack.
+    */
+  def simhashes(s: SparkSession, d: String): DataFrame =
+    Tables.read(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        expr("transform(sequence(0, 63), b -> IF((xxhash64(tok) >> b) & 1 = 1, 1, -1))").as("bits"))
+      .groupBy(col("doc_id"))
+      .agg(expr("aggregate(collect_list(bits), " +
+        "array_repeat(0, 64), (acc, x) -> zip_with(acc, x, (a, b) -> a + b))").as("sums"))
+      .select(col("doc_id"),
+        expr("aggregate(zip_with(sums, sequence(0, 63), (s, i) -> IF(s > 0, shiftleft(1L, i), 0L)), " +
+          "0L, (a, b) -> a | b)").as("simhash"))
+
+  // --------------------------------------------------- similarity search
+
+  /** Exact dot/cosine building block: left-to-right double summation over
+    * the float vector (cast-to-double per element is exact; identical
+    * reduction order in the DuckDB oracle via list_transform + list_sum).
+    */
+  private def cosineCols(vec: String, qvec: String): Column =
+    expr(s"aggregate(zip_with($vec, $qvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, b) -> a + b)") /
+      (sqrt(expr(s"aggregate($vec, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")) *
+        sqrt(expr(s"aggregate($qvec, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+
+  /** Brute-force cosine top-k against a query vector (vec_id 0) — the exact
+    * ANN baseline. Broadcast the 1-row query side; ranking on the ROUNDED
+    * score + vec_id tiebreak so the top-k cut is stable cross-engine
+    * (§2.0 rule 7).
+    */
+  val llmCosineTopk: Q = Q(
+    "llm_cosine_topk",
+    (s, d) => {
+      val e = Tables.read(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("score", round(cosineCols("embedding", "qvec"), 4))
+        .select(col("vec_id"), col("label"), col("score"))
+        .orderBy(desc_nulls_first("score"), asc_nulls_first("vec_id"))
+        .limit(10)
+    },
+    Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id, label,
+                     round(
+                       list_sum(list_transform(range(1, 65),
+                         i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(range(1, 65),
+                            i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, 65),
+                            i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))), 4) AS score
+              FROM embeddings, q WHERE vec_id <> 0)
+            SELECT vec_id, label, score FROM scored
+            ORDER BY score DESC NULLS FIRST, vec_id NULLS FIRST LIMIT 10"""))
+
+  /** Embedding-cosine near-dup pairs (exact, all-pairs ground truth;
+    * the banded `llm_ann_lsh_topk` bucketing is the scale path). Threshold
+    * on the rounded score keeps the cut cross-engine stable.
+    */
+  val llmEmbedCosineDup: Q = Q(
+    "llm_embed_cosine_dup",
+    (s, d) => {
+      val e = Tables.read(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+      val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+      a.join(b, col("id1") < col("id2"))
+        .withColumn("score", round(cosineCols("v1", "v2"), 4))
+        .filter(col("score") >= 0.35)
+        .select(col("id1"), col("id2"), col("score"))
+        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+    },
+    Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+                   round(
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(range(1, 65),
+                          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(range(1, 65),
+                          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) AS score
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_sum(list_transform(range(1, 65),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(range(1, 65),
+                          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform(range(1, 65),
+                          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) >= 0.35
+            ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
+
+  /** LSH-bucketed ANN top-k — the scale path for similarity search.
+    * 6 deterministic pseudo-random hyperplanes (Rademacher ±1 components
+    * derived from xxhash64(bit, dim)); bucket key = sign bits of the 6
+    * projections; the candidate set is the query's bucket plus all
+    * Hamming-1 neighbor buckets (multi-probe), re-ranked exactly by cosine.
+    * Bit count sizes buckets to the corpus (~n/2^bits candidates per probe);
+    * at 100 TB: more bits, buckets are the shuffle key, the query side
+    * broadcasts, and the exact re-rank touches only the probed buckets.
+    * No oracle (approximate recall) — property-tested against
+    * `llm_cosine_topk`.
+    */
+  val llmAnnLshTopk: Q = Q(
+    "llm_ann_lsh_topk",
+    (s, d) => {
+      val nBits = 6
+      // projections[b] = sum_i v[i] * (hash(b,i) -> ±1); bucket = sign bits
+      val bucketExpr = expr(
+        s"""aggregate(
+              transform(sequence(0, ${nBits - 1}), b ->
+                IF(aggregate(zip_with(embedding, sequence(0, 63),
+                     (x, i) -> CAST(x AS DOUBLE) * IF((xxhash64(b * 64 + i) & 1) = 1, 1D, -1D)),
+                   0D, (a, y) -> a + y) > 0D, 1, 0)),
+              named_struct('acc', 0, 'pos', 0),
+              (st, bit) -> named_struct('acc', st.acc + shiftleft(bit, st.pos), 'pos', st.pos + 1),
+              st -> st.acc)""")
+      val e = Tables.read(s, d, "embeddings").withColumn("bucket", bucketExpr)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
+      // multi-probe: query bucket + all hamming-1 buckets
+      val probes = q.select(col("qvec"),
+        explode(expr(s"array_union(array(qbucket), " +
+          s"transform(sequence(0, ${nBits - 1}), b -> CAST(qbucket ^ shiftleft(1, b) AS INT)))"))
+          .as("bucket"))
+      e.filter(col("vec_id") =!= 0)
+        .join(broadcast(probes), Seq("bucket"))
+        .withColumn("score", round(cosineCols("embedding", "qvec"), 4))
+        .select(col("vec_id"), col("label"), col("bucket"), col("score"))
+        .orderBy(desc_nulls_first("score"), asc_nulls_first("vec_id"))
+        .limit(10)
+    },
+    None)
+
+  // -------------------------------------------------------- text analysis
+
+  /** Token statistics per language (UDTF surface: explode = Catalyst
+    * Generator). Counts are exact ints; the single avg is one double
+    * division (§2.0 rule 3).
+    */
+  val llmTextTokenStats: Q = Q(
+    "llm_text_token_stats",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct_tokens"),
+          (count(lit(1)).cast(DoubleType) / countDistinct(col("doc_id"))).as("avg_tokens_per_doc"))
+        .orderBy(asc_nulls_first("lang")),
+    Some("""WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+                       FROM documents)
+            SELECT lang,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+                   CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avg_tokens_per_doc
+            FROM t GROUP BY lang ORDER BY lang NULLS FIRST"""))
+
+  /** Corpus distribution by lang × source, with global share. */
+  val llmLangSourceDist: Q = Q(
+    "llm_lang_source_dist",
+    (s, d) => {
+      val docs = Tables.read(s, d, "documents")
+      val total = docs.count()
+      docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", col("n").cast(DoubleType) / lit(total.toDouble))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+    },
+    Some("""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) AS share
+            FROM documents GROUP BY lang, source
+            ORDER BY lang NULLS FIRST, source NULLS FIRST"""))
+
+  /** Per-document quality scoring: token count, type-token ratio, stopword
+    * ratio, average token length, combined score — pure integer counts +
+    * per-row double arithmetic, identical expression tree on both engines.
+    */
+  val llmQualityScore: Q = Q(
+    "llm_quality_score",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"), col("n_chars"))
+        .select(col("doc_id"),
+          expr("CAST(size(t) AS BIGINT)").as("n_tokens"),
+          expr("CAST(size(array_distinct(t)) AS BIGINT)").as("n_types"),
+          expr("CAST(size(filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT)").as("n_stop"),
+          col("n_chars"))
+        .withColumn("ttr", col("n_types").cast(DoubleType) / col("n_tokens"))
+        .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+        .withColumn("avg_tok_len",
+          (col("n_chars") - col("n_tokens") + 1).cast(DoubleType) / col("n_tokens"))
+        .withColumn("quality",
+          round(col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+            least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.3, 6))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_stop"),
+          col("ttr"), col("stop_ratio"), col("avg_tok_len"), col("quality"))
+        .orderBy(asc_nulls_first("doc_id")),
+    Some("""WITH b AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop,
+                     n_chars
+              FROM documents)
+            SELECT doc_id, n_tokens, n_types, n_stop,
+                   CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+                   CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+                   CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_tok_len,
+                   round(CAST(n_types AS DOUBLE) / n_tokens * 0.4
+                         + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+                         + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3, 6) AS quality
+            FROM b ORDER BY doc_id NULLS FIRST"""))
+
+  /** n-gram-profile language ID (two-pass heuristic): build a top-20
+    * character-bigram profile per language from the corpus itself, then
+    * classify each document by profile-overlap argmax (count desc, lang asc
+    * tiebreak). The profile join broadcasts (5 langs × 20 bigrams). Not
+    * SQL-expressible as one deterministic query → rows-only check + spec.
+    */
+  val llmLangIdNgram: Q = Q(
+    "llm_lang_id_ngram",
+    (s, d) => {
+      val docs = Tables.read(s, d, "documents")
+      val bigrams = docs.select(col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"))
+          .as("bg"))
+      val profile = bigrams.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg"))))
+        .filter(col("rk") <= 20)
+        .select(col("lang").as("cand_lang"), col("bg"))
+      val scored = bigrams.select(col("doc_id"), col("bg")).distinct()
+        .join(broadcast(profile), "bg")
+        .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("overlap"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("cand_lang"))))
+        .filter(col("rk") === 1)
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored.select(col("doc_id"), col("cand_lang").as("predicted"), col("overlap")),
+          Seq("doc_id"), "left")
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    None)
+
+  /** Document fingerprinting: polynomial rolling hash over characters then
+    * tokens, pure 64-bit-safe integer arithmetic (mod 1e9+7) expressible
+    * identically in both engines via ordered left folds.
+    */
+  val llmDocFingerprint: Q = Q(
+    "llm_doc_fingerprint",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"),
+          expr("""aggregate(
+                    transform(split(text, ' '),
+                      t -> aggregate(transform(sequence(1, length(t)), i -> ascii(substr(t, i, 1))),
+                             0L, (a, c) -> (a * 31 + c) % 1000000007)),
+                    0L, (acc, th) -> (acc * 1000003 + th) % 1000000007)""").as("fingerprint"))
+        .orderBy(asc_nulls_first("doc_id")),
+    Some("""SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                         t -> list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(range(1, length(t) + 1),
+                                    i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+                                (a, c) -> (a * 31 + c) % 1000000007))),
+                     (acc, th) -> (acc * 1000003 + th) % 1000000007) AS fingerprint
+            FROM documents ORDER BY doc_id NULLS FIRST"""))
+
+  // ---------------------------------------------------------- multimodal
+
+  /** Multimodal column assembly: align text and embedding modalities on the
+    * shared key (broadcast — the embedding side here is a fixed-size side
+    * table; at 100 TB both sides bucket on the key). Arrays pass through
+    * byte-identical, so the vector column is oracle-safe.
+    */
+  val llmMultimodalJoin: Q = Q(
+    "llm_multimodal_join",
+    (s, d) => {
+      val docs = Tables.read(s, d, "documents")
+      val emb = Tables.read(s, d, "embeddings")
+      docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("label"), col("embedding"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""SELECT doc_id, lang, source, n_chars, label, embedding
+            FROM documents JOIN embeddings ON doc_id = vec_id
+            ORDER BY doc_id NULLS FIRST"""))
+
+  /** Multimodal feature extraction over an opaque binary column, via the
+    * typed per-partition batch surface (the real plumbing for image/audio
+    * decode at scale: partition-parallel, one decoder init per partition,
+    * rows never collected to the driver). The payload here is the UTF-8
+    * text bytes standing in for an image blob, and `fakeDecode` is a
+    * STUB for the real decoder (image/audio libraries are not available in
+    * this environment) — deterministic so the op is testable; schema,
+    * partitioning and batch shape are the real design.
+    */
+  val llmMultimodalFeatures: Q = Q(
+    "llm_multimodal_features",
+    (s, d) => {
+      import s.implicits._
+      val payloads = Tables.read(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+      payloads.mapPartitions { it =>
+        // one decoder instance per partition (the expensive-init pattern)
+        val decoder = new FakeImageDecoder
+        it.map { case (id, bytes) => decoder.decode(id, bytes) }
+      }.toDF()
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    None)
+
+  /** STUB decoder: stands in for a real image/audio codec. Deterministic
+    * features derived from the bytes so tests can assert behavior.
+    */
+  final class FakeImageDecoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): MultimodalFeatures = {
+      var checksum = 0L
+      var i = 0
+      while (i < bytes.length) { checksum = (checksum * 131 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+      MultimodalFeatures(
+        doc_id = id,
+        byte_len = bytes.length.toLong,
+        checksum = checksum,
+        width = 16 + (checksum % 64).toInt,
+        height = 16 + ((checksum / 64) % 64).toInt,
+        n_frames = 1 + (bytes.length % 8))
+    }
+  }
+
+  // ---------------------------------------------------------- time series
+
+  /** Per-user ordered value series (EDBT time-series similarity motif):
+    * sort_array over collected (ts, event_id, value) structs — the ordering
+    * is carried inside the collected elements, so the aggregation itself is
+    * merge-order independent (scale-safe), with a unique event_id tiebreak.
+    */
+  val tsUserValueSeries: Q = Q(
+    "ts_user_value_series",
+    (s, d) =>
+      Tables.read(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("ts_us")).as("first_ts"),
+          max(col("ts_us")).as("last_ts"),
+          expr("transform(sort_array(collect_list(named_struct(" +
+            "'ts_us', ts_us, 'event_id', event_id, 'value', value))), x -> x.value)")
+            .as("series"))
+        .orderBy(asc_nulls_first("user_id")),
+    Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(epoch_us(ts)) AS first_ts, MAX(epoch_us(ts)) AS last_ts,
+                   list(value ORDER BY epoch_us(ts), event_id) AS series
+            FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    llmDedupExactText, llmJaccardNearDup, llmNgramJaccard, llmDedupMinhash,
+    llmDedupSimhash, llmCosineTopk, llmEmbedCosineDup, llmAnnLshTopk,
+    llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmLangIdNgram,
+    llmDocFingerprint, llmMultimodalJoin, llmMultimodalFeatures,
+    tsUserValueSeries)
+}
+
+/** Output row of the multimodal feature extraction (stubbed decode). */
+final case class MultimodalFeatures(
+    doc_id: Long, byte_len: Long, checksum: Long,
+    width: Int, height: Int, n_frames: Int)

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -99,16 +97,16 @@ object SourceOps {
     (s, d) => {
       val ev = Tables.read(s, d, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), col("ts").as("ts_ns"))
-      Upsert.latestByKey(ev, Seq(col("user_id")), Seq(col("ts_ns"), col("event_id")))
+          col("value"), expr("ts div 1000").as("ts_us"))
+      Upsert.latestByKey(ev, Seq(col("user_id")), Seq(col("ts_us"), col("event_id")))
         .orderBy(asc_nulls_first("user_id"))
     },
     Some("""WITH ranked AS (
-              SELECT user_id, event_id, event_type, value, epoch_ns(ts) AS ts_ns,
+              SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
                      row_number() OVER (PARTITION BY user_id
-                                        ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+                                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
               FROM events)
-            SELECT user_id, event_id, event_type, value, ts_ns
+            SELECT user_id, event_id, event_type, value, ts_us
             FROM ranked WHERE rn = 1 ORDER BY user_id NULLS FIRST"""))
 
   /** CDC op-log apply with the reference's delete semantics (deletes never
@@ -150,7 +148,7 @@ object SourceOps {
   val opInsertAppend: Q = Q(
     "op_insert_append",
     (s, d) => {
-      val dir = Files.createTempDirectory("graft_append").toString
+      val dir = graft.util.TempDirs.create("graft_append").toString
       val c = Tables.read(s, d, "customer")
       c.filter(col("c_custkey") <= 50).write.mode("overwrite").parquet(dir)
       c.filter(col("c_custkey") > 50 && col("c_custkey") <= 100)

@@ -78,24 +78,35 @@ object Windows {
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
             FROM orders ORDER BY o_orderkey NULLS FIRST"""))
 
+  /** (l_orderkey, l_linenumber) is NOT unique in this corpus, so both the
+    * window order and the output order extend to a full-row total order —
+    * remaining ties are fully identical rows, which cannot change a frame
+    * sum or the compared output.
+    */
   val winSlidingFrame: Q = Q(
     "win_sliding_frame",
     (s, d) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax"), col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
         .rowsBetween(-3, Window.currentRow)
       Tables.read(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
             .cast(DoubleType).as("moving_qty"))
-        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"))
+        .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
+          asc_nulls_first("l_suppkey"), asc_nulls_first("moving_qty"))
     },
     Some("""SELECT l_orderkey, l_linenumber, l_suppkey,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                        OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                        OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber,
+                              l_partkey, l_quantity, l_extendedprice, l_discount,
+                              l_tax, l_returnflag, l_linestatus, l_shipdate
                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_qty
             FROM lineitem
-            ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST"""))
+            ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
+                     l_suppkey NULLS FIRST, moving_qty NULLS FIRST"""))
 
   /** RANGE frame over a numeric sort key. */
   val winRangeFrame: Q = Q(

@@ -19,11 +19,19 @@ object StreamRunner {
 
   /** Stream a corpus parquet table. File streaming needs an explicit schema,
     * so the batch reader supplies it (also triggering the `events`
-    * nanosAsLong conf in Tables.read).
+    * nanosAsLong conf in Tables.read). The corpus table is a single parquet
+    * FILE and Spark's file-stream source only accepts directories ("Option
+    * 'basePath' must be a directory"), so the file is exposed through a
+    * per-run temp directory via symlink — the production shape is a
+    * partitioned directory anyway.
     */
   def streamTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val schema = graft.Tables.read(spark, sfDir, name).schema
-    spark.readStream.schema(schema).parquet(s"$sfDir/$name.parquet")
+    val dir = graft.util.TempDirs.create(s"graft_stream_src_$name")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve(s"$name.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
+    spark.readStream.schema(schema).parquet(dir.toString)
   }
 
   /** Run a streaming DataFrame to completion into an in-memory table and

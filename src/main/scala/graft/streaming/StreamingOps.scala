@@ -76,10 +76,10 @@ object StreamingOps {
     "stream_session_window",
     (s, d) => {
       val ev = Tables.read(s, d, "events")
-        .select(col("user_id"), col("ts").as("ts_ns"), col("event_id"))
-      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       val brk = when(
-        col("ts_ns") - lag(col("ts_ns"), 1).over(wOrd) > HourNs / 2, lit(1))
+        col("ts_us") - lag(col("ts_us"), 1).over(wOrd) > HourNs / 2000, lit(1))
         .otherwise(lit(0))
       ev.withColumn("brk", brk)
         .withColumn("session_id",
@@ -87,23 +87,23 @@ object StreamingOps {
             .cast(LongType))
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
-          min(col("ts_ns")).as("start_ns"), max(col("ts_ns")).as("end_ns"))
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("session_id"))
     },
-    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_id FROM events),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
             flagged AS (
-              SELECT user_id, ts_ns, event_id,
-                     CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY user_id
-                          ORDER BY ts_ns, event_id) > 1800000000000
+              SELECT user_id, ts_us, event_id,
+                     CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) > 1800000000
                           THEN 1 ELSE 0 END AS brk
               FROM e),
             sessions AS (
-              SELECT user_id, ts_ns,
-                     CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+              SELECT user_id, ts_us,
+                     CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
               FROM flagged)
             SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-                   MIN(ts_ns) AS start_ns, MAX(ts_ns) AS end_ns
+                   MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
             FROM sessions GROUP BY user_id, session_id
             ORDER BY user_id NULLS FIRST, session_id NULLS FIRST"""))
 
@@ -117,7 +117,7 @@ object StreamingOps {
   val streamWatermarkLate: Q = Q(
     "stream_watermark_late",
     (s, d) => {
-      val base = Files.createTempDirectory("graft_late")
+      val base = graft.util.TempDirs.create("graft_late")
       val streamDir = base.resolve("stream")
       Files.createDirectories(streamDir)
       val ev = Tables.read(s, d, "events")
@@ -157,29 +157,31 @@ object StreamingOps {
 
   /** The full CDC sink: micro-batch upsert into keyed state via
     * foreachBatch + checkpoint. State is versioned by batch id
-    * (`state/v<id>`), so replaying a batch overwrites the same version —
-    * the idempotence that makes at-least-once delivery exactly-once in
-    * effect (reference `setup.sh:101-103,144-147` + ReplacingMergeTree).
+    * (`state/v<id>`); the predecessor version is derived by LISTING the
+    * durable `state/` directory (never a driver-JVM variable), so a
+    * restart-from-checkpoint that replays batch `id` re-merges the same
+    * prior state and overwrites the same version — idempotent replay, which
+    * makes at-least-once delivery exactly-once in effect (reference
+    * `setup.sh:101-103,144-147` + ReplacingMergeTree semantics).
     * Golden-replay tested; rows-only check here.
     */
   val streamForeachBatchUpsert: Q = Q(
     "stream_foreachbatch_upsert",
     (s, d) => {
-      val base = Files.createTempDirectory("graft_upsert").toString
+      val base = graft.util.TempDirs.create("graft_upsert").toString
       val cp = s"$base/checkpoint"
       val stateBase = s"$base/state"
-      @volatile var cur = -1L
       val src = streamedEvents(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
           col("value"), col("ts").as("ts_ns"))
       val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
-        val prev =
-          if (cur >= 0) batch.sparkSession.read.parquet(s"$stateBase/v$cur")
-          else batch.limit(0)
+        val prev = latestVersionBelow(stateBase, id) match {
+          case Some(v) => batch.sparkSession.read.parquet(s"$stateBase/v$v")
+          case None    => batch.limit(0)
+        }
         Upsert.latestByKey(prev.unionByName(batch),
             Seq(col("user_id")), Seq(col("ts_ns"), col("event_id")))
           .write.mode("overwrite").parquet(s"$stateBase/v$id")
-        cur = id
       }
       val query = src.writeStream
         .foreachBatch(mergeBatch)
@@ -187,9 +189,30 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-      s.read.parquet(s"$stateBase/v$cur").orderBy(asc_nulls_first("user_id"))
+      val last = latestVersionBelow(stateBase, Long.MaxValue)
+        .getOrElse(throw new IllegalStateException(s"no state written under $stateBase"))
+      s.read.parquet(s"$stateBase/v$last").orderBy(asc_nulls_first("user_id"))
     },
     None)
+
+  /** Largest committed state version strictly below `id` (durable pointer:
+    * derived from the state directory itself, survives driver restarts).
+    */
+  private def latestVersionBelow(stateBase: String, id: Long): Option[Long] = {
+    val dir = Paths.get(stateBase)
+    if (!Files.isDirectory(dir)) None
+    else {
+      val stream = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v") => s.drop(1).toLong }
+          .filter(_ < id)
+          .maxOption
+      } finally stream.close()
+    }
+  }
 
   /** Write df as exactly one parquet part-file at `dest` with a pinned
     * mtime, so the file-stream source discovers files in a deterministic
@@ -197,8 +220,11 @@ object StreamingOps {
     */
   private def writeSingleFile(df: DataFrame, tmp: Path, dest: Path, mtime: Long): Unit = {
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = Files.list(tmp).filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    val stream = Files.list(tmp)
+    val part =
+      try stream.filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      finally stream.close()
     Files.move(part, dest)
     Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
   }
