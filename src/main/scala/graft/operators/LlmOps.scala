@@ -207,7 +207,11 @@ object LlmOps {
     * element-wise array sum, sign-pack.
     */
   def simhashes(s: SparkSession, d: String): DataFrame =
-    Tables.read(s, d, "documents")
+    simhashOf(Tables.read(s, d, "documents"))
+
+  /** Simhash over any (doc_id, text) DataFrame (unit-test seam). */
+  def simhashOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"),
         expr("transform(sequence(0, 63), b -> IF((xxhash64(tok) >> b) & 1 = 1, 1, -1))").as("bits"))

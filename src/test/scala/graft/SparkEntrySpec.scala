@@ -1,0 +1,22 @@
+package graft
+
+/** Contract-level checks of the driver registration surface. */
+class SparkEntrySpec extends SparkSpec {
+
+  test("no duplicate query names in the registry") {
+    val names = SparkEntry.allQueries.map(_.name)
+    assert(names.distinct.size == names.size)
+  }
+
+  test("every oracle key has a query implementation") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("t1 smoke: flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("registry covers the SURVEY §2 inventory size (≥ 74 declared keys)") {
+    assert(SparkEntry.queries.size >= 74)
+  }
+}

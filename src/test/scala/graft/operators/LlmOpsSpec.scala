@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Property/behavior tests for the non-oracle LLM ops (SURVEY §5.2). */
+class LlmOpsSpec extends SparkSpec {
+
+  test("minhash-LSH recall ≥ 0.8 vs exact Jaccard ≥ 0.9 pairs (sf0.001)") {
+    val exact = LlmOps.llmJaccardNearDup.fn(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = LlmOps.llmDedupMinhash.fn(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = exact.count(cand.contains).toDouble / exact.size
+    // b=4 bands × r=4 rows ⇒ P(candidate | J=0.9) ≈ 1-(1-0.9^4)^4 ≈ 0.986
+    assert(recall >= 0.8, s"recall $recall over ${exact.size} true pairs")
+  }
+
+  test("simhash: identical text → identical hash; 1-token edit ≪ disjoint text") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val oneEdit = ((1 to 29).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val disjoint = (1 to 30).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, oneEdit), (4L, disjoint))
+      .toDF("doc_id", "text")
+    val h = LlmOps.simhashOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h(1L) == h(2L))
+    assert(hamming(h(1L), h(3L)) < hamming(h(1L), h(4L)),
+      s"edit=${hamming(h(1L), h(3L))} disjoint=${hamming(h(1L), h(4L))}")
+  }
+
+  test("approx_count_distinct within 5% of exact (sf0.001)") {
+    val approx = Aggregations.aggApproxDistinct.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Aggregations.aggCountDistinct.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.05, s"$k: approx=$ap exact=$ex")
+    }
+  }
+
+  test("ANN results are a subset of exact scoring (scores match brute force)") {
+    val ann = LlmOps.llmAnnLshTopk.fn(spark, sf)
+      .select("vec_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ann.nonEmpty && ann.size <= 10)
+    val brute = LlmOps.llmCosineTopk.fn(spark, sf) // top-10 only; recompute all
+    // recompute every exact score once via the same query shape at k=all
+    val all = {
+      import org.apache.spark.sql.functions._
+      val e = graft.Tables.read(spark, sf, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .selectExpr("vec_id",
+          """round(aggregate(zip_with(embedding, qvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, b) -> a + b)
+             / (sqrt(aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+              * sqrt(aggregate(qvec, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS score""")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    ann.foreach { case (id, s) => assert(all(id) == s, s"vec $id: ann=$s exact=${all(id)}") }
+    assert(brute.collect().length == 10)
+  }
+
+  test("fake multimodal decoder is deterministic and total") {
+    val d = new LlmOps.FakeImageDecoder
+    val f1 = d.decode(7L, "ab".getBytes("UTF-8"))
+    val f2 = d.decode(7L, "ab".getBytes("UTF-8"))
+    assert(f1 == f2)
+    assert(f1.byte_len == 2 && f1.checksum == 97L * 131 + 98)
+    assert(f1.width >= 16 && f1.height >= 16 && f1.n_frames >= 1)
+    val empty = d.decode(8L, Array.emptyByteArray)
+    assert(empty.byte_len == 0 && empty.checksum == 0)
+  }
+
+  test("lang-id emits one prediction per document") {
+    val out = LlmOps.llmLangIdNgram.fn(spark, sf).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => !r.isNullAt(r.fieldIndex("predicted"))))
+  }
+}
