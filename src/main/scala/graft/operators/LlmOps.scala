@@ -50,22 +50,48 @@ object LlmOps {
             FROM documents GROUP BY text ORDER BY keep_id NULLS FIRST"""))
 
   /** Exact token-set Jaccard near-dup pairs (ground truth for the MinHash
-    * op): inverted-index self-join on token, pair-intersection counts,
-    * Jaccard = |∩| / (|A|+|B|-|∩|). Integers throughout + one final double
-    * ratio (§2.0 rule 3).
+    * op). Adaptive physical plan: the distinct-token vocabulary is counted
+    * first (one cheap aggregation); when it fits 64 bits — as in this
+    * corpus (31) — each doc's token set becomes ONE long bitmask and the
+    * pair loop is `bit_count(m1 & m2)` in whole-stage codegen over the
+    * id1<id2 self-join, instead of the inverted-index join whose
+    * intermediate is Σ_tok df(tok)² rows (≈500M here: tiny vocab ⇒ every
+    * token is in thousands of docs). Larger vocabularies fall back to the
+    * general inverted-index + count plan. Jaccard = |∩| / (|A|+|B|-|∩|);
+    * integers throughout + one final double ratio (§2.0 rule 3).
     */
   val llmJaccardNearDup: Q = Q(
     "llm_jaccard_near_dup",
     (s, d) => {
       val toks = docTokens(s, d)
-      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = toks.select(col("doc_id").as("id1"), col("tok"))
-        .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
-        .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
-        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
+      val vocab = toks.select(col("tok")).distinct()
+        .orderBy(col("tok")).collect().map(_.getString(0))
+      val pairs =
+        if (vocab.length <= 64) {
+          val bitOf = map(vocab.zipWithIndex.flatMap {
+            case (t, i) => Seq(lit(t), lit(i))
+          }: _*)
+          val masks = toks
+            .withColumn("bit", bitOf(col("tok")))
+            .groupBy(col("doc_id"))
+            .agg(sum(expr("shiftleft(1L, bit)")).as("mask"),
+              count(lit(1)).as("sz"))
+          val a = masks.select(col("doc_id").as("id1"), col("mask").as("m1"), col("sz").as("n1"))
+          val b = masks.select(col("doc_id").as("id2"), col("mask").as("m2"), col("sz").as("n2"))
+          a.join(b, col("id1") < col("id2"))
+            .select(col("id1"), col("id2"),
+              expr("CAST(bit_count(m1 & m2) AS BIGINT)").as("inter"),
+              col("n1"), col("n2"))
+        } else {
+          val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+          toks.select(col("doc_id").as("id1"), col("tok"))
+            .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
+            .filter(col("id1") < col("id2"))
+            .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+            .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
+            .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
+        }
+      pairs
         .withColumn("jaccard",
           col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
         .filter(col("jaccard") >= 0.9)
@@ -161,14 +187,21 @@ object LlmOps {
           s"b -> named_struct('band', b, 'bh', xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows)))))"))
           .as("bb"))
         .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      val pairs = banded.select(col("band"), col("bh"), col("doc_id").as("id1"), col("sig").as("sig1"))
-        .join(banded.select(col("band"), col("bh"), col("doc_id").as("id2"), col("sig").as("sig2")),
+      // distinct the (id1, id2) candidate set FIRST (a pair can collide in
+      // up to `bands` bands — comparing signatures before dedup would do
+      // that work 4×), then attach both signatures via broadcast joins
+      // against the small signature table for the estimate.
+      val pairs = banded.select(col("band"), col("bh"), col("doc_id").as("id1"))
+        .join(banded.select(col("band"), col("bh"), col("doc_id").as("id2")),
           Seq("band", "bh"))
         .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m))").as("matching"))
+        .select(col("id1"), col("id2"))
         .distinct()
       pairs
+        .join(broadcast(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1"))), "id1")
+        .join(broadcast(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2"))), "id2")
+        .select(col("id1"), col("id2"),
+          expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m))").as("matching"))
         .withColumn("est_jaccard", col("matching").cast(DoubleType) / lit(numHashes))
         .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
     },
@@ -224,14 +257,14 @@ object LlmOps {
 
   // --------------------------------------------------- similarity search
 
-  /** Exact dot/cosine building block: left-to-right double summation over
-    * the float vector (cast-to-double per element is exact; identical
-    * reduction order in the DuckDB oracle via list_transform + list_sum).
+  /** Exact cosine building block: left-to-right double summation over the
+    * float vectors (cast-to-double per element is exact; identical reduction
+    * order in the DuckDB oracle's list_transform + list_sum). Backed by the
+    * primitive-loop kernel in [[graft.functions.VectorMath]] — see there for
+    * why this beats the higher-order-function form by ~100×.
     */
   private def cosineCols(vec: String, qvec: String): Column =
-    expr(s"aggregate(zip_with($vec, $qvec, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (a, b) -> a + b)") /
-      (sqrt(expr(s"aggregate($vec, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")) *
-        sqrt(expr(s"aggregate($qvec, 0D, (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")))
+    graft.functions.VectorMath.cosine(col(vec), col(qvec))
 
   /** Brute-force cosine top-k against a query vector (vec_id 0) — the exact
     * ANN baseline. Broadcast the 1-row query side; ranking on the ROUNDED
@@ -267,17 +300,38 @@ object LlmOps {
   /** Embedding-cosine near-dup pairs (exact, all-pairs ground truth;
     * the banded `llm_ann_lsh_topk` bucketing is the scale path). Threshold
     * on the rounded score keeps the cut cross-engine stable.
+    *
+    * Physical plan: broadcast-block nested loop — the vector side (with
+    * precomputed norms) broadcasts once, each partition streams its rows
+    * against the in-memory block in a primitive loop; no per-pair array
+    * (de)serialization, which is what makes a join-per-pair plan ~50×
+    * slower. At 100 TB the same shape tiles the broadcast side into blocks
+    * (or switches to the LSH op); the exact all-pairs baseline is by
+    * definition bounded to corpora whose vector side fits a broadcast.
     */
   val llmEmbedCosineDup: Q = Q(
     "llm_embed_cosine_dup",
     (s, d) => {
+      import s.implicits._
       val e = Tables.read(s, d, "embeddings")
-      val a = e.select(col("vec_id").as("id1"), col("embedding").as("v1"))
-      val b = e.select(col("vec_id").as("id2"), col("embedding").as("v2"))
-      a.join(b, col("id1") < col("id2"))
-        .withColumn("score", round(cosineCols("v1", "v2"), 4))
-        .filter(col("score") >= 0.35)
-        .select(col("id1"), col("id2"), col("score"))
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      val block = e.collect().sortBy(_._1)
+        .map { case (id, v) => (id, v, graft.functions.VectorMath.normD(v)) }
+      val bc = s.sparkContext.broadcast(block)
+      e.repartition(s.sparkContext.defaultParallelism)
+        .flatMap { case (id1, v1) =>
+          val n1 = graft.functions.VectorMath.normD(v1)
+          bc.value.iterator
+            .filter(_._1 > id1)
+            .map { case (id2, v2, n2) =>
+              val score = java.math.BigDecimal
+                .valueOf(graft.functions.VectorMath.dotD(v1, v2) / (n1 * n2))
+                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              (id1, id2, score)
+            }
+            .filter(_._3 >= 0.35)
+        }
+        .toDF("id1", "id2", "score")
         .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
     },
     Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+import graft.operators._
+
+/** Physical-plan audits (SURVEY §4): the scale properties — filter
+  * pushdown, column pruning, broadcast joins, TakeOrderedAndProject —
+  * must be visible in the executed plan, not assumed. These guard against
+  * regressions that stay correct but stop scaling (e.g. a filter that
+  * silently becomes post-scan, a dimension join that reverts to shuffle).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private def scanOf(df: DataFrame, marker: String): String =
+    plan(df).linesIterator.filter(_.contains(marker)).mkString("\n")
+
+  test("op_filter_pred pushes both predicates into the parquet scan") {
+    val p = plan(Expressions.opFilterPred.fn(spark, sf))
+    assert(p.contains("PushedFilters:"), p)
+    // the toString truncates the PushedFilters list, so match prefixes
+    assert(p.contains("EqualTo(o_orderstatus,F)"), p)
+    assert(p.contains("GreaterThan(o_total"), p)
+  }
+
+  test("op_project_compute prunes the scan to the 4 needed columns") {
+    val p = scanOf(Expressions.opProjectCompute.fn(spark, sf), "ReadSchema")
+    assert(p.contains("l_orderkey"), p)
+    assert(!p.contains("l_shipdate") && !p.contains("l_quantity"),
+      s"scan reads more columns than the projection needs:\n$p")
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin for the dimension side") {
+    assert(plan(Joins.joinBroadcast.fn(spark, sf)).contains("BroadcastHashJoin"))
+  }
+
+  test("join_interval_overlap keeps the equality key a hash/merge join, not nested-loop") {
+    val p = plan(Joins.joinIntervalOverlap.fn(spark, sf))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range predicate must be a post-join filter on an equi join:\n$p")
+  }
+
+  test("op_topk_global becomes TakeOrderedAndProject (no global sort shuffle)") {
+    assert(plan(SetOps.opTopkGlobal.fn(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("agg_hash_groupby does partial (map-side) then final hash aggregation") {
+    val p = plan(Aggregations.aggHashGroupby.fn(spark, sf))
+    // partial_sum before the exchange, final sum after — two HashAggregates
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("sink_upsert_latest_by_key shuffles exactly once (window on the key)") {
+    val p = plan(SourceOps.sinkUpsertLatestByKey.fn(spark, sf))
+    // one exchange for the window partition key, one for the final presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
+}
