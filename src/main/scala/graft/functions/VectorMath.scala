@@ -44,4 +44,67 @@ object VectorMath {
     val u = udf(cosineD _)
     (a, b) => u(a, b)
   }
+
+  /** splitmix64 — deterministic 64-bit mix for derived pseudo-randomness
+    * (LSH hyperplanes, simhash token hashes). Public-domain algorithm
+    * (Steele et al., "Fast splittable pseudorandom number generators").
+    */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a 64-bit string hash — deterministic across JVMs, no deps. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001B3L; i += 1 }
+    h
+  }
+
+  /** Rademacher ±1 hyperplane component for (plane, dim) — sign LSH. */
+  def planeComponent(plane: Int, dim: Int): Double =
+    if ((splitmix64(plane.toLong * 64 + dim) & 1L) == 1L) 1.0 else -1.0
+
+  /** Sign-LSH bucket of a vector under `nBits` derived hyperplanes. */
+  def lshBucket(v: Array[Float], nBits: Int): Int = {
+    var bucket = 0
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += v(i).toDouble * planeComponent(b, i); i += 1 }
+      if (acc > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** 64-bit simhash over whitespace tokens (±1 per bit per token hash). */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || text.charAt(i) == ' ') {
+        if (i > start) {
+          val h = fnv1a64(text.substring(start, i))
+          var b = 0
+          while (b < 64) {
+            counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
 }

@@ -234,26 +234,21 @@ object LlmOps {
     },
     None)
 
-  /** 64-bit simhash per document: sum ±1 per bit position over token hashes
-    * (weighted by token multiplicity), take the sign bit-vector. Built
-    * entirely from higher-order array functions — per-token bit matrix,
-    * element-wise array sum, sign-pack.
+  /** 64-bit simhash per document: sum ±1 per bit position over token
+    * hashes (weighted by token multiplicity), take the sign bit-vector.
+    * One primitive-loop kernel per document ([[graft.functions.VectorMath
+    * .simhash64]]) — the equivalent higher-order-function pipeline
+    * (per-token 64-element bit arrays, element-wise array sums) evaluates
+    * a lambda tree per element and is ~50× slower.
     */
   def simhashes(s: SparkSession, d: String): DataFrame =
     simhashOf(Tables.read(s, d, "documents"))
 
   /** Simhash over any (doc_id, text) DataFrame (unit-test seam). */
-  def simhashOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"),
-        expr("transform(sequence(0, 63), b -> IF((xxhash64(tok) >> b) & 1 = 1, 1, -1))").as("bits"))
-      .groupBy(col("doc_id"))
-      .agg(expr("aggregate(collect_list(bits), " +
-        "array_repeat(0, 64), (acc, x) -> zip_with(acc, x, (a, b) -> a + b))").as("sums"))
-      .select(col("doc_id"),
-        expr("aggregate(zip_with(sums, sequence(0, 63), (s, i) -> IF(s > 0, shiftleft(1L, i), 0L)), " +
-          "0L, (a, b) -> a | b)").as("simhash"))
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val sh = udf((text: String) => graft.functions.VectorMath.simhash64(text))
+    docs.select(col("doc_id"), sh(col("text")).as("simhash"))
+  }
 
   // --------------------------------------------------- similarity search
 
@@ -367,27 +362,19 @@ object LlmOps {
     "llm_ann_lsh_topk",
     (s, d) => {
       val nBits = 6
-      // projections[b] = sum_i v[i] * (hash(b,i) -> ±1); bucket = sign bits
-      val bucketExpr = expr(
-        s"""aggregate(
-              transform(sequence(0, ${nBits - 1}), b ->
-                IF(aggregate(zip_with(embedding, sequence(0, 63),
-                     (x, i) -> CAST(x AS DOUBLE) * IF((xxhash64(b * 64 + i) & 1) = 1, 1D, -1D)),
-                   0D, (a, y) -> a + y) > 0D, 1, 0)),
-              named_struct('acc', 0, 'pos', 0),
-              (st, bit) -> named_struct('acc', st.acc + shiftleft(bit, st.pos), 'pos', st.pos + 1),
-              st -> st.acc)""")
-      val e = Tables.read(s, d, "embeddings").withColumn("bucket", bucketExpr)
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
-      // multi-probe: query bucket + all hamming-1 buckets
-      val probes = q.select(col("qvec"),
-        explode(expr(s"array_union(array(qbucket), " +
-          s"transform(sequence(0, ${nBits - 1}), b -> CAST(qbucket ^ shiftleft(1, b) AS INT)))"))
-          .as("bucket"))
-      e.filter(col("vec_id") =!= 0)
-        .join(broadcast(probes), Seq("bucket"))
-        .withColumn("score", round(cosineCols("embedding", "qvec"), 4))
+      val bucketUdf = udf((v: Array[Float]) =>
+        graft.functions.VectorMath.lshBucket(v, nBits))
+      val e = Tables.read(s, d, "embeddings").withColumn("bucket", bucketUdf(col("embedding")))
+      val qRow = e.filter(col("vec_id") === 0)
+        .select(col("embedding"), col("bucket")).head()
+      val qvec = qRow.getSeq[Float](0).toArray
+      val qBucket = qRow.getInt(1)
+      // multi-probe: query bucket + all Hamming-1 neighbor buckets
+      val probes = qBucket +: (0 until nBits).map(b => qBucket ^ (1 << b))
+      val scoreUdf = udf((v: Array[Float]) =>
+        graft.functions.VectorMath.cosineD(v, qvec))
+      e.filter(col("vec_id") =!= 0 && col("bucket").isin(probes: _*))
+        .withColumn("score", round(scoreUdf(col("embedding")), 4))
         .select(col("vec_id"), col("label"), col("bucket"), col("score"))
         .orderBy(desc_nulls_first("score"), asc_nulls_first("vec_id"))
         .limit(10)
@@ -477,6 +464,25 @@ object LlmOps {
                          + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
                          + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3, 6) AS quality
             FROM b ORDER BY doc_id NULLS FIRST"""))
+
+  /** Token counting under a BPE-ish regex tokenizer (letter runs, digit
+    * runs, single punctuation — the GPT-2 pre-tokenizer shape) next to the
+    * whitespace count, via `regexp_extract_all` (codegen'd, same regex
+    * dialect both engines).
+    */
+  val llmTokenCountBpe: Q = Q(
+    "llm_token_count_bpe",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_ws_tokens"),
+          expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
+            .as("n_bpe_tokens"))
+        .orderBy(asc_nulls_first("doc_id")),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id NULLS FIRST"""))
 
   /** n-gram-profile language ID (two-pass heuristic): build a top-20
     * character-bigram profile per language from the corpus itself, then
@@ -582,22 +588,45 @@ object LlmOps {
     },
     None)
 
-  /** STUB decoder: stands in for a real image/audio codec. Deterministic
-    * features derived from the bytes so tests can assert behavior.
+  /** STUB decoder: stands in for a real image/audio codec (decode /
+    * feature-extract / resize / frame-sample). Deterministic features
+    * derived from the bytes so tests can assert behavior; the real
+    * implementation would swap the body, keeping the per-partition-init +
+    * typed-batch plumbing identical.
     */
   final class FakeImageDecoder extends Serializable {
     def decode(id: Long, bytes: Array[Byte]): MultimodalFeatures = {
       var checksum = 0L
       var i = 0
       while (i < bytes.length) { checksum = (checksum * 131 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+      val w = 16 + (checksum % 64).toInt
+      val h = 16 + ((checksum / 64) % 64).toInt
+      val frames = 1 + (bytes.length % 8)
+      val (rw, rh) = resize(w, h, 32)
       MultimodalFeatures(
         doc_id = id,
         byte_len = bytes.length.toLong,
         checksum = checksum,
-        width = 16 + (checksum % 64).toInt,
-        height = 16 + ((checksum / 64) % 64).toInt,
-        n_frames = 1 + (bytes.length % 8))
+        width = w,
+        height = h,
+        resized_w = rw,
+        resized_h = rh,
+        n_frames = frames,
+        frame_samples = sampleFrames(frames, 3))
     }
+
+    /** Fit (w, h) into a maxEdge box preserving aspect ratio (round down,
+      * floor 1) — the arithmetic a real resize would use.
+      */
+    def resize(w: Int, h: Int, maxEdge: Int): (Int, Int) =
+      if (w <= maxEdge && h <= maxEdge) (w, h)
+      else if (w >= h) (maxEdge, math.max(1, h * maxEdge / w))
+      else (math.max(1, w * maxEdge / h), maxEdge)
+
+    /** Uniformly sample up to k frame indices from [0, n). */
+    def sampleFrames(n: Int, k: Int): Seq[Int] =
+      if (n <= k) 0 until n
+      else (0 until k).map(i => i * n / k)
   }
 
   // ---------------------------------------------------------- time series
@@ -629,12 +658,13 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     llmDedupExactText, llmJaccardNearDup, llmNgramJaccard, llmDedupMinhash,
     llmDedupSimhash, llmCosineTopk, llmEmbedCosineDup, llmAnnLshTopk,
-    llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmLangIdNgram,
-    llmDocFingerprint, llmMultimodalJoin, llmMultimodalFeatures,
-    tsUserValueSeries)
+    llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
+    llmLangIdNgram, llmDocFingerprint, llmMultimodalJoin,
+    llmMultimodalFeatures, tsUserValueSeries)
 }
 
 /** Output row of the multimodal feature extraction (stubbed decode). */
 final case class MultimodalFeatures(
     doc_id: Long, byte_len: Long, checksum: Long,
-    width: Int, height: Int, n_frames: Int)
+    width: Int, height: Int, resized_w: Int, resized_h: Int,
+    n_frames: Int, frame_samples: Seq[Int])

@@ -74,6 +74,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(empty.byte_len == 0 && empty.checksum == 0)
   }
 
+  test("resize preserves aspect and bounds; frame sampling is uniform") {
+    val d = new LlmOps.FakeImageDecoder
+    assert(d.resize(64, 32, 32) == (32, 16))
+    assert(d.resize(32, 64, 32) == (16, 32))
+    assert(d.resize(10, 10, 32) == (10, 10))
+    assert(d.resize(1000, 1, 32) == (32, 1))
+    assert(d.sampleFrames(2, 3) == Seq(0, 1))
+    assert(d.sampleFrames(9, 3) == Seq(0, 3, 6))
+  }
+
   test("lang-id emits one prediction per document") {
     val out = LlmOps.llmLangIdNgram.fn(spark, sf).collect()
     assert(out.length == 500)
