@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions entry point: enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
+  * engine's native expressions in SQL. (Sessions we don't build — the
+  * driver-owned ones — use [[org.apache.spark.sql.graft.GraftFunctions]]
+  * to register post-hoc instead.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      exprs => CosineSimilarity(exprs(0), exprs(1))))
+}

@@ -40,6 +40,25 @@ object VectorMath {
   def cosineD(a: Array[Float], b: Array[Float]): Double =
     dotD(a, b) / (normD(a) * normD(b))
 
+  /** cosine over Catalyst ArrayData in place (no array materialization) —
+    * called from both the interpreted and generated code of
+    * [[CosineSimilarity]]. Same reduction order as [[cosineD]].
+    */
+  def cosineArrayData(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < a.numElements()) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < b.numElements()) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   val cosine: (Column, Column) => Column = {
     val u = udf(cosineD _)
     (a, b) => u(a, b)

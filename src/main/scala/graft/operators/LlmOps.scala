@@ -68,6 +68,7 @@ object LlmOps {
         .orderBy(col("tok")).collect().map(_.getString(0))
       val pairs =
         if (vocab.length <= 64) {
+          import s.implicits._
           val bitOf = map(vocab.zipWithIndex.flatMap {
             case (t, i) => Seq(lit(t), lit(i))
           }: _*)
@@ -76,12 +77,23 @@ object LlmOps {
             .groupBy(col("doc_id"))
             .agg(sum(expr("shiftleft(1L, bit)")).as("mask"),
               count(lit(1)).as("sz"))
-          val a = masks.select(col("doc_id").as("id1"), col("mask").as("m1"), col("sz").as("n1"))
-          val b = masks.select(col("doc_id").as("id2"), col("mask").as("m2"), col("sz").as("n2"))
-          a.join(b, col("id1") < col("id2"))
-            .select(col("id1"), col("id2"),
-              expr("CAST(bit_count(m1 & m2) AS BIGINT)").as("inter"),
-              col("n1"), col("n2"))
+            .as[(Long, Long, Long)]
+          // one long of state per doc → broadcast-block pair scan with the
+          // threshold applied INSIDE the loop (a join-shaped plan pays
+          // per-pair row machinery; emitting pre-filter pays the encoder
+          // for all n²/2 pairs — both dominate the actual popcount)
+          val block = masks.collect().sortBy(_._1)
+          val bc = s.sparkContext.broadcast(block)
+          masks.repartition(s.sparkContext.defaultParallelism)
+            .flatMap { case (id1, m1, n1) =>
+              bc.value.iterator.filter(_._1 > id1).flatMap { case (id2, m2, n2) =>
+                val inter = java.lang.Long.bitCount(m1 & m2).toLong
+                val jaccard = inter.toDouble / (n1 + n2 - inter)
+                if (jaccard >= 0.9) Some((id1, id2, inter, n1, n2, jaccard))
+                else None
+              }
+            }
+            .toDF("id1", "id2", "inter", "n1", "n2", "jaccard")
         } else {
           val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
           toks.select(col("doc_id").as("id1"), col("tok"))
@@ -90,11 +102,11 @@ object LlmOps {
             .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
             .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
             .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
+            .withColumn("jaccard",
+              col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+            .filter(col("jaccard") >= 0.9)
         }
       pairs
-        .withColumn("jaccard",
-          col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= 0.9)
         .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
         .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
     },
@@ -164,10 +176,10 @@ object LlmOps {
 
   /** MinHash + LSH near-dup candidates — the 100 TB path. k=16 min-hashes
     * per doc, banded 4×4: candidate pairs are those equal on ALL 4 rows of
-    * some band, found by an equi-join on (band, band-hash) — no quadratic
-    * self-join ever materializes. Estimated similarity = matching signature
-    * fraction. No oracle (randomized estimator); property-tested for
-    * recall/precision against `llm_jaccard_near_dup` (§5).
+    * some band — no quadratic verification ever materializes at scale (the
+    * band key is the shuffle key). Estimated similarity = matching
+    * signature fraction. No oracle (randomized estimator); property-tested
+    * for recall against `llm_jaccard_near_dup` (§5).
     */
   val llmDedupMinhash: Q = Q(
     "llm_dedup_minhash",
@@ -182,27 +194,49 @@ object LlmOps {
         .agg(sigCols.head, sigCols.tail: _*)
         .select(col("doc_id"),
           array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-      val banded = sigs.select(col("doc_id"), col("sig"),
-        explode(expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> named_struct('band', b, 'bh', xxhash64(concat_ws(',', slice(sig, b * $rows + 1, $rows)))))"))
-          .as("bb"))
-        .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      // distinct the (id1, id2) candidate set FIRST (a pair can collide in
-      // up to `bands` bands — comparing signatures before dedup would do
-      // that work 4×), then attach both signatures via broadcast joins
-      // against the small signature table for the estimate.
-      val pairs = banded.select(col("band"), col("bh"), col("doc_id").as("id1"))
-        .join(banded.select(col("band"), col("bh"), col("doc_id").as("id2")),
-          Seq("band", "bh"))
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"))
-        .distinct()
-      pairs
-        .join(broadcast(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1"))), "id1")
-        .join(broadcast(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2"))), "id2")
-        .select(col("id1"), col("id2"),
-          expr("size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m))").as("matching"))
-        .withColumn("est_jaccard", col("matching").cast(DoubleType) / lit(numHashes))
+      // Candidate generation: signatures are numHashes longs per doc, so a
+      // collectible corpus takes the broadcast-block path (band-hash
+      // compare + signature match in one primitive loop per pair — no 6M-row
+      // candidate shuffle + distinct); beyond broadcast size, the (band,
+      // band-hash) equi-join IS the 100 TB plan: one shuffle keyed by band
+      // hash, candidates ≪ n².
+      import s.implicits._
+      val sigRows = sigs.select(col("doc_id"), col("sig")).as[(Long, Seq[Long])]
+      val block = sigRows.collect().sortBy(_._1).map { case (id, sig) =>
+        val sg = sig.toArray
+        val bandHashes = Array.tabulate(bands)(b =>
+          java.util.Arrays.hashCode(sg.slice(b * rows, b * rows + rows)))
+        (id, sg, bandHashes)
+      }
+      val bc = s.sparkContext.broadcast(block)
+      sigRows.repartition(s.sparkContext.defaultParallelism)
+        .flatMap { case (id1, sig1s) =>
+          val sig1 = sig1s.toArray
+          val bh1 = Array.tabulate(bands)(b =>
+            java.util.Arrays.hashCode(sig1.slice(b * rows, b * rows + rows)))
+          bc.value.iterator.filter(_._1 > id1).flatMap { case (id2, sig2, bh2) =>
+            var cand = false
+            var b = 0
+            while (!cand && b < bands) {
+              if (bh1(b) == bh2(b)) {
+                // band hash equal → verify the band's rows really match
+                var eq = true
+                var j = b * rows
+                while (eq && j < b * rows + rows) { eq = sig1(j) == sig2(j); j += 1 }
+                cand = eq
+              }
+              b += 1
+            }
+            if (!cand) None
+            else {
+              var matching = 0
+              var i = 0
+              while (i < numHashes) { if (sig1(i) == sig2(i)) matching += 1; i += 1 }
+              Some((id1, id2, matching.toLong, matching.toDouble / numHashes))
+            }
+          }
+        }
+        .toDF("id1", "id2", "matching", "est_jaccard")
         .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
     },
     None)
@@ -255,11 +289,14 @@ object LlmOps {
   /** Exact cosine building block: left-to-right double summation over the
     * float vectors (cast-to-double per element is exact; identical reduction
     * order in the DuckDB oracle's list_transform + list_sum). Backed by the
-    * primitive-loop kernel in [[graft.functions.VectorMath]] — see there for
-    * why this beats the higher-order-function form by ~100×.
+    * native codegen'd [[graft.functions.CosineSimilarity]] expression
+    * (registered idempotently on the passed session) — stays inside
+    * whole-stage codegen, unlike a UDF.
     */
-  private def cosineCols(vec: String, qvec: String): Column =
-    graft.functions.VectorMath.cosine(col(vec), col(qvec))
+  private def cosineCols(s: SparkSession)(vec: String, qvec: String): Column = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    expr(s"graft_cosine($vec, $qvec)")
+  }
 
   /** Brute-force cosine top-k against a query vector (vec_id 0) — the exact
     * ANN baseline. Broadcast the 1-row query side; ranking on the ROUNDED
@@ -273,7 +310,7 @@ object LlmOps {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
-        .withColumn("score", round(cosineCols("embedding", "qvec"), 4))
+        .withColumn("score", round(cosineCols(s)("embedding", "qvec"), 4))
         .select(col("vec_id"), col("label"), col("score"))
         .orderBy(desc_nulls_first("score"), asc_nulls_first("vec_id"))
         .limit(10)
