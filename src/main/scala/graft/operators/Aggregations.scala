@@ -249,8 +249,35 @@ object Aggregations {
             FROM lineitem GROUP BY l_returnflag
             ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** Correlation / covariance / stddev computed from decimal-exact moment
+    * sums and ONE closed-form double expression per statistic — the builtin
+    * corr/stddev are Welford-style and merge-order-dependent, so they can
+    * never hash-match across engines; exact sums can (§2.0 rule 2).
+    */
+  val aggCorrManual: Q = Q.sql(
+    "agg_corr_manual",
+    """WITH m AS (
+         SELECT l_returnflag,
+                CAST(COUNT(*) AS DOUBLE) AS n,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                         * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+         FROM lineitem GROUP BY l_returnflag)
+       SELECT l_returnflag,
+              round((n * sxy - sx * sy)
+                    / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price,
+              round((n * sxy - sx * sy) / (n * n), 6) AS covar_pop,
+              round(sqrt((n * sxx - sx * sx) / (n * n)), 6) AS stddev_pop_qty
+       FROM m ORDER BY l_returnflag NULLS FIRST""")
+
   val all: Seq[Q] = Seq(
     aggGlobal, aggHashGroupby, aggStringAggOrdered, aggCountDistinct,
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
-    aggRollup, aggCube, aggDistinctRows, opPivot, opUdafWeightedAvg)
+    aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,
+    opUdafWeightedAvg)
 }

@@ -337,9 +337,57 @@ object Expressions {
                      WHEN 6 THEN 'UUID' ELSE 'String' END AS ch_type
             FROM customer ORDER BY c_custkey NULLS FIRST"""))
 
+  /** Bitwise operator battery (&, |, ^, shifts, bit_count) — pure integer
+    * ops, exact cross-engine.
+    */
+  val fnBitwise: Q = Q(
+    "fn_bitwise",
+    (s, d) =>
+      Tables.read(s, d, "nation")
+        .select(col("n_nationkey"),
+          expr("n_nationkey & 12").as("b_and"),
+          expr("n_nationkey | 3").as("b_or"),
+          // Spark spells bitwise xor `^`; DuckDB's `^` is POWER, its xor is
+          // the xor() function — the one intentional dialect split here
+          expr("CAST(n_nationkey ^ 21 AS INT)").as("b_xor"),
+          expr("shiftleft(n_nationkey, 2)").as("b_shl"),
+          expr("shiftright(n_nationkey, 1)").as("b_shr"),
+          expr("CAST(bit_count(n_nationkey) AS INT)").as("b_pop"))
+        .orderBy(asc_nulls_first("n_nationkey")),
+    Some("""SELECT n_nationkey,
+                   n_nationkey & 12 AS b_and,
+                   n_nationkey | 3 AS b_or,
+                   CAST(xor(n_nationkey, 21) AS INT) AS b_xor,
+                   n_nationkey << 2 AS b_shl,
+                   n_nationkey >> 1 AS b_shr,
+                   CAST(bit_count(n_nationkey) AS INT) AS b_pop
+            FROM nation ORDER BY n_nationkey NULLS FIRST"""))
+
+  /** Unpivot (wide → long): per-order numeric columns to (metric, value)
+    * rows via Dataset.unpivot / melt; oracle is the UNION ALL expansion.
+    */
+  val opUnpivot: Q = Q(
+    "op_unpivot",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .select(col("o_orderkey"),
+          col("o_totalprice").as("total"),
+          (col("o_totalprice") * 0.1).as("tax"),
+          (col("o_totalprice") * 0.9).as("net"))
+        .unpivot(Array(col("o_orderkey")), Array(col("total"), col("tax"), col("net")),
+          "metric", "value")
+        .orderBy(asc_nulls_first("o_orderkey"), asc_nulls_first("metric")),
+    Some("""WITH w AS (SELECT o_orderkey, o_totalprice AS total,
+                              o_totalprice * 0.1 AS tax, o_totalprice * 0.9 AS net
+                       FROM orders)
+            SELECT o_orderkey, 'total' AS metric, total AS value FROM w
+            UNION ALL SELECT o_orderkey, 'tax', tax FROM w
+            UNION ALL SELECT o_orderkey, 'net', net FROM w
+            ORDER BY o_orderkey NULLS FIRST, metric NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     opProjectCompute, opFilterPred, opCaseWhen, opStringConcat,
     opCoalesceNullif, opCastTypes, opScalarSubquery, opCte, fnConditional,
     fnString, fnRegex, fnDatetime, fnMath, fnJsonNested, fnArray, fnMap,
-    opUdfTypemap)
+    fnBitwise, opUnpivot, opUdfTypemap)
 }

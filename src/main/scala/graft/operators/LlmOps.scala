@@ -63,7 +63,9 @@ object LlmOps {
   val llmJaccardNearDup: Q = Q(
     "llm_jaccard_near_dup",
     (s, d) => {
-      val toks = docTokens(s, d)
+      // the token pipeline feeds three passes (vocab collect, block
+      // collect, pair-scan left side) — cache it instead of re-exploding
+      val toks = docTokens(s, d).cache()
       val vocab = toks.select(col("tok")).distinct()
         .orderBy(col("tok")).collect().map(_.getString(0))
       val pairs =
@@ -78,6 +80,7 @@ object LlmOps {
             .agg(sum(expr("shiftleft(1L, bit)")).as("mask"),
               count(lit(1)).as("sz"))
             .as[(Long, Long, Long)]
+            .cache()
           // one long of state per doc → broadcast-block pair scan with the
           // threshold applied INSIDE the loop (a join-shaped plan pays
           // per-pair row machinery; emitting pre-filter pays the encoder
@@ -140,6 +143,7 @@ object LlmOps {
           "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
           .as("sh"))
         .distinct()
+        .cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = sh.select(col("doc_id").as("id1"), col("sh"))
         .join(sh.select(col("doc_id").as("id2"), col("sh")), "sh")
@@ -194,6 +198,7 @@ object LlmOps {
         .agg(sigCols.head, sigCols.tail: _*)
         .select(col("doc_id"),
           array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+        .cache()
       // Candidate generation: signatures are numHashes longs per doc, so a
       // collectible corpus takes the broadcast-block path (band-hash
       // compare + signature match in one primitive loop per pair — no 6M-row
@@ -534,6 +539,7 @@ object LlmOps {
       val bigrams = docs.select(col("doc_id"), col("lang"),
         explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"))
           .as("bg"))
+        .cache()
       val profile = bigrams.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg"))))

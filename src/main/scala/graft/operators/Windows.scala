@@ -178,7 +178,25 @@ object Windows {
             FROM ranked WHERE rn <= 3
             ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST"""))
 
+  /** percent_rank + cume_dist over a unique-key order: both are exact
+    * integer ratios ((rank-1)/(n-1), rank/n) so they hash-match.
+    */
+  val winPercentCume: Q = Q(
+    "win_percent_cume",
+    (s, d) => {
+      val w = byCust.orderBy(col("o_orderkey"))
+      Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(asc_nulls_first("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+                   percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS pr,
+                   cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS cd
+            FROM orders ORDER BY o_orderkey NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     winRowNumber, winRankDense, winLagLead, winRunningSum, winSlidingFrame,
-    winRangeFrame, winFirstLast, winNtile, aggTopkPerGroup)
+    winRangeFrame, winFirstLast, winNtile, winPercentCume, aggTopkPerGroup)
 }
