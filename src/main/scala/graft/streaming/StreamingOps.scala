@@ -229,7 +229,43 @@ object StreamingOps {
     Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
   }
 
+  /** Arbitrary stateful processing — the `mapGroupsWithState` surface:
+    * per-user custom state (running max + event count) maintained by the
+    * state store across micro-batches. This is the primitive the reference
+    * has no analogue for and Spark's windows can't express (state logic is
+    * arbitrary Scala). Batch-equivalence tested: over the finite corpus the
+    * final state per key equals groupBy(max, count). Rows-only check here
+    * (non-SQL-expressible streaming semantics).
+    */
+  val streamStatefulRunningMax: Q = Q(
+    "stream_stateful_running_max",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val src = streamedEvents(s, d)
+        .select(col("user_id"), col("value"), col("event_id"))
+        .as[(Long, Double, Long)]
+      val updated = src.groupByKey(_._1)
+        .mapGroupsWithState[(Double, Long), (Long, Double, Long)](
+          GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+          var (mx, cnt) = state.getOption.getOrElse((Double.NegativeInfinity, 0L))
+          rows.foreach { case (_, v, _) =>
+            if (v > mx) mx = v
+            cnt += 1
+          }
+          state.update((mx, cnt))
+          (user, mx, cnt)
+        }
+        .toDF("user_id", "max_value", "n_events")
+      StreamRunner.runToTable(updated, "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("max_value")).as("max_value"), max(col("n_events")).as("n_events"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     streamTumblingCount, streamSlidingSum, streamSessionWindow,
-    streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert)
+    streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert,
+    streamStatefulRunningMax)
 }
