@@ -21,6 +21,29 @@ object SourceOps {
     (s, d) => Tables.read(s, d, "customer").orderBy(asc_nulls_first("c_custkey")),
     Some("SELECT * FROM customer ORDER BY c_custkey NULLS FIRST"))
 
+  /** JDBC snapshot round-trip (the reference's production leg: table →
+    * SQL database → partitioned snapshot read, reference `setup.sh:92`):
+    * customer is written into embedded Derby over JDBC, then read back
+    * with a range-partitioned JDBC scan. The oracle is the plain table —
+    * the round-trip must be value-exact, hash-checked like any other op.
+    */
+  val srcJdbcSnapshot: Q = Q(
+    "src_jdbc_snapshot",
+    (s, d) => {
+      val url = "jdbc:derby:memory:graftsnap;create=true"
+      val c = Tables.read(s, d, "customer")
+      c.write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "customer_snap").save()
+      val (lo, hi) = {
+        val r = c.agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      graft.sources.JdbcSnapshot
+        .partitioned(s, url, "customer_snap", "c_custkey", lo, hi + 1, 8)
+        .orderBy(asc_nulls_first("c_custkey"))
+    },
+    Some("SELECT * FROM customer ORDER BY c_custkey NULLS FIRST"))
+
   /** Typed field extraction from a JSON record payload (the JsonConverter
     * surface, reference `setup.sh:96-99`). `get_json_object` is codegen'd.
     */
@@ -161,7 +184,8 @@ object SourceOps {
     None)
 
   val all: Seq[Q] = Seq(
-    srcSnapshotScan, srcJsonPayloadExtract, srcCdcEnvelopeUnwrap,
-    srcKafkaStream, opTopicRouteRegex, sinkUpsertLatestByKey,
-    sinkCdcApplyUpsertOnly, opSchemaDdlTypemap, opInsertAppend)
+    srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
+    srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
+    sinkUpsertLatestByKey, sinkCdcApplyUpsertOnly, opSchemaDdlTypemap,
+    opInsertAppend)
 }
