@@ -337,6 +337,23 @@ object Expressions {
                      WHEN 6 THEN 'UUID' ELSE 'String' END AS ch_type
             FROM customer ORDER BY c_custkey NULLS FIRST"""))
 
+  /** Cryptographic digest battery — md5 / sha256 hex over strings is
+    * engine-independent (same algorithm, same lowercase-hex rendering),
+    * so it oracle-checks exactly. These digests are also the working
+    * parts of digest-based dedup (`llm_dedup_exact_digest`).
+    */
+  val fnHashDigest: Q = Q(
+    "fn_hash_digest",
+    (s, d) =>
+      Tables.read(s, d, "part")
+        .select(col("p_partkey"),
+          md5(col("p_name").cast("binary")).as("name_md5"),
+          sha2(col("p_name").cast("binary"), 256).as("name_sha256"))
+        .orderBy(asc_nulls_first("p_partkey")),
+    Some("""SELECT p_partkey, md5(p_name) AS name_md5,
+                   sha256(p_name) AS name_sha256
+            FROM part ORDER BY p_partkey NULLS FIRST"""))
+
   /** Bitwise operator battery (&, |, ^, shifts, bit_count) — pure integer
     * ops, exact cross-engine.
     */
@@ -389,5 +406,5 @@ object Expressions {
     opProjectCompute, opFilterPred, opCaseWhen, opStringConcat,
     opCoalesceNullif, opCastTypes, opScalarSubquery, opCte, fnConditional,
     fnString, fnRegex, fnDatetime, fnMath, fnJsonNested, fnArray, fnMap,
-    fnBitwise, opUnpivot, opUdfTypemap)
+    fnHashDigest, fnBitwise, opUnpivot, opUdfTypemap)
 }

@@ -49,6 +49,24 @@ object LlmOps {
     Some("""SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies, text
             FROM documents GROUP BY text ORDER BY keep_id NULLS FIRST"""))
 
+  /** Exact dedup via content digest — the 100 TB form of
+    * `llm_dedup_exact_text`: group on md5(text) so the shuffle carries a
+    * 32-byte key instead of the document body; the digest collision rate
+    * is negligible against corpus sizes (2^-128 birthday bound).
+    */
+  val llmDedupExactDigest: Q = Q(
+    "llm_dedup_exact_digest",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+        .groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"), col("digest"))
+        .orderBy(asc_nulls_first("keep_id")),
+    Some("""SELECT MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   md5(text) AS digest
+            FROM documents GROUP BY md5(text) ORDER BY keep_id NULLS FIRST"""))
+
   /** Exact token-set Jaccard near-dup pairs (ground truth for the MinHash
     * op). Adaptive physical plan: the distinct-token vocabulary is counted
     * first (one cheap aggregation); when it fits 64 bits — as in this
@@ -71,7 +89,7 @@ object LlmOps {
       val pairs =
         if (vocab.length <= 64) {
           import s.implicits._
-          val bitOf = map(vocab.zipWithIndex.flatMap {
+          val bitOf = map(vocab.toSeq.zipWithIndex.flatMap {
             case (t, i) => Seq(lit(t), lit(i))
           }: _*)
           val masks = toks
@@ -699,7 +717,8 @@ object LlmOps {
             FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST"""))
 
   val all: Seq[Q] = Seq(
-    llmDedupExactText, llmJaccardNearDup, llmNgramJaccard, llmDedupMinhash,
+    llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
+    llmNgramJaccard, llmDedupMinhash,
     llmDedupSimhash, llmCosineTopk, llmEmbedCosineDup, llmAnnLshTopk,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmDocFingerprint, llmMultimodalJoin,
