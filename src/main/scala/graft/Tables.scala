@@ -19,10 +19,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** DataFrame (= analyzed plan) cache per (session, dir, table): building
+    * a parquet DataFrame lists the directory and reads footers for schema
+    * inference — ~0.1-0.3 s per call that Verify/Bench would otherwise pay
+    * ~200× across the registry. Plans are immutable, so reuse is safe; the
+    * identity-hash key drops stale entries with their session.
+    */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    planCache.computeIfAbsent(
+      (System.identityHashCode(spark), sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 
   /** Register every corpus table as a temp view, for spark.sql operators. */
