@@ -545,33 +545,44 @@ object LlmOps {
             FROM documents ORDER BY doc_id NULLS FIRST"""))
 
   /** n-gram-profile language ID (two-pass heuristic): build a top-20
-    * character-bigram profile per language from the corpus itself, then
-    * classify each document by profile-overlap argmax (count desc, lang asc
-    * tiebreak). The profile join broadcasts (5 langs × 20 bigrams). Not
-    * SQL-expressible as one deterministic query → rows-only check + spec.
+    * character-bigram profile per language from the corpus itself
+    * (explode + agg + per-lang top-k window — distributed, scales with the
+    * corpus), then COLLECT the profile — it is 5 langs × 20 bigrams
+    * regardless of corpus size — and classify each document in one
+    * broadcast-profile UDF pass (distinct-bigram overlap argmax, count
+    * desc / lang asc tiebreak). The earlier explode-join-window scoring
+    * pass re-shuffled 2.5M bigram rows to compute what one string scan
+    * per doc answers. Not SQL-expressible as one deterministic query →
+    * rows-only check + spec.
     */
   val llmLangIdNgram: Q = Q(
     "llm_lang_id_ngram",
     (s, d) => {
       val docs = Tables.read(s, d, "documents")
-      val bigrams = docs.select(col("doc_id"), col("lang"),
+      val profileRows = docs.select(col("lang"),
         explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"))
           .as("bg"))
-        .cache()
-      val profile = bigrams.groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+        .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg"))))
         .filter(col("rk") <= 20)
-        .select(col("lang").as("cand_lang"), col("bg"))
-      val scored = bigrams.select(col("doc_id"), col("bg")).distinct()
-        .join(broadcast(profile), "bg")
-        .groupBy(col("doc_id"), col("cand_lang")).agg(count(lit(1)).as("overlap"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("overlap").desc, col("cand_lang"))))
-        .filter(col("rk") === 1)
-      docs.select(col("doc_id"), col("lang"))
-        .join(scored.select(col("doc_id"), col("cand_lang").as("predicted"), col("overlap")),
-          Seq("doc_id"), "left")
+        .select(col("lang"), col("bg"))
+        .collect()
+      // lang -> its profile bigram set (sorted langs for a stable argmax)
+      val profile: Seq[(String, Set[String])] = profileRows
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet)
+        .toSeq.sortBy(_._1)
+      val classify = udf((text: String) => {
+        val bgs = (1 until text.length).map(i => text.substring(i - 1, i + 1)).toSet
+        // maxBy keeps the first max in seq order, and `profile` is sorted
+        // by lang — lexicographically smallest lang wins ties, matching
+        // the previous rank()-based tiebreak
+        profile.map { case (lang, p) => (lang, (p & bgs).size) }.maxBy(_._2)
+      })
+      docs.select(col("doc_id"), col("lang"), col("text"))
+        .withColumn("cls", classify(col("text")))
+        .select(col("doc_id"), col("lang"),
+          col("cls._1").as("predicted"), col("cls._2").cast(LongType).as("overlap"))
         .orderBy(asc_nulls_first("doc_id"))
     },
     None)
