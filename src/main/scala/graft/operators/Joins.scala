@@ -225,8 +225,43 @@ object Joins {
              AND abs(b.ts_us - a.ts_us) <= 3600000000
             ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
 
+  /** The 100 TB form of the interval join: co-partition by TIME BUCKET.
+    * Events land in hour buckets; a pair within one hour spans bucket
+    * distance ∈ {-1, 0, 1}, so probing each right-side event into its
+    * bucket and both neighbors makes the join a pure equi-join on
+    * (user, bucket) — each qualifying pair is produced exactly once (the
+    * probe set {b-1, b, b+1} contains the left bucket exactly once), no
+    * distinct needed, and the range predicate is a cheap post-filter.
+    * Same result as `join_interval_overlap` (same oracle), but the
+    * shuffle key now bounds candidate pairs per partition by bucket
+    * population instead of per-user history length.
+    */
+  val joinIntervalBucketed: Q = Q(
+    "join_interval_bucketed",
+    (s, d) => {
+      val hourUs = 3600000000L
+      val ev = Tables.read(s, d, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val a = ev.select(col("event_id").as("id1"), col("user_id"),
+        col("ts_us").as("t1"), expr(s"ts_us div $hourUs").as("bucket"))
+      val b = ev.select(col("event_id").as("id2"), col("user_id").as("u2"),
+          col("ts_us").as("t2"), expr(s"ts_us div $hourUs").as("b2"))
+        .withColumn("bucket", explode(expr("array(b2 - 1L, b2, b2 + 1L)")))
+      a.join(b, col("user_id") === col("u2") && a("bucket") === b("bucket") &&
+          col("id1") < col("id2") && abs(col("t2") - col("t1")) <= hourUs)
+        .select(col("id1"), col("id2"), col("user_id"), (col("t2") - col("t1")).as("gap_us"))
+        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events)
+            SELECT a.event_id AS id1, b.event_id AS id2, a.user_id,
+                   b.ts_us - a.ts_us AS gap_us
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id AND a.event_id < b.event_id
+             AND abs(b.ts_us - a.ts_us) <= 3600000000
+            ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     joinInnerHash, joinBroadcast, joinLeftOuter, joinRightOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
-    joinAsofBackward, joinIntervalOverlap)
+    joinAsofBackward, joinIntervalOverlap, joinIntervalBucketed)
 }

@@ -264,8 +264,37 @@ object StreamingOps {
     },
     None)
 
+  /** `flatMapGroupsWithState` surface — the 0..n-rows-per-key sibling of
+    * mapGroupsWithState: per user, emit one row PER DISTINCT EVENT TYPE
+    * with its count, maintained as custom map state across micro-batches.
+    * Batch equivalent: groupBy(user, type).count — spec-tested.
+    */
+  val streamFlatmapTypeCounts: Q = Q(
+    "stream_flatmap_type_counts",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val src = streamedEvents(s, d)
+        .select(col("user_id"), col("event_type"))
+        .as[(Long, String)]
+      val counts = src.groupByKey(_._1)
+        .flatMapGroupsWithState[Map[String, Long], (Long, String, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          rows.foreach { case (_, t) => m = m.updated(t, m.getOrElse(t, 0L) + 1L) }
+          state.update(m)
+          m.iterator.map { case (t, n) => (user, t, n) }
+        }
+        .toDF("user_id", "event_type", "n")
+      StreamRunner.runToTable(counts, "update")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("n")).as("n"))
+        .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_type"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     streamTumblingCount, streamSlidingSum, streamSessionWindow,
     streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert,
-    streamStatefulRunningMax)
+    streamStatefulRunningMax, streamFlatmapTypeCounts)
 }

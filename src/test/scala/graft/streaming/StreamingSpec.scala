@@ -41,6 +41,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState per-type counts equal batch groupBy (sf0.001)") {
+    val streamed = graft.streaming.StreamingOps.streamFlatmapTypeCounts.fn(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val batch = Tables.read(spark, sf, "events")
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(streamed == batch)
+  }
+
   test("foreachBatch upsert state equals the batch latest-by-key (sf0.001)") {
     val streamed = graft.streaming.StreamingOps.streamForeachBatchUpsert.fn(spark, sf)
       .select("user_id", "event_id").collect()
