@@ -102,14 +102,17 @@ object Expressions {
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_orderkey").cast(StringType).as("key_str"),
           col("l_linenumber").cast(LongType).as("line_l"),
-          col("l_extendedprice").cast(DecimalType(18, 2)).as("price_dec"),
+          // Decimal cast exercised, then final-cast to DOUBLE (§2.0 rule 2:
+          // the driver hashes Spark's parquet Decimal vs DuckDB's float64
+          // unequal even when values match).
+          col("l_extendedprice").cast(DecimalType(18, 2)).cast(DoubleType).as("price_dec"),
           col("l_shipdate").cast(DateType).as("ship_d"))
         .orderBy(asc_nulls_first("l_orderkey"), asc_nulls_first("l_linenumber"),
           asc_nulls_first("price_dec"), asc_nulls_first("ship_d")),
     Some("""SELECT l_orderkey, l_linenumber,
                    CAST(l_orderkey AS VARCHAR) AS key_str,
                    CAST(l_linenumber AS BIGINT) AS line_l,
-                   CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
                    CAST(l_shipdate AS DATE) AS ship_d
             FROM lineitem
             ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST,
@@ -271,21 +274,34 @@ object Expressions {
             FROM events ORDER BY event_id NULLS FIRST"""))
 
   /** Array ops over the embedding column (per-row only — no float
-    * summation, §2.0 rule 2). float→double casts are exact.
+    * summation, §2.0 rule 2). float→double casts are exact. The final
+    * projection is all scalars: raw array columns break the driver's
+    * pandas sort (unhashable ndarray), and float→string rendering differs
+    * between Spark and DuckDB, so the slice is unpacked element-wise.
     */
   val fnArray: Q = Q(
     "fn_array",
-    (s, d) =>
+    (s, d) => {
+      val head4 = slice(col("embedding"), 1, 4)
       Tables.read(s, d, "embeddings")
         .select(col("vec_id"),
           size(col("embedding")).cast(LongType).as("dim"),
           element_at(col("embedding"), 1).cast(DoubleType).as("e1"),
-          slice(col("embedding"), 1, 4).as("head4"))
-        .orderBy(asc_nulls_first("vec_id")),
+          element_at(head4, 1).cast(DoubleType).as("h1"),
+          element_at(head4, 2).cast(DoubleType).as("h2"),
+          element_at(head4, 3).cast(DoubleType).as("h3"),
+          element_at(head4, 4).cast(DoubleType).as("h4"),
+          element_at(reverse(col("embedding")), 1).cast(DoubleType).as("last_e"))
+        .orderBy(asc_nulls_first("vec_id"))
+    },
     Some("""SELECT vec_id,
                    CAST(len(embedding) AS BIGINT) AS dim,
                    CAST(embedding[1] AS DOUBLE) AS e1,
-                   embedding[1:4] AS head4
+                   CAST(embedding[1] AS DOUBLE) AS h1,
+                   CAST(embedding[2] AS DOUBLE) AS h2,
+                   CAST(embedding[3] AS DOUBLE) AS h3,
+                   CAST(embedding[4] AS DOUBLE) AS h4,
+                   CAST(embedding[len(embedding)] AS DOUBLE) AS last_e
             FROM embeddings ORDER BY vec_id NULLS FIRST"""))
 
   /** Map construct + lookup (scalar result form; the oracle states the

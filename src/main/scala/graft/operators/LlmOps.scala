@@ -27,7 +27,7 @@ import graft.{Q, Tables}
 object LlmOps {
 
   /** Distinct (doc_id, token) pairs — the inverted-index building block. */
-  private def docTokens(s: SparkSession, d: String): DataFrame =
+  private[operators] def docTokens(s: SparkSession, d: String): DataFrame =
     Tables.read(s, d, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .distinct()
@@ -80,25 +80,63 @@ object LlmOps {
     */
   val llmJaccardNearDup: Q = Q(
     "llm_jaccard_near_dup",
-    (s, d) => {
-      // the token pipeline feeds three passes (vocab collect, block
-      // collect, pair-scan left side) — cache it instead of re-exploding
-      val toks = docTokens(s, d).cache()
-      val vocab = toks.select(col("tok")).distinct()
-        .orderBy(col("tok")).collect().map(_.getString(0))
-      val pairs =
-        if (vocab.length <= 64) {
-          import s.implicits._
-          val bitOf = map(vocab.toSeq.zipWithIndex.flatMap {
-            case (t, i) => Seq(lit(t), lit(i))
-          }: _*)
-          val masks = toks
-            .withColumn("bit", bitOf(col("tok")))
-            .groupBy(col("doc_id"))
-            .agg(sum(expr("shiftleft(1L, bit)")).as("mask"),
-              count(lit(1)).as("sz"))
-            .as[(Long, Long, Long)]
-            .cache()
+    (s, d) => jaccardPairs(s, docTokens(s, d).cache()),
+    Some("""WITH toks AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id1, id2, inter,
+                   s1.sz AS n1, s2.sz AS n2,
+                   CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+            FROM inter JOIN sizes s1 ON id1 = s1.doc_id
+                       JOIN sizes s2 ON id2 = s2.doc_id
+            WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.9
+            ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
+
+  /** Exact Jaccard pair engine behind `llm_jaccard_near_dup` (unit-test
+    * seam: `bitmaskRowBudget` forces either physical path).
+    *
+    * The bitmask fast path needs BOTH a ≤64-token vocabulary AND a corpus
+    * small enough to broadcast (one (long id, long mask, long sz) triple
+    * per doc) — a 10B-doc corpus with a 30-token vocabulary must still
+    * take the inverted-index join, not an O(n²) driver-side pair scan.
+    */
+  def jaccardPairs(s: SparkSession, toks: DataFrame,
+                   bitmaskRowBudget: Long = 2000000L): DataFrame = {
+    // the token pipeline feeds several passes (vocab collect, mask build,
+    // pair-scan left side) — callers pass it cached
+    val vocab = toks.select(col("tok")).distinct()
+      .orderBy(col("tok")).collect().map(_.getString(0))
+    def invertedIndexPairs: DataFrame = {
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      toks.select(col("doc_id").as("id1"), col("tok"))
+        .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
+        .withColumn("jaccard",
+          col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.9)
+    }
+    val pairs =
+      if (vocab.length <= 64) {
+        import s.implicits._
+        val bitOf = map(vocab.toSeq.zipWithIndex.flatMap {
+          case (t, i) => Seq(lit(t), lit(i))
+        }: _*)
+        val masks = toks
+          .withColumn("bit", bitOf(col("tok")))
+          .groupBy(col("doc_id"))
+          .agg(sum(expr("shiftleft(1L, bit)")).as("mask"),
+            count(lit(1)).as("sz"))
+          .as[(Long, Long, Long)]
+          .cache()
+        if (masks.count() <= bitmaskRowBudget) {
           // one long of state per doc → broadcast-block pair scan with the
           // threshold applied INSIDE the loop (a join-shaped plan pays
           // per-pair row machinery; emitting pre-filter pays the encoder
@@ -115,37 +153,12 @@ object LlmOps {
               }
             }
             .toDF("id1", "id2", "inter", "n1", "n2", "jaccard")
-        } else {
-          val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-          toks.select(col("doc_id").as("id1"), col("tok"))
-            .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
-            .filter(col("id1") < col("id2"))
-            .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-            .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
-            .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
-            .withColumn("jaccard",
-              col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
-            .filter(col("jaccard") >= 0.9)
-        }
-      pairs
-        .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
-        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
-    },
-    Some("""WITH toks AS (
-              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents),
-            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS inter
-              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
-              GROUP BY a.doc_id, b.doc_id)
-            SELECT id1, id2, inter,
-                   s1.sz AS n1, s2.sz AS n2,
-                   CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
-            FROM inter JOIN sizes s1 ON id1 = s1.doc_id
-                       JOIN sizes s2 ON id2 = s2.doc_id
-            WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.9
-            ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
+        } else invertedIndexPairs
+      } else invertedIndexPairs
+    pairs
+      .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
+      .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+  }
 
   /** Token-shingle (3-gram) Jaccard near-dup pairs — the n-gram flavor of
     * the exact path; shingles are far more discriminative than unigrams, so
@@ -205,64 +218,102 @@ object LlmOps {
     */
   val llmDedupMinhash: Q = Q(
     "llm_dedup_minhash",
-    (s, d) => {
-      val numHashes = 16
-      val bands = 4
-      val rows = numHashes / bands
-      val toks = docTokens(s, d)
-      val sigCols = (0 until numHashes).map(i =>
-        min(xxhash64(concat(col("tok"), lit(s"#$i")))).as(s"h$i"))
-      val sigs = toks.groupBy(col("doc_id"))
-        .agg(sigCols.head, sigCols.tail: _*)
-        .select(col("doc_id"),
-          array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-        .cache()
-      // Candidate generation: signatures are numHashes longs per doc, so a
-      // collectible corpus takes the broadcast-block path (band-hash
-      // compare + signature match in one primitive loop per pair — no 6M-row
-      // candidate shuffle + distinct); beyond broadcast size, the (band,
-      // band-hash) equi-join IS the 100 TB plan: one shuffle keyed by band
-      // hash, candidates ≪ n².
-      import s.implicits._
-      val sigRows = sigs.select(col("doc_id"), col("sig")).as[(Long, Seq[Long])]
-      val block = sigRows.collect().sortBy(_._1).map { case (id, sig) =>
-        val sg = sig.toArray
-        val bandHashes = Array.tabulate(bands)(b =>
-          java.util.Arrays.hashCode(sg.slice(b * rows, b * rows + rows)))
-        (id, sg, bandHashes)
-      }
-      val bc = s.sparkContext.broadcast(block)
-      sigRows.repartition(s.sparkContext.defaultParallelism)
-        .flatMap { case (id1, sig1s) =>
-          val sig1 = sig1s.toArray
-          val bh1 = Array.tabulate(bands)(b =>
-            java.util.Arrays.hashCode(sig1.slice(b * rows, b * rows + rows)))
-          bc.value.iterator.filter(_._1 > id1).flatMap { case (id2, sig2, bh2) =>
-            var cand = false
-            var b = 0
-            while (!cand && b < bands) {
-              if (bh1(b) == bh2(b)) {
-                // band hash equal → verify the band's rows really match
-                var eq = true
-                var j = b * rows
-                while (eq && j < b * rows + rows) { eq = sig1(j) == sig2(j); j += 1 }
-                cand = eq
+    (s, d) => minhashPairs(s, docTokens(s, d)),
+    None)
+
+  /** MinHash candidate-pair engine behind `llm_dedup_minhash` (unit-test
+    * seam: `broadcastRowBudget` forces either physical path).
+    *
+    * Candidate generation is size-gated: a corpus whose signature side fits
+    * a broadcast (numHashes longs per doc) takes the broadcast-block path —
+    * band-hash compare + signature match in one primitive loop per pair, no
+    * candidate shuffle + distinct. Beyond the budget it switches to the
+    * (band, band-hash) equi-join, which IS the 100 TB plan: one shuffle
+    * keyed by the band hash, candidate set ≪ n², exact band verification
+    * and pair-level distinct AFTER the equi-join. Both paths emit the
+    * identical pair set (both verify full band equality, band hashes are
+    * prefilters only).
+    */
+  def minhashPairs(s: SparkSession, toks: DataFrame,
+                   broadcastRowBudget: Long = 500000L): DataFrame = {
+    val numHashes = 16
+    val bands = 4
+    val rows = numHashes / bands
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(concat(col("tok"), lit(s"#$i")))).as(s"h$i"))
+    val sigs = toks.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .cache()
+    import s.implicits._
+    val sigRows = sigs.select(col("doc_id"), col("sig")).as[(Long, Seq[Long])]
+    val pairs =
+      if (sigRows.count() <= broadcastRowBudget) {
+        val block = sigRows.collect().sortBy(_._1).map { case (id, sig) =>
+          val sg = sig.toArray
+          val bandHashes = Array.tabulate(bands)(b =>
+            java.util.Arrays.hashCode(sg.slice(b * rows, b * rows + rows)))
+          (id, sg, bandHashes)
+        }
+        val bc = s.sparkContext.broadcast(block)
+        sigRows.repartition(s.sparkContext.defaultParallelism)
+          .flatMap { case (id1, sig1s) =>
+            val sig1 = sig1s.toArray
+            val bh1 = Array.tabulate(bands)(b =>
+              java.util.Arrays.hashCode(sig1.slice(b * rows, b * rows + rows)))
+            bc.value.iterator.filter(_._1 > id1).flatMap { case (id2, sig2, bh2) =>
+              var cand = false
+              var b = 0
+              while (!cand && b < bands) {
+                if (bh1(b) == bh2(b)) {
+                  // band hash equal → verify the band's rows really match
+                  var eq = true
+                  var j = b * rows
+                  while (eq && j < b * rows + rows) { eq = sig1(j) == sig2(j); j += 1 }
+                  cand = eq
+                }
+                b += 1
               }
-              b += 1
-            }
-            if (!cand) None
-            else {
-              var matching = 0
-              var i = 0
-              while (i < numHashes) { if (sig1(i) == sig2(i)) matching += 1; i += 1 }
-              Some((id1, id2, matching.toLong, matching.toDouble / numHashes))
+              if (!cand) None
+              else {
+                var matching = 0
+                var i = 0
+                while (i < numHashes) { if (sig1(i) == sig2(i)) matching += 1; i += 1 }
+                Some((id1, id2, matching.toLong, matching.toDouble / numHashes))
+              }
             }
           }
-        }
-        .toDF("id1", "id2", "matching", "est_jaccard")
-        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
-    },
-    None)
+          .toDF("id1", "id2", "matching", "est_jaccard")
+      } else {
+        // (band, band-hash) equi-join: explode each signature into its
+        // `bands` band slices; the xxhash64 of (band, slice) is the shuffle
+        // key, actual slice equality is verified post-join (the hash is a
+        // prefilter), and a pair matching in several bands is collapsed by
+        // the distinct BEFORE the (cheap) signature-match count.
+        val banded = sigs.select(col("doc_id"), col("sig"),
+          explode(expr(
+            s"transform(sequence(0, ${bands - 1}), b -> " +
+              s"named_struct('band', b, 'bslice', slice(sig, b * $rows + 1, $rows)))")).as("bb"))
+          .select(col("doc_id"), col("sig"),
+            col("bb.band").as("band"), col("bb.bslice").as("bslice"))
+          .withColumn("bh", xxhash64(col("band"), col("bslice")))
+        val a = banded.select(col("band"), col("bh"), col("bslice").as("bs1"),
+          col("doc_id").as("id1"), col("sig").as("sig1"))
+        val b = banded.select(col("band"), col("bh"), col("bslice").as("bs2"),
+          col("doc_id").as("id2"), col("sig").as("sig2"))
+        a.join(b, Seq("band", "bh"))
+          .filter(col("id1") < col("id2") && col("bs1") === col("bs2"))
+          .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
+          .distinct()
+          .select(col("id1"), col("id2"),
+            expr("CAST(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) AS BIGINT)")
+              .as("matching"))
+          .withColumn("est_jaccard",
+            col("matching").cast(DoubleType) / lit(numHashes.toDouble))
+      }
+    pairs.orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+  }
 
   /** SimHash near-dup: 64-bit per-doc fingerprint (sign of per-bit sums of
     * token hashes), then ALL pairs with Hamming distance ≤ 3 — found
@@ -618,8 +669,10 @@ object LlmOps {
 
   /** Multimodal column assembly: align text and embedding modalities on the
     * shared key (broadcast — the embedding side here is a fixed-size side
-    * table; at 100 TB both sides bucket on the key). Arrays pass through
-    * byte-identical, so the vector column is oracle-safe.
+    * table; at 100 TB both sides bucket on the key). The final projection
+    * unpacks the vector to scalars (dim, first/last element as exact
+    * float→double casts): a raw array column breaks the driver's pandas
+    * sort, and float→string rendering differs between engines.
     */
   val llmMultimodalJoin: Q = Q(
     "llm_multimodal_join",
@@ -628,10 +681,16 @@ object LlmOps {
       val emb = Tables.read(s, d, "embeddings")
       docs.join(emb, docs("doc_id") === emb("vec_id"))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-          col("label"), col("embedding"))
+          col("label"),
+          size(col("embedding")).cast(LongType).as("dim"),
+          element_at(col("embedding"), 1).cast(DoubleType).as("e_first"),
+          element_at(col("embedding"), -1).cast(DoubleType).as("e_last"))
         .orderBy(asc_nulls_first("doc_id"))
     },
-    Some("""SELECT doc_id, lang, source, n_chars, label, embedding
+    Some("""SELECT doc_id, lang, source, n_chars, label,
+                   CAST(len(embedding) AS BIGINT) AS dim,
+                   CAST(embedding[1] AS DOUBLE) AS e_first,
+                   CAST(embedding[len(embedding)] AS DOUBLE) AS e_last
             FROM documents JOIN embeddings ON doc_id = vec_id
             ORDER BY doc_id NULLS FIRST"""))
 
@@ -656,6 +715,11 @@ object LlmOps {
         val decoder = new FakeImageDecoder
         it.map { case (id, bytes) => decoder.decode(id, bytes) }
       }.toDF()
+        // int-array → csv string in the final projection only: the driver's
+        // pandas rows-check cannot sort raw arrays (ints render identically
+        // everywhere, so csv is deterministic)
+        .withColumn("frame_samples",
+          expr("concat_ws(',', transform(frame_samples, x -> cast(x AS STRING)))"))
         .orderBy(asc_nulls_first("doc_id"))
     },
     None)
@@ -707,6 +771,11 @@ object LlmOps {
     * sort_array over collected (ts, event_id, value) structs — the ordering
     * is carried inside the collected elements, so the aggregation itself is
     * merge-order independent (scale-safe), with a unique event_id tiebreak.
+    * The final projection renders the double series as a csv of
+    * DECIMAL(18,2) strings: raw arrays break the driver's pandas sort, and
+    * fixed-scale decimal is the one float rendering both engines print
+    * identically (full scale, HALF_UP from the same double bits — the
+    * corpus values are 2-decimal by construction).
     */
   val tsUserValueSeries: Q = Q(
     "ts_user_value_series",
@@ -720,11 +789,16 @@ object LlmOps {
           max(col("ts_us")).as("last_ts"),
           expr("transform(sort_array(collect_list(named_struct(" +
             "'ts_us', ts_us, 'event_id', event_id, 'value', value))), x -> x.value)")
-            .as("series"))
+            .as("series_arr"))
+        .select(col("user_id"), col("n"), col("first_ts"), col("last_ts"),
+          expr("concat_ws(',', transform(series_arr, " +
+            "v -> cast(cast(v AS DECIMAL(18,2)) AS STRING)))").as("series"))
         .orderBy(asc_nulls_first("user_id")),
     Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
                    MIN(epoch_us(ts)) AS first_ts, MAX(epoch_us(ts)) AS last_ts,
-                   list(value ORDER BY epoch_us(ts), event_id) AS series
+                   array_to_string(
+                     list_transform(list(value ORDER BY epoch_us(ts), event_id),
+                       v -> CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)), ',') AS series
             FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST"""))
 
   val all: Seq[Q] = Seq(

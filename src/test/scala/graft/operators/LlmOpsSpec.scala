@@ -16,6 +16,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall over ${exact.size} true pairs")
   }
 
+  test("minhash: broadcast-block and band-join paths emit the identical pair set") {
+    val toks = LlmOps.docTokens(spark, sf).cache()
+    def pairs(budget: Long) =
+      LlmOps.minhashPairs(spark, toks, broadcastRowBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaBroadcast = pairs(Long.MaxValue)
+    val viaBandJoin = pairs(0L) // force the 100 TB equi-join path
+    assert(viaBroadcast.nonEmpty, "fixture should produce candidate pairs")
+    assert(viaBroadcast == viaBandJoin,
+      s"broadcast=${viaBroadcast.size} join=${viaBandJoin.size} " +
+        s"onlyB=${(viaBroadcast -- viaBandJoin).take(3)} onlyJ=${(viaBandJoin -- viaBroadcast).take(3)}")
+  }
+
+  test("jaccard: large-corpus/small-vocab gate routes to the inverted-index join") {
+    val toks = LlmOps.docTokens(spark, sf).cache()
+    def pairs(budget: Long) =
+      LlmOps.jaccardPairs(spark, toks, bitmaskRowBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // vocab here is ≤64, so budget=huge takes the bitmask path and budget=0
+    // (a "too many docs to broadcast" corpus) must fall through to the join
+    val viaBitmask = pairs(Long.MaxValue)
+    val viaJoin = pairs(0L)
+    assert(viaBitmask.nonEmpty && viaBitmask == viaJoin,
+      s"bitmask=${viaBitmask.size} join=${viaJoin.size}")
+  }
+
   test("simhash: identical text → identical hash; 1-token edit ≪ disjoint text") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
