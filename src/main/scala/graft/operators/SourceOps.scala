@@ -148,8 +148,13 @@ object SourceOps {
     },
     None)
 
-  /** Schema introspection + PG→CH DDL synthesis (reference `setup.sh:36-66`);
-    * unit-tested against the golden DDL at reference `README.md:108`.
+  /** Schema introspection + PG→CH DDL synthesis (reference `setup.sh:36-66`),
+    * swept over EVERY table like the reference's for-loop over
+    * `information_schema.tables` (`setup.sh:29-34`): one DDL row per corpus
+    * table from its live Spark schema, plus the reference's `iman.users`
+    * table rendered from Postgres column types (golden output unit-tested
+    * against reference `README.md:108`). Driver-only metadata work — free at
+    * any data scale.
     */
   val opSchemaDdlTypemap: Q = Q(
     "op_schema_ddl_typemap",
@@ -159,9 +164,12 @@ object SourceOps {
         "account_type" -> "character varying",
         "updated_at" -> "timestamp without time zone",
         "created_at" -> "timestamp without time zone"))
-      val liveDdl = TypeMap.renderDdlFromSpark(
-        "graft", "customer", Tables.read(s, d, "customer").schema)
-      s.range(1).select(lit(usersDdl).as("users_ddl"), lit(liveDdl).as("customer_ddl"))
+      val rows = Tables.all.map { t =>
+        ("graft", t, TypeMap.renderDdlFromSpark("graft", t, Tables.read(s, d, t).schema))
+      } :+ (("iman", "users", usersDdl))
+      import s.implicits._
+      rows.toDF("schema_name", "table_name", "ddl")
+        .orderBy(asc_nulls_first("schema_name"), asc_nulls_first("table_name"))
     },
     None)
 

@@ -2,7 +2,10 @@ package graft.sinks
 
 import java.sql.DriverManager
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.CdcEnvelope
 
 /** Keyed JDBC upsert sink for `writeStream.foreachBatch` — the Spark-native
   * materialization of the reference's sink leg (Kafka Connect ClickHouse
@@ -58,5 +61,30 @@ object JdbcUpsertSink {
         } finally conn.close()
       }
     }
+  }
+
+  /** Bad-record-tolerant CDC apply (reference `errors.tolerance=all` +
+    * `errors.log.*`, `setup.sh:145-147`): each micro-batch of raw envelope
+    * JSON is split by [[graft.sources.CdcEnvelope.unwrapTolerant]] — decoded
+    * rows upsert into `table` keyed by `keyCols`, malformed rows land in
+    * `dlqTable (raw VARCHAR, error VARCHAR)` instead of failing the batch.
+    *
+    * Replay safety: the dead-letter leg reuses the keyed upsert with the raw
+    * message itself as the key, so re-delivered batches (at-least-once)
+    * converge instead of duplicating quarantine rows — the same idempotence
+    * the data leg gets from DELETE-by-key + INSERT.
+    *
+    * Contract: like [[upsertBatch]], the decoded batch must be key-unique —
+    * for multi-change-per-key batches compose
+    * [[graft.operators.Upsert.latestByKey]] over the decoded leg instead.
+    */
+  def tolerantCdcBatch(url: String, table: String, keyCols: Seq[String],
+                       dlqTable: String, jsonCol: Column,
+                       payload: StructType,
+                       microTsCols: Seq[String] = Seq.empty)
+      : (DataFrame, Long) => Unit = (batch, id) => {
+    val (good, bad) = CdcEnvelope.unwrapTolerant(batch, jsonCol, payload, microTsCols)
+    upsertBatch(url, table, keyCols)(good, id)
+    upsertBatch(url, dlqTable, Seq("raw"))(bad, id)
   }
 }

@@ -61,4 +61,39 @@ object CdcEnvelope {
   /** Convenience: decode reference `iman.users` envelopes. */
   def unwrapUsers(df: DataFrame, jsonCol: Column): DataFrame =
     unwrap(df, jsonCol, usersPayload, Seq("updated_at", "created_at"))
+
+  /** Bad-record-tolerant decode (the reference's `errors.tolerance=all` +
+    * dead-letter logging, `setup.sh:145-147`): rows whose envelope fails to
+    * parse or carries no payload are routed to a quarantine DataFrame
+    * instead of failing the batch.
+    *
+    * Returns (good, quarantine). `good` is the same shape as [[unwrap]];
+    * `quarantine` is `(raw STRING, error STRING)` — the raw wire bytes plus
+    * a reason tag, ready for a dead-letter sink. Null wire values are
+    * tombstones and are silently dropped from both legs (reference
+    * `transforms.unwrap.drop.tombstones=true`, `setup.sh:107`). `from_json`
+    * is a codegen'd expression evaluated once per row; the two legs are
+    * filtered projections of the same decoded plan (in `foreachBatch` the
+    * batch is already materialized, so no double scan of the source).
+    */
+  def unwrapTolerant(df: DataFrame, jsonCol: Column, payload: StructType,
+                     microTsCols: Seq[String] = Seq.empty)
+      : (DataFrame, DataFrame) = {
+    val decoded = df.filter(jsonCol.isNotNull)
+      .withColumn("_graft_raw", jsonCol.cast(StringType))
+      .withColumn("_graft_env", from_json(jsonCol, envelopeSchema(payload)))
+    val good0 = decoded.filter(col("_graft_env.payload").isNotNull)
+      .select(col("_graft_env.payload.*"))
+    val good = microTsCols.foldLeft(good0)((d, c) =>
+      d.withColumn(c, timestamp_micros(col(c))))
+    // from_json (PERMISSIVE) yields a null-fields row for malformed input,
+    // so the reason tag discriminates via try_parse_json on the (small)
+    // quarantine leg only: syntactically broken vs valid-JSON-wrong-shape.
+    val quarantine = decoded
+      .filter(col("_graft_env").isNull || col("_graft_env.payload").isNull)
+      .select(col("_graft_raw").as("raw"),
+        when(try_parse_json(col("_graft_raw")).isNull, lit("unparseable_json"))
+          .otherwise(lit("missing_payload")).as("error"))
+    (good, quarantine)
+  }
 }

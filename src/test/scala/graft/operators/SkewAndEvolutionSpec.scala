@@ -8,6 +8,17 @@ import graft.sources.SchemaEvolution
 
 class SkewAndEvolutionSpec extends SparkSpec {
 
+  test("DDL sweep emits one row per corpus table plus the golden users DDL") {
+    val rows = SourceOps.opSchemaDdlTypemap.fn(spark, sf).collect()
+    assert(rows.length == Tables.all.length + 1)
+    val byTable = rows.map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(Tables.all.forall(t => byTable(t).startsWith(s"CREATE TABLE IF NOT EXISTS graft.$t (")))
+    assert(byTable("users") ==
+      "CREATE TABLE IF NOT EXISTS iman.users (user_id UInt32, username String, " +
+        "account_type String, updated_at DateTime64(6), created_at DateTime64(6)) " +
+        "ENGINE = ReplacingMergeTree() ORDER BY user_id;")
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val o = Tables.read(spark, sf, "orders")
     val c = Tables.read(spark, sf, "customer")

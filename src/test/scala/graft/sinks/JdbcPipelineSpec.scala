@@ -83,6 +83,40 @@ class JdbcPipelineSpec extends SparkSpec {
       (999, "updated_user", "Test")))
   }
 
+  test("tolerant CDC apply: good rows land, malformed quarantined, replay converges") {
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE users2 (user_id INT PRIMARY KEY, " +
+        "username VARCHAR(255), account_type VARCHAR(50), " +
+        "updated_at TIMESTAMP, created_at TIMESTAMP)")
+      st.execute("CREATE TABLE users2_dlq (raw VARCHAR(2000), error VARCHAR(50))")
+    } finally conn.close()
+
+    def env(id: Int, name: String): String =
+      s"""{"schema":{"type":"struct","fields":[],"name":"postgres_cdc.iman.users.Value"},""" +
+        s""""payload":{"user_id":$id,"username":"$name","account_type":"Bronze",""" +
+        s""""updated_at":1754155842030174,"created_at":1754155842030174}}"""
+    // 2 good envelopes, 1 malformed (errors.tolerance=all keeps going),
+    // 1 tombstone (null value — dropped silently, setup.sh:107)
+    val batch = Seq(Some(env(1, "user1")), Some(env(2, "user2")),
+      Some("{corrupt"), None).toDF("value")
+
+    val sink = JdbcUpsertSink.tolerantCdcBatch(url, "users2", Seq("user_id"),
+      "users2_dlq", col("value"), graft.sources.CdcEnvelope.usersPayload,
+      Seq("updated_at", "created_at"))
+    sink(batch, 0L)
+    sink(batch, 0L) // at-least-once redelivery must converge, not duplicate
+
+    val users = graft.sources.JdbcSnapshot.read(spark, url, "users2")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(users == Set((1, "user1"), (2, "user2")))
+    val dlq = graft.sources.JdbcSnapshot.read(spark, url, "users2_dlq")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(dlq.toSeq == Seq(("{corrupt", "unparseable_json")))
+  }
+
   test("partitioned JDBC snapshot returns the same rows as single-connection") {
     val whole = JdbcSnapshot.read(spark, url, "users")
       .collect().map(_.getInt(0)).toSet

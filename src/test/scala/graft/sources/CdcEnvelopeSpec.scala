@@ -36,6 +36,16 @@ class CdcEnvelopeSpec extends SparkSpec {
     assert(ts.toEpochMilli == 1754155842030L)
   }
 
+  test("unwrapTolerant: good decoded, malformed quarantined, tombstones dropped") {
+    import spark.implicits._
+    val (good, bad) = CdcEnvelope.unwrapTolerant(
+      Seq(Some(captured), Some("not json"), None).toDF("value"), col("value"),
+      CdcEnvelope.usersPayload, Seq("updated_at", "created_at"))
+    assert(good.collect().map(_.getAs[Int]("user_id")).toSeq == Seq(1))
+    val q = bad.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(q.length == 1 && q.head._1 == "not json")
+  }
+
   test("tombstone-shaped / malformed JSON decodes to null payload, not error") {
     import spark.implicits._
     val rows = CdcEnvelope.unwrapUsers(Seq("", "not json").toDF("value"), col("value"))
