@@ -407,13 +407,11 @@ object LlmOps {
     * the banded `llm_ann_lsh_topk` bucketing is the scale path). Threshold
     * on the rounded score keeps the cut cross-engine stable.
     *
-    * Physical plan: broadcast-block nested loop — the vector side (with
-    * precomputed norms) broadcasts once, each partition streams its rows
-    * against the in-memory block in a primitive loop; no per-pair array
-    * (de)serialization, which is what makes a join-per-pair plan ~50×
-    * slower. At 100 TB the same shape tiles the broadcast side into blocks
-    * (or switches to the LSH op); the exact all-pairs baseline is by
-    * definition bounded to corpora whose vector side fits a broadcast.
+    * Physical plan: tiled broadcast-block nested loop ([[embedCosinePairs]])
+    * — the vector side (with precomputed norms) broadcasts one bounded
+    * block at a time, each partition streams its rows against the in-memory
+    * block in a primitive loop; no per-pair array (de)serialization, which
+    * is what makes a join-per-pair plan ~50× slower.
     */
   val llmEmbedCosineDup: Q = Q(
     "llm_embed_cosine_dup",
@@ -421,24 +419,7 @@ object LlmOps {
       import s.implicits._
       val e = Tables.read(s, d, "embeddings")
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      val block = e.collect().sortBy(_._1)
-        .map { case (id, v) => (id, v, graft.functions.VectorMath.normD(v)) }
-      val bc = s.sparkContext.broadcast(block)
-      e.repartition(s.sparkContext.defaultParallelism)
-        .flatMap { case (id1, v1) =>
-          val n1 = graft.functions.VectorMath.normD(v1)
-          bc.value.iterator
-            .filter(_._1 > id1)
-            .map { case (id2, v2, n2) =>
-              val score = java.math.BigDecimal
-                .valueOf(graft.functions.VectorMath.dotD(v1, v2) / (n1 * n2))
-                .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
-              (id1, id2, score)
-            }
-            .filter(_._3 >= 0.35)
-        }
-        .toDF("id1", "id2", "score")
-        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+      embedCosinePairs(s, e)
     },
     Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
                    round(
@@ -457,6 +438,47 @@ object LlmOps {
                       * sqrt(list_sum(list_transform(range(1, 65),
                           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) >= 0.35
             ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
+
+  /** All-pairs exact cosine engine behind `llm_embed_cosine_dup` (unit-test
+    * seam: `blockRows` forces the tiled path).
+    *
+    * The broadcast side is TILED: ids are hash-partitioned into
+    * ceil(n / blockRows) blocks, each block broadcasts alone, and every
+    * block does one pass of the (cached) corpus in a primitive loop — the
+    * block-nested-loop shape. Peak driver/executor memory is one block, not
+    * the corpus, so the exact baseline degrades gracefully instead of
+    * hard-collecting; the blocks partition the id space, so each unordered
+    * pair is emitted exactly once and the result is byte-identical to the
+    * single-block plan. (Past ~10 blocks of useful size, prefer the LSH
+    * bucketed op — n²/blockRows passes stop paying.)
+    */
+  def embedCosinePairs(s: SparkSession,
+                       e: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+                       blockRows: Long = 500000L): DataFrame = {
+    import s.implicits._
+    val left = e.repartition(s.sparkContext.defaultParallelism).cache()
+    val n = left.count()
+    val nBlocks = math.max(1L, (n + blockRows - 1) / blockRows).toInt
+    val parts = (0 until nBlocks).map { blk =>
+      val block = left.filter(_._1 % nBlocks == blk).collect().sortBy(_._1)
+        .map { case (id, v) => (id, v, graft.functions.VectorMath.normD(v)) }
+      val bc = s.sparkContext.broadcast(block)
+      left.flatMap { case (id1, v1) =>
+        val n1 = graft.functions.VectorMath.normD(v1)
+        bc.value.iterator
+          .filter(_._1 > id1)
+          .map { case (id2, v2, n2) =>
+            val score = java.math.BigDecimal
+              .valueOf(graft.functions.VectorMath.dotD(v1, v2) / (n1 * n2))
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            (id1, id2, score)
+          }
+          .filter(_._3 >= 0.35)
+      }.toDF("id1", "id2", "score")
+    }
+    parts.reduce(_ union _)
+      .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+  }
 
   /** LSH-bucketed ANN top-k — the scale path for similarity search.
     * 6 deterministic pseudo-random hyperplanes (Rademacher ±1 components
@@ -482,10 +504,13 @@ object LlmOps {
       val qBucket = qRow.getInt(1)
       // multi-probe: query bucket + all Hamming-1 neighbor buckets
       val probes = qBucket +: (0 until nBits).map(b => qBucket ^ (1 << b))
-      val scoreUdf = udf((v: Array[Float]) =>
-        graft.functions.VectorMath.cosineD(v, qvec))
+      // exact re-rank via the native codegen'd graft_cosine expression (the
+      // query vector folds in as an array<float> literal — no ScalaUDF in
+      // the scoring stage)
       e.filter(col("vec_id") =!= 0 && col("bucket").isin(probes: _*))
-        .withColumn("score", round(scoreUdf(col("embedding")), 4))
+        .withColumn("qvec", typedLit(qvec))
+        .withColumn("score", round(cosineCols(s)("embedding", "qvec"), 4))
+        .drop("qvec")
         .select(col("vec_id"), col("label"), col("bucket"), col("score"))
         .orderBy(desc_nulls_first("score"), asc_nulls_first("vec_id"))
         .limit(10)

@@ -42,6 +42,30 @@ class LlmOpsSpec extends SparkSpec {
       s"bitmask=${viaBitmask.size} join=${viaJoin.size}")
   }
 
+  test("embed-cosine dup: tiled blocks emit exactly the single-block pairs") {
+    import spark.implicits._
+    val e = graft.Tables.read(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding")).as[(Long, Array[Float])]
+    def pairs(blockRows: Long) =
+      LlmOps.embedCosinePairs(spark, e, blockRows = blockRows)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = pairs(Long.MaxValue)
+    val tiled = pairs(100L) // 500 vectors → 5 blocks
+    assert(single.nonEmpty && single == tiled,
+      s"single=${single.size} tiled=${tiled.size}")
+  }
+
+  test("ANN re-rank plan scores via graft_cosine, not a ScalaUDF") {
+    val plan = LlmOps.llmAnnLshTopk.fn(spark, sf)
+      .queryExecution.optimizedPlan.toString()
+    // the one-pass bucket assignment keeps its (cheap) UDF; the score
+    // expression must be the native codegen'd graft_cosine over the
+    // folded-in query-vector literal
+    assert("""round\(graft_cosine\(embedding#\d+, \[""".r
+      .findFirstIn(plan).isDefined, plan.take(500))
+  }
+
   test("simhash: identical text → identical hash; 1-token edit ≪ disjoint text") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
