@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, LshBucket, Simhash64}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
@@ -14,9 +14,18 @@ import graft.functions.CosineSimilarity
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       exprs => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
+      exprs => LshBucket(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
+      exprs => Simhash64(exprs(0))))
+  }
 }

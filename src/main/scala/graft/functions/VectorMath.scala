@@ -87,6 +87,26 @@ object VectorMath {
   def planeComponent(plane: Int, dim: Int): Double =
     if ((splitmix64(plane.toLong * 64 + dim) & 1L) == 1L) 1.0 else -1.0
 
+  /** LSH bucket over Catalyst ArrayData in place (no array
+    * materialization) — called from both the interpreted and generated
+    * code of [[LshBucket]]. Same arithmetic and plane derivation as
+    * [[lshBucket]].
+    */
+  def lshBucketArrayData(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                         nBits: Int): Int = {
+    var bucket = 0
+    var b = 0
+    val n = v.numElements()
+    while (b < nBits) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getFloat(i).toDouble * planeComponent(b, i); i += 1 }
+      if (acc > 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
   /** Sign-LSH bucket of a vector under `nBits` derived hyperplanes. */
   def lshBucket(v: Array[Float], nBits: Int): Int = {
     var bucket = 0

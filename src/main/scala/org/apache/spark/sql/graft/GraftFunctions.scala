@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, LshBucket, Simhash64}
 
 /** Registration shim living in the `org.apache.spark.sql` namespace so it
   * can reach `sessionState.functionRegistry` (which is `private[sql]`) —
@@ -14,10 +14,14 @@ import graft.functions.CosineSimilarity
   */
 object GraftFunctions {
 
-  /** Idempotently register the `graft_cosine` native expression. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "built-in")
+  /** Idempotently register the graft native expressions. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_lsh_bucket", exprs => LshBucket(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => Simhash64(exprs(0)), "built-in")
+  }
 }

@@ -41,8 +41,46 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(df.head().isNullAt(0))
   }
 
-  test("GraftExtensions wires the function injection without error") {
+  test("GraftExtensions wires the function injections without error") {
     new graft.GraftExtensions().apply(new SparkSessionExtensions())
+  }
+
+  test("graft_lsh_bucket equals VectorMath.lshBucket bit-for-bit, UDF-free plan") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val vs = Seq(
+      Array(0.1f, -0.2f, 0.3f, 0.9f),
+      Array(-1f, -2f, -3f, -4f),
+      Array(0f, 0f, 0f, 1f))
+    val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      .selectExpr("i", "graft_lsh_bucket(v, 6) AS b")
+    val got = df.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    vs.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i) == VectorMath.lshBucket(v, 6), s"vec $i")
+    }
+    val p = graft.Tables.read(spark, sf, "embeddings")
+      .selectExpr("graft_lsh_bucket(embedding, 6) AS b")
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("ScalaUDF") && p.contains("graft_lsh_bucket"), p)
+  }
+
+  test("graft_simhash64 equals VectorMath.simhash64 bit-for-bit, UDF-free plan") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val texts = Seq("the quick brown fox", "a", "", "tok1 tok1 tok2")
+    val got = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+      .selectExpr("i", "graft_simhash64(t) AS h")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == VectorMath.simhash64(t), s"text '$t'")
+    }
+    val p = graft.Tables.read(spark, sf, "documents")
+      .selectExpr("graft_simhash64(text) AS h")
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("ScalaUDF") && p.contains("graft_simhash64"), p)
+    // null in → null out
+    val nulls = Seq(Option.empty[String]).toDF("t").selectExpr("graft_simhash64(t)")
+    assert(nulls.head().isNullAt(0))
   }
 
   test("splitmix64/fnv1a64 are stable (pinned values)") {
