@@ -68,8 +68,8 @@ object LlmOps {
             FROM documents GROUP BY md5(text) ORDER BY keep_id NULLS FIRST"""))
 
   /** Exact token-set Jaccard near-dup pairs (ground truth for the MinHash
-    * op). Adaptive physical plan: the distinct-token vocabulary is counted
-    * first (one cheap aggregation); when it fits 64 bits — as in this
+    * op). Adaptive physical plan: the distinct-token vocabulary is probed
+    * first (limit-65 — never fully collected); when it fits 64 bits — as in this
     * corpus (31) — each doc's token set becomes ONE long bitmask and the
     * pair loop is `bit_count(m1 & m2)` in whole-stage codegen over the
     * id1<id2 self-join, instead of the inverted-index join whose
@@ -97,20 +97,34 @@ object LlmOps {
             WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.9
             ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
 
+  /** Driver-safe vocabulary gate: Some(vocabulary, sorted) iff the distinct
+    * token vocabulary has ≤64 entries, None otherwise. Decided from a
+    * `limit(65)` probe — 65 rows back means "too big", and the full
+    * vocabulary (which may be 10M tokens on a real corpus) is NEVER
+    * collected to the driver; ≤64 rows back means the probe IS the whole
+    * vocabulary.
+    */
+  private[operators] def smallVocab(toks: DataFrame): Option[Array[String]] = {
+    val probe = toks.select(col("tok")).distinct().limit(65)
+      .collect().map(_.getString(0))
+    if (probe.length <= 64) Some(probe.sorted) else None
+  }
+
   /** Exact Jaccard pair engine behind `llm_jaccard_near_dup` (unit-test
     * seam: `bitmaskRowBudget` forces either physical path).
     *
     * The bitmask fast path needs BOTH a ≤64-token vocabulary AND a corpus
     * small enough to broadcast (one (long id, long mask, long sz) triple
     * per doc) — a 10B-doc corpus with a 30-token vocabulary must still
-    * take the inverted-index join, not an O(n²) driver-side pair scan.
+    * take the inverted-index join, not an O(n²) driver-side pair scan; and
+    * the ≤64 test itself is made from a `limit(65)` probe ([[smallVocab]]),
+    * so a huge vocabulary routes to the join without ever reaching the
+    * driver.
     */
   def jaccardPairs(s: SparkSession, toks: DataFrame,
                    bitmaskRowBudget: Long = 2000000L): DataFrame = {
-    // the token pipeline feeds several passes (vocab collect, mask build,
+    // the token pipeline feeds several passes (vocab probe, mask build,
     // pair-scan left side) — callers pass it cached
-    val vocab = toks.select(col("tok")).distinct()
-      .orderBy(col("tok")).collect().map(_.getString(0))
     def invertedIndexPairs: DataFrame = {
       val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       toks.select(col("doc_id").as("id1"), col("tok"))
@@ -123,8 +137,8 @@ object LlmOps {
           col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
         .filter(col("jaccard") >= 0.9)
     }
-    val pairs =
-      if (vocab.length <= 64) {
+    val pairs = smallVocab(toks) match {
+      case Some(vocab) =>
         import s.implicits._
         val bitOf = map(vocab.toSeq.zipWithIndex.flatMap {
           case (t, i) => Seq(lit(t), lit(i))
@@ -154,7 +168,8 @@ object LlmOps {
             }
             .toDF("id1", "id2", "inter", "n1", "n2", "jaccard")
         } else invertedIndexPairs
-      } else invertedIndexPairs
+      case None => invertedIndexPairs
+    }
     pairs
       .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
       .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
@@ -219,6 +234,20 @@ object LlmOps {
   val llmDedupMinhash: Q = Q(
     "llm_dedup_minhash",
     (s, d) => minhashPairs(s, docTokens(s, d)),
+    None)
+
+  /** The 100 TB minhash plan forced end-to-end on the real corpus:
+    * `broadcastRowBudget = 0` disables the broadcast-block fast path, so
+    * this key always runs the (band, band-hash) equi-join — the shape whose
+    * shuffle key is the band hash and whose candidate set is ≪ n². The
+    * sf-scale corpus otherwise always fits the broadcast budget, which
+    * would leave the scale path exercised only by unit tests; LlmOpsSpec
+    * proves both paths emit the identical pair set, and this key runs the
+    * banded one under the driver's rows-check on corpus data.
+    */
+  val llmDedupMinhashBanded: Q = Q(
+    "llm_dedup_minhash_banded",
+    (s, d) => minhashPairs(s, docTokens(s, d), broadcastRowBudget = 0L),
     None)
 
   /** MinHash candidate-pair engine behind `llm_dedup_minhash` (unit-test
@@ -344,18 +373,20 @@ object LlmOps {
 
   /** 64-bit simhash per document: sum ±1 per bit position over token
     * hashes (weighted by token multiplicity), take the sign bit-vector.
-    * One primitive-loop kernel per document ([[graft.functions.VectorMath
-    * .simhash64]]) — the equivalent higher-order-function pipeline
-    * (per-token 64-element bit arrays, element-wise array sums) evaluates
-    * a lambda tree per element and is ~50× slower.
+    * One primitive-loop kernel per document — the equivalent
+    * higher-order-function pipeline (per-token 64-element bit arrays,
+    * element-wise array sums) evaluates a lambda tree per element and is
+    * ~50× slower. The kernel runs as the native codegen'd
+    * [[graft.functions.Simhash64]] expression (bit-identical to
+    * `VectorMath.simhash64`; no ScalaUDF in the plan).
     */
   def simhashes(s: SparkSession, d: String): DataFrame =
     simhashOf(Tables.read(s, d, "documents"))
 
   /** Simhash over any (doc_id, text) DataFrame (unit-test seam). */
   def simhashOf(docs: DataFrame): DataFrame = {
-    val sh = udf((text: String) => graft.functions.VectorMath.simhash64(text))
-    docs.select(col("doc_id"), sh(col("text")).as("simhash"))
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
   }
 
   // --------------------------------------------------- similarity search
@@ -495,9 +526,11 @@ object LlmOps {
     "llm_ann_lsh_topk",
     (s, d) => {
       val nBits = 6
-      val bucketUdf = udf((v: Array[Float]) =>
-        graft.functions.VectorMath.lshBucket(v, nBits))
-      val e = Tables.read(s, d, "embeddings").withColumn("bucket", bucketUdf(col("embedding")))
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      // bucket assignment via the native codegen'd graft_lsh_bucket
+      // expression — the whole query plan is UDF-free (LlmOpsSpec asserts)
+      val e = Tables.read(s, d, "embeddings")
+        .withColumn("bucket", expr(s"graft_lsh_bucket(embedding, $nBits)"))
       val qRow = e.filter(col("vec_id") === 0)
         .select(col("embedding"), col("bucket")).head()
       val qvec = qRow.getSeq[Float](0).toArray
@@ -828,7 +861,7 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(
     llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
-    llmNgramJaccard, llmDedupMinhash,
+    llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
     llmDedupSimhash, llmCosineTopk, llmEmbedCosineDup, llmAnnLshTopk,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmDocFingerprint, llmMultimodalJoin,

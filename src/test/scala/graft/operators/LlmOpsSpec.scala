@@ -42,6 +42,31 @@ class LlmOpsSpec extends SparkSpec {
       s"bitmask=${viaBitmask.size} join=${viaJoin.size}")
   }
 
+  test("jaccard vocab gate: >64-token vocab probes small and routes to the join") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    import spark.implicits._
+    // corpus vocab (31 tokens) passes the gate with the complete vocabulary
+    val corpusToks = LlmOps.docTokens(spark, sf).cache()
+    val corpusVocab = LlmOps.smallVocab(corpusToks)
+    assert(corpusVocab.exists(v => v.length <= 64 && v.sorted.sameElements(v)))
+    // a 70-token vocabulary must yield None from the limit(65) probe — the
+    // gate decides from ≤65 rows, never materializing the vocabulary — and
+    // jaccardPairs can then only take the inverted-index join
+    val docs = Seq(
+      (1L, (1 to 70).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 70).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 35).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct().cache()
+    assert(LlmOps.smallVocab(toks).isEmpty)
+    val rows = LlmOps.jaccardPairs(spark, toks).collect()
+    // only (1,2) is a dup (J=1.0); (1,3)/(2,3) sit at J=0.5 < 0.9
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(rows.head.getDouble(5) == 1.0)
+  }
+
   test("embed-cosine dup: tiled blocks emit exactly the single-block pairs") {
     import spark.implicits._
     val e = graft.Tables.read(spark, sf, "embeddings")
@@ -56,11 +81,12 @@ class LlmOpsSpec extends SparkSpec {
       s"single=${single.size} tiled=${tiled.size}")
   }
 
-  test("ANN re-rank plan scores via graft_cosine, not a ScalaUDF") {
+  test("ANN plan is fully UDF-free: graft_lsh_bucket buckets, graft_cosine scores") {
     val plan = LlmOps.llmAnnLshTopk.fn(spark, sf)
       .queryExecution.optimizedPlan.toString()
-    // the one-pass bucket assignment keeps its (cheap) UDF; the score
-    // expression must be the native codegen'd graft_cosine over the
+    assert(!plan.contains("ScalaUDF"), plan.take(800))
+    assert(plan.contains("graft_lsh_bucket"), plan.take(800))
+    // the score expression is the native codegen'd graft_cosine over the
     // folded-in query-vector literal
     assert("""round\(graft_cosine\(embedding#\d+, \[""".r
       .findFirstIn(plan).isDefined, plan.take(500))
