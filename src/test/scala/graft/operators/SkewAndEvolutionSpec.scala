@@ -43,6 +43,38 @@ class SkewAndEvolutionSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("salting a skewed events key keeps rows and shrinks the hottest shuffle partition") {
+    // model a Zipf head on events.user_id: route ~75% of rows to one hot key
+    val ev = Tables.read(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(4)) =!= 0, lit(42L)).otherwise(col("user_id")))
+      .cache()
+    val dim = ev.select(col("user_id").as("d_key")).distinct()
+      .withColumn("d_tag", concat(lit("u"), col("d_key")))
+    // row-equivalence: salted join emits exactly the plain join's rows
+    val plain = ev.join(dim, ev("user_id") === dim("d_key"))
+      .select("event_id", "d_tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val salted = Skew.saltedJoin(ev, dim, "user_id", "d_key",
+        col("event_id"), buckets = 8)
+      .select("event_id", "d_tag").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(salted == plain && plain.nonEmpty)
+    // partition balance: hashing the big side by (key, salt) must shrink
+    // the hottest shuffle partition well below the unsalted hot-key one
+    def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long =
+      df.rdd.mapPartitions(it => Iterator(it.size.toLong)).collect().max
+    val unsaltedMax = maxPartitionRows(ev.repartition(32, col("user_id")))
+    val saltedMax = maxPartitionRows(
+      ev.withColumn("__graft_salt", pmod(xxhash64(col("event_id")), lit(8L)))
+        .repartition(32, col("user_id"), col("__graft_salt")))
+    val total = ev.count()
+    assert(unsaltedMax >= (total * 3) / 4, s"hot key should dominate: $unsaltedMax / $total")
+    assert(saltedMax * 3 < unsaltedMax,
+      s"salting should spread the hot key: salted=$saltedMax unsalted=$unsaltedMax")
+  }
+
   test("schema evolution: DDL + conform reproduce auto.evolve semantics") {
     import spark.implicits._
     val v1 = StructType(Seq(
