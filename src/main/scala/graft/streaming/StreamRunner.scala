@@ -17,21 +17,54 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamRunner {
   private val counter = new AtomicInteger(0)
 
+  /** One symlink source dir per (sfDir, table) per JVM — the dir contents
+    * are immutable, so repeated runs of the same query (Bench repetitions)
+    * reuse it instead of re-creating temp dirs.
+    */
+  private val sourceDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private val tunedSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** Streaming queries run on a child session whose shuffle-partition count
+    * — which for a stateful op is the number of state-store instances it
+    * creates, checkpoints, and commits EVERY micro-batch — is sized to the
+    * harness corpus: 32 state stores over a few thousand rows is per-query
+    * setup tax, not parallelism. Partition count never changes streaming
+    * results; at real scale this is the knob you RAISE with state size.
+    * The child shares the SparkContext; session-level confs the corpus
+    * needs (the parquet nanosAsLong flag) are applied by passing the child
+    * itself to `Tables.read`.
+    */
+  private[streaming] def tunedSession(spark: SparkSession): SparkSession =
+    tunedSessions.computeIfAbsent(spark, s => {
+      val child = s.newSession()
+      val parent = s.conf.get("spark.sql.shuffle.partitions", "8").toInt
+      child.conf.set("spark.sql.shuffle.partitions", math.min(8, parent).toString)
+      child
+    })
+
   /** Stream a corpus parquet table. File streaming needs an explicit schema,
     * so the batch reader supplies it (also triggering the `events`
-    * nanosAsLong conf in Tables.read). The corpus table is a single parquet
-    * FILE and Spark's file-stream source only accepts directories ("Option
+    * nanosAsLong conf in Tables.read — on the tuned child session, which is
+    * the one that reads). The corpus table is a single parquet FILE and
+    * Spark's file-stream source only accepts directories ("Option
     * 'basePath' must be a directory"), so the file is exposed through a
-    * per-run temp directory via symlink — the production shape is a
+    * per-JVM temp directory via symlink — the production shape is a
     * partitioned directory anyway.
     */
   def streamTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val schema = graft.Tables.read(spark, sfDir, name).schema
-    val dir = graft.util.TempDirs.create(s"graft_stream_src_$name")
-    java.nio.file.Files.createSymbolicLink(
-      dir.resolve(s"$name.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
-    spark.readStream.schema(schema).parquet(dir.toString)
+    val child = tunedSession(spark)
+    val schema = graft.Tables.read(child, sfDir, name).schema
+    val dir = sourceDirs.computeIfAbsent(s"$sfDir/$name", _ => {
+      val d = graft.util.TempDirs.create(s"graft_stream_src_$name")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve(s"$name.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
+      d
+    })
+    child.readStream.schema(schema).parquet(dir.toString)
   }
 
   /** Run a streaming DataFrame to completion into an in-memory table and
