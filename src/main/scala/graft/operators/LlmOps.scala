@@ -317,9 +317,13 @@ object LlmOps {
       } else {
         // (band, band-hash) equi-join: explode each signature into its
         // `bands` band slices; the xxhash64 of (band, slice) is the shuffle
-        // key, actual slice equality is verified post-join (the hash is a
-        // prefilter), and a pair matching in several bands is collapsed by
-        // the distinct BEFORE the (cheap) signature-match count.
+        // key and actual slice equality is verified post-join (the hash is
+        // a prefilter). The signature-match count is computed BEFORE the
+        // pair dedup, so the dedup is a groupBy over (id1, id2, matching) —
+        // three longs with map-side partial aggregation — instead of a
+        // distinct shuffling two full signatures per candidate row
+        // (`matching` is a pure function of the pair, so max() of
+        // duplicates is the value itself).
         val banded = sigs.select(col("doc_id"), col("sig"),
           explode(expr(
             s"transform(sequence(0, ${bands - 1}), b -> " +
@@ -333,11 +337,11 @@ object LlmOps {
           col("doc_id").as("id2"), col("sig").as("sig2"))
         a.join(b, Seq("band", "bh"))
           .filter(col("id1") < col("id2") && col("bs1") === col("bs2"))
-          .select(col("id1"), col("id2"), col("sig1"), col("sig2"))
-          .distinct()
           .select(col("id1"), col("id2"),
             expr("CAST(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) AS BIGINT)")
               .as("matching"))
+          .groupBy(col("id1"), col("id2"))
+          .agg(max(col("matching")).as("matching"))
           .withColumn("est_jaccard",
             col("matching").cast(DoubleType) / lit(numHashes.toDouble))
       }
