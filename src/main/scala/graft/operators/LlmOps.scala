@@ -178,7 +178,12 @@ object LlmOps {
   /** Token-shingle (3-gram) Jaccard near-dup pairs — the n-gram flavor of
     * the exact path; shingles are far more discriminative than unigrams, so
     * the threshold is lower. Shingling via a higher-order transform over the
-    * token array (no UDF).
+    * token array (no UDF); each shingle is immediately collapsed to its
+    * 64-bit xxhash64 so the distinct + inverted-index join shuffle fixed
+    * 8-byte keys instead of raw 3-gram strings (the 100 TB shuffle shape;
+    * a cross-shingle collision would perturb one intersection count with
+    * probability ~2^-64 per shingle pair — negligible against the DuckDB
+    * oracle, which computes on the raw strings).
     */
   val llmNgramJaccard: Q = Q(
     "llm_ngram_jaccard",
@@ -187,7 +192,8 @@ object LlmOps {
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
-          .as("sh"))
+          .as("sh_raw"))
+        .select(col("doc_id"), xxhash64(col("sh_raw")).as("sh"))
         .distinct()
         .cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
