@@ -668,43 +668,60 @@ object LlmOps {
     * (explode + agg + per-lang top-k window — distributed, scales with the
     * corpus), then COLLECT the profile — it is 5 langs × 20 bigrams
     * regardless of corpus size — and classify each document in one
-    * broadcast-profile UDF pass (distinct-bigram overlap argmax, count
-    * desc / lang asc tiebreak). The earlier explode-join-window scoring
-    * pass re-shuffled 2.5M bigram rows to compute what one string scan
-    * per doc answers. Not SQL-expressible as one deterministic query →
-    * rows-only check + spec.
+    * codegen'd scoring pass ([[scoreByProfile]]): the profile folds into
+    * ~100 `contains` terms, no UDF anywhere. Not SQL-expressible as one
+    * deterministic query → rows-only check + spec.
     */
   val llmLangIdNgram: Q = Q(
     "llm_lang_id_ngram",
     (s, d) => {
       val docs = Tables.read(s, d, "documents")
-      val profileRows = docs.select(col("lang"),
-        explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"))
-          .as("bg"))
-        .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg"))))
-        .filter(col("rk") <= 20)
-        .select(col("lang"), col("bg"))
-        .collect()
-      // lang -> its profile bigram set (sorted langs for a stable argmax)
-      val profile: Seq[(String, Set[String])] = profileRows
-        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet)
-        .toSeq.sortBy(_._1)
-      val classify = udf((text: String) => {
-        val bgs = (1 until text.length).map(i => text.substring(i - 1, i + 1)).toSet
-        // maxBy keeps the first max in seq order, and `profile` is sorted
-        // by lang — lexicographically smallest lang wins ties, matching
-        // the previous rank()-based tiebreak
-        profile.map { case (lang, p) => (lang, (p & bgs).size) }.maxBy(_._2)
-      })
-      docs.select(col("doc_id"), col("lang"), col("text"))
-        .withColumn("cls", classify(col("text")))
-        .select(col("doc_id"), col("lang"),
-          col("cls._1").as("predicted"), col("cls._2").cast(LongType).as("overlap"))
-        .orderBy(asc_nulls_first("doc_id"))
+      scoreByProfile(docs, langProfiles(docs))
     },
     None)
+
+  /** Distributed per-language top-20 character-bigram profiles. The
+    * collected result is `n_langs × 20` rows REGARDLESS of corpus size
+    * (O(1) driver state); langs sorted ascending for a stable argmax
+    * tiebreak downstream.
+    */
+  private[operators] def langProfiles(docs: DataFrame): Seq[(String, Seq[String])] =
+    docs.select(col("lang"),
+      explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"))
+        .as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("bg"))
+      .collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq.sorted)
+      .toSeq.sortBy(_._1)
+
+  /** One classification pass, fully inside whole-stage codegen: per lang,
+    * overlap = count of its profile bigrams PRESENT in the text — equal to
+    * |profile ∩ doc-bigram-set|, since a 2-char substring occurs in `text`
+    * iff it is one of the text's bigrams — as a sum of `contains` terms;
+    * argmax via `greatest` over (overlap, -langIndex) structs, so ties
+    * break to the lexicographically smallest lang exactly like the
+    * previous rank()-based form.
+    */
+  private[operators] def scoreByProfile(
+      docs: DataFrame, profile: Seq[(String, Seq[String])]): DataFrame = {
+    val scored = profile.zipWithIndex.map { case ((_, bgs), i) =>
+      val overlap = bgs.map(bg =>
+        when(col("text").contains(bg), 1).otherwise(0)).reduce(_ + _)
+      struct(overlap.as("overlap"), lit(-i).as("ni"))
+    }
+    val best = if (scored.size > 1) greatest(scored: _*) else scored.head
+    val langNames = typedLit(profile.map(_._1))
+    docs.select(col("doc_id"), col("lang"), col("text"))
+      .withColumn("best", best)
+      .select(col("doc_id"), col("lang"),
+        element_at(langNames, lit(1) - col("best.ni")).as("predicted"),
+        col("best.overlap").cast(LongType).as("overlap"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
 
   /** Document fingerprinting: polynomial rolling hash over characters then
     * tokens, pure 64-bit-safe integer arithmetic (mod 1e9+7) expressible

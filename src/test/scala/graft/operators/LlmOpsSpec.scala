@@ -165,4 +165,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.length == 500)
     assert(out.forall(r => !r.isNullAt(r.fieldIndex("predicted"))))
   }
+
+  test("lang-id codegen scoring equals the set-overlap reference, UDF-free") {
+    val docs = graft.Tables.read(spark, sf, "documents")
+    val profile = LlmOps.langProfiles(docs)
+    assert(profile.nonEmpty && profile.forall(_._2.size <= 20))
+    val scored = LlmOps.scoreByProfile(docs, profile)
+    assert(!scored.queryExecution.executedPlan.toString().contains("ScalaUDF"))
+    val got = scored.collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    // reference semantics: explicit distinct-bigram set intersection with
+    // first-max-wins argmax over langs sorted ascending
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val bgs = (1 until text.length).map(i => text.substring(i - 1, i + 1)).toSet
+      val exp = profile.map { case (lang, p) => (lang, (p.toSet & bgs).size) }.maxBy(_._2)
+      assert(got(id) == (exp._1, exp._2.toLong), s"doc $id: got ${got(id)} want $exp")
+    }
+  }
 }
