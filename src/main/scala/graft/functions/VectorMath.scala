@@ -1,8 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
-
 /** Primitive-loop vector kernels for embedding math.
   *
   * Catalyst's higher-order array functions (`aggregate`/`zip_with`) evaluate
@@ -13,9 +10,11 @@ import org.apache.spark.sql.functions.udf
   * to both the higher-order-function form and the DuckDB oracle's
   * `list_sum(list_transform(...))` — the IEEE reduction order never changes.
   *
-  * These are deliberate UDFs (SURVEY §4.2 prefers builtins): fixed-width
-  * numeric kernels are the one case where a tight JVM loop beats the
-  * codegen'd expression tree, the same trade MLlib's BLAS wrappers make.
+  * Fixed-width numeric kernels are the one case where a tight JVM loop
+  * beats the codegen'd expression tree (the same trade MLlib's BLAS
+  * wrappers make); they are invoked from the native expressions
+  * ([[CosineSimilarity]], [[LshBucket]], [[Simhash64]]) and from the
+  * broadcast-block pair loops — never as ScalaUDFs.
   */
 object VectorMath {
 
@@ -57,11 +56,6 @@ object VectorMath {
     i = 0
     while (i < b.numElements()) { val y = b.getFloat(i).toDouble; nb += y * y; i += 1 }
     dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  val cosine: (Column, Column) => Column = {
-    val u = udf(cosineD _)
-    (a, b) => u(a, b)
   }
 
   /** splitmix64 — deterministic 64-bit mix for derived pseudo-randomness
