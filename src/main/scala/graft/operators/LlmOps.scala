@@ -684,12 +684,18 @@ object LlmOps {
     * collected result is `n_langs × 20` rows REGARDLESS of corpus size
     * (O(1) driver state); langs sorted ascending for a stable argmax
     * tiebreak downstream.
+    *
+    * The generator input is the native map-returning
+    * [[graft.functions.BigramCounts]] expression — per-doc bigram counts
+    * in one kernel pass, so `explode` emits one row per DISTINCT bigram
+    * per doc (summed per (lang, bigram), exactly the totals the one-row-
+    * per-character-position `substr` explode produced) instead of one row
+    * per character of the corpus.
     */
-  private[operators] def langProfiles(docs: DataFrame): Seq[(String, Seq[String])] =
-    docs.select(col("lang"),
-      explode(expr("transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))"))
-        .as("bg"))
-      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("n"))
+  private[operators] def langProfiles(docs: DataFrame): Seq[(String, Seq[String])] = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("lang"), explode(expr("graft_bigram_counts(text)")).as(Seq("bg", "cnt")))
+      .groupBy(col("lang"), col("bg")).agg(sum(col("cnt")).as("n"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bg"))))
       .filter(col("rk") <= 20)
@@ -697,6 +703,7 @@ object LlmOps {
       .collect()
       .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq.sorted)
       .toSeq.sortBy(_._1)
+  }
 
   /** One classification pass, fully inside whole-stage codegen: per lang,
     * overlap = count of its profile bigrams PRESENT in the text — equal to

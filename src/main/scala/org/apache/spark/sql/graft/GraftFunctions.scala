@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{CosineSimilarity, LshBucket, Simhash64}
+import graft.functions.{BigramCounts, CosineSimilarity, LshBucket, Simhash64}
 
 /** Registration shim living in the `org.apache.spark.sql` namespace so it
   * can reach `sessionState.functionRegistry` (which is `private[sql]`) —
@@ -23,5 +23,7 @@ object GraftFunctions {
       "graft_lsh_bucket", exprs => LshBucket(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash64", exprs => Simhash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bigram_counts", exprs => BigramCounts(exprs(0)), "built-in")
   }
 }

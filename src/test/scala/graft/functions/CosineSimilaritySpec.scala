@@ -83,6 +83,38 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(nulls.head().isNullAt(0))
   }
 
+  test("graft_bigram_counts counts char bigrams, UDF-free plan") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val got = Seq((1, "abca"), (2, "aaa"), (3, "x"), (4, ""))
+      .toDF("i", "t")
+      .selectExpr("i", "graft_bigram_counts(t) AS m")
+      .collect().map(r => r.getInt(0) -> r.getMap[String, Int](1).toMap).toMap
+    assert(got(1) == Map("ab" -> 1, "bc" -> 1, "ca" -> 1))
+    assert(got(2) == Map("aa" -> 2))
+    assert(got(3) == Map.empty && got(4) == Map.empty)
+    val p = graft.Tables.read(spark, sf, "documents")
+      .selectExpr("graft_bigram_counts(text) AS m")
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("ScalaUDF") && p.contains("graft_bigram_counts"), p)
+  }
+
+  test("bigram-count explode sums to the positional substr explode totals") {
+    import org.apache.spark.sql.functions.{col, explode, expr}
+    GraftFunctions.register(spark)
+    val docs = graft.Tables.read(spark, sf, "documents")
+    val viaMap = docs
+      .select(col("lang"), explode(expr("graft_bigram_counts(text)")).as(Seq("bg", "cnt")))
+      .groupBy("lang", "bg").sum("cnt")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaPositions = docs
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, length(text) - 1), i -> substr(text, i, 2))")).as("bg"))
+      .groupBy("lang", "bg").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaMap == viaPositions && viaMap.nonEmpty)
+  }
+
   test("splitmix64/fnv1a64 are stable (pinned values)") {
     assert(VectorMath.splitmix64(0L) == -2152535657050944081L)
     assert(VectorMath.fnv1a64("spark") == 4844180546837584714L)
