@@ -29,17 +29,25 @@ object Bench {
       case None        => SparkEntry.queries
     }
     val results = selected.map { case (name, fn) =>
+      // A failed repetition records +Infinity, NOT its elapsed time — a
+      // fast-crashing rep must never win the min and masquerade as the
+      // best timing. A query whose reps ALL fail serializes as -1 plus an
+      // entry in "errors" (Infinity is not valid JSON).
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v.isInfinite => k }.toSeq.sorted
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (v.isInfinite) "-1" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.values.filterNot(_.isInfinite).sum
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

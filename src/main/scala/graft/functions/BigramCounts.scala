@@ -42,20 +42,27 @@ case class BigramCounts(child: Expression) extends UnaryExpression {
 object BigramCounts {
 
   /** Bigram-count kernel shared by interpreted and generated code. Bigrams
-    * are consecutive CHAR pairs of the JVM string — identical to
-    * `substr(text, i, 2)` positions for the BMP/ASCII corpus; insertion
-    * order of first occurrence, though map order is irrelevant to the
-    * downstream aggregate.
+    * are consecutive CODE-POINT pairs — matching `substr(text, i, 2)`
+    * positions for ALL inputs (Spark's `substr` counts code points, so a
+    * non-BMP character is one position, never a surrogate-pair half).
+    * Texts of fewer than two code points emit an empty map (no bigrams
+    * exist). Insertion order is first occurrence, though map order is
+    * irrelevant to the downstream aggregate.
     */
   def count(text: UTF8String): MapData = {
     val s = text.toString
     val m = new java.util.LinkedHashMap[String, Integer]()
-    var i = 1
-    while (i < s.length) {
-      val bg = s.substring(i - 1, i + 1)
-      val c = m.get(bg)
-      m.put(bg, if (c == null) 1 else Integer.valueOf(c.intValue() + 1))
-      i += 1
+    if (s.length > 0) {
+      var prev = 0                              // start index of previous code point
+      var cur = s.offsetByCodePoints(0, 1)      // start index of current code point
+      while (cur < s.length) {
+        val next = cur + Character.charCount(s.codePointAt(cur))
+        val bg = s.substring(prev, next)
+        val c = m.get(bg)
+        m.put(bg, if (c == null) 1 else Integer.valueOf(c.intValue() + 1))
+        prev = cur
+        cur = next
+      }
     }
     val n = m.size()
     val keys = new Array[Any](n)

@@ -39,12 +39,32 @@ object VectorMath {
   def cosineD(a: Array[Float], b: Array[Float]): Double =
     dotD(a, b) / (normD(a) * normD(b))
 
+  /** Fail loudly on null array elements: the parquet schema declares
+    * `array<float>` with `containsNull = true`, and `ArrayData.getFloat`
+    * on a null slot silently reads 0.0f — a wrong-answer mode the old
+    * `Array[Float]`-typed UDFs surfaced as an NPE at decode time. One
+    * predictable-branch scan per vector (~64 bit-checks) before the
+    * arithmetic loops.
+    */
+  private def requireNoNulls(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                             fn: String): Unit = {
+    var i = 0
+    val n = v.numElements()
+    while (i < n) {
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"$fn: null element at index $i — embedding vectors must be null-free")
+      i += 1
+    }
+  }
+
   /** cosine over Catalyst ArrayData in place (no array materialization) —
     * called from both the interpreted and generated code of
     * [[CosineSimilarity]]. Same reduction order as [[cosineD]].
     */
   def cosineArrayData(a: org.apache.spark.sql.catalyst.util.ArrayData,
                       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    requireNoNulls(a, "graft_cosine")
+    requireNoNulls(b, "graft_cosine")
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var i = 0
@@ -88,6 +108,7 @@ object VectorMath {
     */
   def lshBucketArrayData(v: org.apache.spark.sql.catalyst.util.ArrayData,
                          nBits: Int): Int = {
+    requireNoNulls(v, "graft_lsh_bucket")
     var bucket = 0
     var b = 0
     val n = v.numElements()

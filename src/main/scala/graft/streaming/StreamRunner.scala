@@ -24,8 +24,16 @@ object StreamRunner {
   private val sourceDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
-  private val tunedSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  /** Weak-keyed: a stopped-and-dropped parent session (multi-suite test
+    * JVMs stop and recreate sessions) must not be pinned forever by this
+    * cache — WeakHashMap lets the (parent → tuned child) pair be collected
+    * with the parent. The child holds no reference back to the parent
+    * (only the shared SparkContext), so the value never pins its key.
+    * Collections.synchronizedMap gives atomic computeIfAbsent.
+    */
+  private val tunedSessions: java.util.Map[SparkSession, SparkSession] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
 
   /** Streaming queries run on a child session whose shuffle-partition count
     * — which for a stateful op is the number of state-store instances it

@@ -99,6 +99,47 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && p.contains("graft_bigram_counts"), p)
   }
 
+  test("graft_bigram_counts iterates code points — non-BMP matches substr") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // U+1D54F is a surrogate pair in the JVM string but ONE position to
+    // Spark's substr; bigrams must pair whole code points, never halves
+    val t = "a𝕏b"
+    val viaKernel = Seq(t).toDF("t")
+      .selectExpr("graft_bigram_counts(t) AS m")
+      .head().getMap[String, Int](0).toMap
+    val viaSubstr = Seq(t).toDF("t")
+      .selectExpr("explode(transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))) AS bg")
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(viaKernel == viaSubstr)
+    assert(viaKernel == Map("a𝕏" -> 1, "𝕏b" -> 1))
+    // a lone surrogate-pair character has one code point — no bigrams
+    assert(Seq("𝕏").toDF("t")
+      .selectExpr("graft_bigram_counts(t) AS m")
+      .head().getMap[String, Int](0).isEmpty)
+  }
+
+  test("null array elements fail loudly, not as silent 0.0") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Array(Some(1f), None, Some(3f)), Array(Some(1f), Some(2f), Some(3f))))
+      .toDF("a", "b")
+    // depending on the evaluation path the guard surfaces directly or
+    // wrapped in a SparkException — match on the message chain either way
+    def messageChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val ex = intercept[Exception] {
+      df.selectExpr("graft_cosine(a, b)").collect()
+    }
+    assert(messageChain(ex).exists(_.contains("null element")), ex)
+    val ex2 = intercept[Exception] {
+      df.selectExpr("graft_lsh_bucket(a, 6)").collect()
+    }
+    assert(messageChain(ex2).exists(_.contains("null element")), ex2)
+  }
+
   test("bigram-count explode sums to the positional substr explode totals") {
     import org.apache.spark.sql.functions.{col, explode, expr}
     GraftFunctions.register(spark)
