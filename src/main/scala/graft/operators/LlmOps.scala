@@ -560,6 +560,104 @@ object LlmOps {
     },
     None)
 
+  /** IVF (inverted-file) ANN top-k — the second scale path for similarity
+    * search, complementing the LSH op: spherical-k-means centroids
+    * partition the corpus into `nLists` inverted lists, the query probes
+    * only the `nProbe` lists whose centroids are nearest, and candidates
+    * re-rank exactly by cosine.
+    *
+    * Everything is deterministic: seeds are the `nLists` lowest
+    * `xxhash64(vec_id)` vectors, Lloyd runs a FIXED 2 iterations with
+    * decimal-exact (associative, order-independent) coordinate means, and
+    * argmax ties break to the lowest list index — so repeated runs emit
+    * identical rows. At 100 TB: train centroids on a deterministic hash
+    * sample (the collected state is `nLists × dim` REGARDLESS of corpus
+    * size), write the corpus partitioned by `list_id` so a query's
+    * `nProbe` lists are pruned at the source, and broadcast the O(k)
+    * centroid set — no shuffle at query time at all, versus the LSH op's
+    * bucket equi-join. No oracle (approximate recall) — property-tested
+    * against brute force in LlmOpsSpec (probe-all ≡ exact top-k).
+    */
+  val llmAnnIvfTopk: Q = Q(
+    "llm_ann_ivf_topk",
+    (s, d) => annIvfTopk(s, Tables.read(s, d, "embeddings")),
+    None)
+
+  private[operators] def annIvfTopk(s: SparkSession, e: DataFrame,
+                                    nLists: Int = 8, nProbe: Int = 2,
+                                    topK: Int = 10): DataFrame = {
+    val centroids = ivfCentroids(e, nLists, iters = 2)
+    val qvec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // query → probe-list selection on the driver: k centroid cosines,
+    // O(nLists) work regardless of corpus size
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (graft.functions.VectorMath.cosineD(qvec, c), i) }
+      .sortBy { case (sc, i) => (-sc, i) }
+      .take(math.min(nProbe, nLists)).map(_._2)
+    assignLists(e, centroids)
+      .filter(col("vec_id") =!= 0 && col("list_id").isin(probes: _*))
+      .withColumn("qvec", typedLit(qvec))
+      .withColumn("score", round(cosineCols(s)("embedding", "qvec"), 4))
+      .drop("qvec")
+      .select(col("vec_id"), col("label"), col("list_id"), col("score"))
+      .orderBy(desc_nulls_first("score"), asc_nulls_first("vec_id"))
+      .limit(topK)
+  }
+
+  /** Deterministic spherical-k-means centroids (unit-test seam).
+    *
+    * Seeding: the `nLists` vectors with the lowest `xxhash64(vec_id)` — a
+    * deterministic pseudo-random sample, collected (O(nLists) driver
+    * state). Each Lloyd iteration is two distributed passes: a codegen'd
+    * argmax assignment ([[assignLists]]) and a per-(list, coordinate)
+    * mean via `posexplode` + hash agg. Means accumulate in DECIMAL —
+    * exact and associative, so the centroid bits never depend on Spark's
+    * partial-aggregation order (§2.0 determinism discipline applied to an
+    * iterative algorithm). An emptied list keeps its previous centroid.
+    */
+  private[operators] def ivfCentroids(e: DataFrame, nLists: Int,
+                                      iters: Int): Seq[Array[Float]] = {
+    var centroids: Seq[Array[Float]] = e
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(asc("h"), asc("vec_id"))
+      .limit(nLists)
+      .select(col("embedding"))
+      .collect().toSeq.map(_.getSeq[Float](0).toArray)
+    (1 to iters).foreach { _ =>
+      val byList = assignLists(e, centroids)
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("v").cast(DecimalType(24, 10))).as("m"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).floatValue()))
+        .groupBy(_._1)
+      centroids = centroids.indices.map { i =>
+        byList.get(i).fold(centroids(i))(_.sortBy(_._2).map(_._3).toArray)
+      }
+    }
+    centroids
+  }
+
+  /** One distributed assignment pass: nearest (max-cosine) centroid per
+    * vector, as a codegen'd `greatest` over (cosine, -index) structs —
+    * the same UDF-free argmax shape as [[scoreByProfile]]; the centroid
+    * vectors fold into the plan as `array<float>` literals. Ties break to
+    * the lowest list index.
+    */
+  private[operators] def assignLists(e: DataFrame,
+                                     centroids: Seq[Array[Float]]): DataFrame = {
+    require(centroids.nonEmpty, "IVF needs at least one centroid")
+    org.apache.spark.sql.graft.GraftFunctions.register(e.sparkSession)
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        call_function("graft_cosine", col("embedding"), typedLit(c)).as("s"),
+        lit(-i).as("ni"))
+    }
+    val best = if (scored.size > 1) greatest(scored: _*) else scored.head
+    e.withColumn("list_id", (lit(0) - best.getField("ni")).cast(IntegerType))
+  }
+
   // -------------------------------------------------------- text analysis
 
   /** Token statistics per language (UDTF surface: explode = Catalyst
@@ -715,6 +813,8 @@ object LlmOps {
     */
   private[operators] def scoreByProfile(
       docs: DataFrame, profile: Seq[(String, Seq[String])]): DataFrame = {
+    require(profile.nonEmpty,
+      "lang profile is empty (no documents / no langs) — nothing to score against")
     val scored = profile.zipWithIndex.map { case ((_, bgs), i) =>
       val overlap = bgs.map(bg =>
         when(col("text").contains(bg), 1).otherwise(0)).reduce(_ + _)
@@ -897,6 +997,7 @@ object LlmOps {
     llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
     llmDedupSimhash, llmCosineTopk, llmEmbedCosineDup, llmAnnLshTopk,
+    llmAnnIvfTopk,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmDocFingerprint, llmMultimodalJoin,
     llmMultimodalFeatures, tsUserValueSeries)

@@ -139,6 +139,44 @@ class LlmOpsSpec extends SparkSpec {
     assert(brute.collect().length == 10)
   }
 
+  test("IVF probe-all equals exact brute-force top-k; scores are exact") {
+    val e = graft.Tables.read(spark, sf, "embeddings")
+    // probing every list must recover the exact ranking bit-for-bit —
+    // same rounded-score + vec_id ordering as the brute-force op
+    val full = LlmOps.annIvfTopk(spark, e, nLists = 8, nProbe = 8)
+      .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = LlmOps.llmCosineTopk.fn(spark, sf)
+      .select("vec_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(full.toSeq == brute.toSeq)
+    // the default narrow probe returns exact scores (re-rank is exact)
+    val ann = LlmOps.llmAnnIvfTopk.fn(spark, sf)
+      .select("vec_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ann.nonEmpty && ann.length <= 10)
+    val bruteMap = brute.toMap
+    ann.filter { case (id, _) => bruteMap.contains(id) }
+      .foreach { case (id, s) => assert(bruteMap(id) == s, s"vec $id") }
+  }
+
+  test("IVF is deterministic and its assignment plan is UDF-free") {
+    val e = graft.Tables.read(spark, sf, "embeddings")
+    val r1 = LlmOps.llmAnnIvfTopk.fn(spark, sf).collect().toSeq
+    val r2 = LlmOps.llmAnnIvfTopk.fn(spark, sf).collect().toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+    // centroids are pure function of the corpus — stable across calls
+    val c1 = LlmOps.ivfCentroids(e, nLists = 4, iters = 2)
+    val c2 = LlmOps.ivfCentroids(e, nLists = 4, iters = 2)
+    assert(c1.map(_.toSeq) == c2.map(_.toSeq))
+    // every vector lands in exactly one list; assignment is codegen'd
+    val assigned = LlmOps.assignLists(e, c1)
+    assert(assigned.count() == e.count())
+    val plan = assigned.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("ScalaUDF"), plan.take(800))
+    assert(plan.contains("graft_cosine"), plan.take(800))
+    val lists = assigned.select("list_id").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(lists.subsetOf((0 until 4).toSet) && lists.nonEmpty)
+  }
+
   test("fake multimodal decoder is deterministic and total") {
     val d = new LlmOps.FakeImageDecoder
     val f1 = d.decode(7L, "ab".getBytes("UTF-8"))
@@ -164,6 +202,14 @@ class LlmOpsSpec extends SparkSpec {
     val out = LlmOps.llmLangIdNgram.fn(spark, sf).collect()
     assert(out.length == 500)
     assert(out.forall(r => !r.isNullAt(r.fieldIndex("predicted"))))
+  }
+
+  test("lang-id scoring rejects an empty profile with a clear message") {
+    val docs = graft.Tables.read(spark, sf, "documents")
+    val ex = intercept[IllegalArgumentException] {
+      LlmOps.scoreByProfile(docs, Seq.empty)
+    }
+    assert(ex.getMessage.contains("lang profile is empty"))
   }
 
   test("lang-id codegen scoring equals the set-overlap reference, UDF-free") {
