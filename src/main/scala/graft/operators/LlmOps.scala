@@ -521,6 +521,61 @@ object LlmOps {
       .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
   }
 
+  /** LSH-bucketed embedding near-dup — the 100 TB plan behind
+    * `llm_embed_cosine_dup`'s exact broadcast-block baseline (the doc there
+    * says "past ~10 blocks use LSH": this is that op). One native
+    * `graft_lsh_bucket(embedding, 32)` sign signature per vector, banded
+    * into 8 tables × 4 bits: candidates are pairs sharing at least one
+    * band value, i.e. an OR over 8 hash tables, found by an equi-join on
+    * (table, band) — the shuffle key — never an all-pairs scan. Survivors
+    * re-score EXACTLY (codegen'd cosine) and threshold, so precision is 1
+    * by construction (emitted ⊆ exact pairs with identical scores);
+    * recall is the banding collision probability (≈1 for true near-dups,
+    * lower near the threshold — property-measured in LlmOpsSpec).
+    * Scoring happens once per shared band BEFORE the pair-level groupBy:
+    * a ≤8× recompute of a 64-mult kernel beats shuffling distinct pairs
+    * and joining the vectors back (two extra shuffles). Skewed buckets
+    * (correlated corpora) are AQE skew-join territory; at 100 TB raise
+    * `bitsPerTable` so bucket occupancy tracks corpus growth. No oracle
+    * (approximate recall, not SQL-portable) — rows-only + spec.
+    */
+  val llmEmbedCosineDupLsh: Q = Q(
+    "llm_embed_cosine_dup_lsh",
+    (s, d) => embedCosinePairsLsh(s,
+      Tables.read(s, d, "embeddings").select(col("vec_id"), col("embedding"))),
+    None)
+
+  /** Banded-LSH near-dup engine (unit-test seam: `nTables`/`bitsPerTable`
+    * tune the recall/candidate-volume trade; `nTables * bitsPerTable ≤ 32`).
+    */
+  def embedCosinePairsLsh(s: SparkSession, e: DataFrame, tau: Double = 0.35,
+                          nTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+    require(nTables * bitsPerTable <= 32, "signature is a 32-bit int bucket")
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val nBits = nTables * bitsPerTable
+    val mask = (1 << bitsPerTable) - 1
+    val banded = e
+      .withColumn("sig", expr(s"graft_lsh_bucket(embedding, $nBits)"))
+      .select(col("vec_id"), col("embedding"),
+        explode(expr(s"transform(sequence(0, ${nTables - 1}), t -> " +
+          s"named_struct('t', t, 'b', shiftrightunsigned(sig, t * $bitsPerTable) & $mask))")).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    banded.select(col("t"), col("b"), col("vec_id").as("id1"), col("embedding").as("e1"))
+      .join(banded.select(col("t"), col("b"), col("vec_id").as("id2"), col("embedding").as("e2")),
+        Seq("t", "b"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(expr("graft_cosine(e1, e2)"), 4).as("score"))
+      .filter(col("score") >= tau)
+      // score is a pure function of the pair — max() over the ≤nTables
+      // duplicate band hits is the value itself; map-side partial agg
+      // shuffles three scalars per surviving pair
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("score")).as("score"))
+      .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+  }
+
   /** LSH-bucketed ANN top-k — the scale path for similarity search.
     * 6 deterministic pseudo-random hyperplanes (Rademacher ±1 components
     * derived from xxhash64(bit, dim)); bucket key = sign bits of the 6
@@ -996,8 +1051,8 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
-    llmDedupSimhash, llmCosineTopk, llmEmbedCosineDup, llmAnnLshTopk,
-    llmAnnIvfTopk,
+    llmDedupSimhash, llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
+    llmAnnLshTopk, llmAnnIvfTopk,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmDocFingerprint, llmMultimodalJoin,
     llmMultimodalFeatures, tsUserValueSeries)

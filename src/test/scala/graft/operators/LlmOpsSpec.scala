@@ -139,6 +139,41 @@ class LlmOpsSpec extends SparkSpec {
     assert(brute.collect().length == 10)
   }
 
+  test("LSH near-dup pairs ⊆ exact pairs with identical scores; recall bounded") {
+    val exact = LlmOps.llmEmbedCosineDup.fn(spark, sf)
+      .select("id1", "id2", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = LlmOps.llmEmbedCosineDupLsh.fn(spark, sf)
+      .select("id1", "id2", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1: every emitted pair is an exact pair with the exact score
+    lsh.foreach { case (pair, s) =>
+      assert(exact.get(pair).contains(s), s"$pair: lsh=$s exact=${exact.get(pair)}")
+    }
+    // recall: banding (8 tables × 4 bits) must recover a substantial share
+    // of true pairs at τ=0.35 (deterministic planes → a fixed number here)
+    val recall = lsh.size.toDouble / exact.size
+    info(f"banded-LSH recall at τ=0.35: ${lsh.size}/${exact.size} = $recall%.3f")
+    assert(exact.nonEmpty && recall >= 0.5, f"recall=$recall%.3f")
+    // true near-dups (well above the threshold) should essentially all
+    // collide in at least one band
+    val strong = exact.filter(_._2 >= 0.5).keySet
+    val strongHit = strong.count(lsh.contains)
+    assert(strong.isEmpty || strongHit.toDouble / strong.size >= 0.8,
+      s"strong-pair recall $strongHit/${strong.size}")
+  }
+
+  test("LSH near-dup is deterministic and joins on band keys, never all-pairs") {
+    val r1 = LlmOps.llmEmbedCosineDupLsh.fn(spark, sf).collect().toSeq
+    val r2 = LlmOps.llmEmbedCosineDupLsh.fn(spark, sf).collect().toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+    val plan = LlmOps.llmEmbedCosineDupLsh.fn(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      plan.take(800))
+    assert(!plan.contains("ScalaUDF"), plan.take(800))
+  }
+
   test("IVF probe-all equals exact brute-force top-k; scores are exact") {
     val e = graft.Tables.read(spark, sf, "embeddings")
     // probing every list must recover the exact ranking bit-for-bit —
