@@ -885,6 +885,104 @@ object LlmOps {
       .orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** Repetition filters (the Gopher-rules shape): per-document share of
+    * the most frequent token and duplicate-bigram fraction, with a
+    * combined `repetitive` flag — the standard "drop boilerplate/spam"
+    * gate of a training-data pipeline. Pure per-row HOF arithmetic
+    * (no shuffle at all: one scan, one projection); counts are exact
+    * ints, the two ratios are single double divisions (§2.0 rule 3).
+    * The token loop is |distinct| × |tokens| per doc — bounded by
+    * vocabulary, fine for natural text; for pathological docs
+    * pre-aggregate with the map-returning counts pattern
+    * ([[graft.functions.BigramCounts]]).
+    */
+  val llmRepetitionStats: Q = Q(
+    "llm_repetition_stats",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"),
+          expr("CAST(size(t) AS BIGINT)").as("n_tokens"),
+          expr("CAST(array_max(transform(array_distinct(t), d -> size(filter(t, x -> x = d)))) AS BIGINT)")
+            .as("top_tok_n"),
+          expr("""CAST(CASE WHEN size(t) >= 2
+                       THEN size(t) - 1 ELSE 0 END AS BIGINT)""").as("n_bigrams"),
+          expr("""CAST(CASE WHEN size(t) >= 2
+                       THEN size(array_distinct(transform(sequence(1, size(t) - 1),
+                                i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))
+                       ELSE 0 END AS BIGINT)""").as("n_distinct_bigrams"))
+        .withColumn("top_share", col("top_tok_n").cast(DoubleType) / col("n_tokens"))
+        .withColumn("dup_bigram_frac",
+          lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) / col("n_bigrams"))
+        .withColumn("repetitive",
+          col("top_share") > 0.2 || col("dup_bigram_frac") > 0.5)
+        .orderBy(asc_nulls_first("doc_id")),
+    Some("""WITH b AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            c AS (SELECT doc_id,
+                         CAST(len(t) AS BIGINT) AS n_tokens,
+                         CAST(list_aggregate(list_transform(list_distinct(t),
+                                d -> len(list_filter(t, x -> x = d))), 'max') AS BIGINT) AS top_tok_n,
+                         CAST(CASE WHEN len(t) >= 2 THEN len(t) - 1 ELSE 0 END AS BIGINT) AS n_bigrams,
+                         CAST(CASE WHEN len(t) >= 2
+                              THEN len(list_distinct(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1])))
+                              ELSE 0 END AS BIGINT) AS n_distinct_bigrams
+                  FROM b)
+            SELECT doc_id, n_tokens, top_tok_n, n_bigrams, n_distinct_bigrams,
+                   CAST(top_tok_n AS DOUBLE) / n_tokens AS top_share,
+                   1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+                   (CAST(top_tok_n AS DOUBLE) / n_tokens > 0.2
+                    OR 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams > 0.5) AS repetitive
+            FROM c ORDER BY doc_id NULLS FIRST"""))
+
+  /** Benchmark-decontamination screen: distinct 5-gram shingles of every
+    * non-eval document are checked against the union of eval-set shingles
+    * (the eval set here is the deterministic `doc_id % 50 = 0` slice —
+    * in production, the benchmark suites). Output per non-eval doc:
+    * shingle count, overlapping-shingle count, contamination fraction,
+    * flag. At 100 TB the eval shingle set is tiny and broadcasts — the
+    * scan-side work is one Generator + hash-agg pass, no corpus×corpus
+    * join ever exists.
+    */
+  val llmContaminationNgram: Q = Q(
+    "llm_contamination_ngram",
+    (s, d) => {
+      val sh = Tables.read(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(t) >= 5
+               THEN transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))
+               ELSE CAST(array() AS array<string>) END""")).as("sh"))
+        .distinct()
+      val evalSh = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
+      val nonEval = sh.filter(col("doc_id") % 50 =!= 0)
+      val totals = nonEval.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"))
+      val overlaps = nonEval.join(broadcast(evalSh), "sh")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      totals.join(overlaps, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .withColumn("contam_frac",
+          col("n_overlap").cast(DoubleType) / col("n_shingles"))
+        .withColumn("contaminated", col("n_overlap") > 0)
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i FROM toks),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh FROM pos),
+            ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+            ne AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+            tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM ne GROUP BY doc_id),
+            ov AS (SELECT ne.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+                   FROM ne JOIN ev USING (sh) GROUP BY ne.doc_id)
+            SELECT t.doc_id, t.n_shingles,
+                   COALESCE(o.n_overlap, 0) AS n_overlap,
+                   CAST(COALESCE(o.n_overlap, 0) AS DOUBLE) / t.n_shingles AS contam_frac,
+                   COALESCE(o.n_overlap, 0) > 0 AS contaminated
+            FROM tot t LEFT JOIN ov o ON t.doc_id = o.doc_id
+            ORDER BY t.doc_id NULLS FIRST"""))
+
   /** Document fingerprinting: polynomial rolling hash over characters then
     * tokens, pure 64-bit-safe integer arithmetic (mod 1e9+7) expressible
     * identically in both engines via ordered left folds.
@@ -1054,7 +1152,8 @@ object LlmOps {
     llmDedupSimhash, llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmAnnLshTopk, llmAnnIvfTopk,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
-    llmLangIdNgram, llmDocFingerprint, llmMultimodalJoin,
+    llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,
+    llmDocFingerprint, llmMultimodalJoin,
     llmMultimodalFeatures, tsUserValueSeries)
 }
 
