@@ -546,33 +546,70 @@ object LlmOps {
     None)
 
   /** Banded-LSH near-dup engine (unit-test seam: `nTables`/`bitsPerTable`
-    * tune the recall/candidate-volume trade; `nTables * bitsPerTable ≤ 32`).
+    * tune the recall/candidate-volume trade, `nTables * bitsPerTable ≤ 32`;
+    * `broadcastRowBudget` forces either score-resolve path).
+    *
+    * The band equi-join itself always runs COMPACT — (table, band, id,
+    * sig) rows, never the vectors: a candidate pair can hit up to
+    * `nTables` bands, and shuttling two 64-float arrays per hit through
+    * the shuffle is the wide-row mistake the minhash path already avoids.
+    * There is NO pair-level distinct either: a pair is emitted only from
+    * the FIRST table whose bands collide — decided bitwise from the two
+    * signatures the rows already carry (the lowest zero nibble of
+    * `sig1 ^ sig2`), a codegen'd filter in the join stage — so the
+    * candidate set arrives exactly-once with zero extra shuffle. Vectors
+    * are then attached for the one exact scoring pass:
+    * - vector side within `broadcastRowBudget` → two broadcast hash joins
+    *   (no shuffle; the sf-scale and any ≲10⁶-row dimension case);
+    * - beyond it → two key-partitioned shuffle joins against the vector
+    *   table (at 100 TB both sides bucket by id, and the candidate set is
+    *   band-bounded ≪ n²) — same rows either way, spec-proven.
     */
   def embedCosinePairsLsh(s: SparkSession, e: DataFrame, tau: Double = 0.35,
-                          nTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+                          nTables: Int = 8, bitsPerTable: Int = 4,
+                          broadcastRowBudget: Long = 500000L): DataFrame = {
     require(nTables * bitsPerTable <= 32, "signature is a 32-bit int bucket")
     org.apache.spark.sql.graft.GraftFunctions.register(s)
     val nBits = nTables * bitsPerTable
     val mask = (1 << bitsPerTable) - 1
     val banded = e
       .withColumn("sig", expr(s"graft_lsh_bucket(embedding, $nBits)"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"), col("sig"),
         explode(expr(s"transform(sequence(0, ${nTables - 1}), t -> " +
           s"named_struct('t', t, 'b', shiftrightunsigned(sig, t * $bitsPerTable) & $mask))")).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.t").as("t"), col("tb.b").as("b"))
-    banded.select(col("t"), col("b"), col("vec_id").as("id1"), col("embedding").as("e1"))
-      .join(banded.select(col("t"), col("b"), col("vec_id").as("id2"), col("embedding").as("e2")),
+      .select(col("vec_id"), col("sig"), col("tb.t").as("t"), col("tb.b").as("b"))
+    // exactly-once emission: of the ≤nTables tables where the pair's bands
+    // collide, keep only the lowest — t must be the FIRST zero
+    // `bitsPerTable`-wide nibble of sig1^sig2. Closed-form bitwise
+    // find-first-zero-nibble (the zero-byte-detect trick at nibble width:
+    // borrow propagation can corrupt flags ABOVE the first zero nibble,
+    // but the lowest flagged bit is always exact, and that is all we
+    // compare). Pure codegen'd integer ops, no per-element lambda fold.
+    val w = bitsPerTable
+    val lowM = (0 until nTables).map(t => 1L << (w * t)).sum
+    val highM = (0 until nTables).map(t => 1L << (w * t + w - 1)).sum
+    val candidates = banded
+      .select(col("t"), col("b"), col("vec_id").as("id1"), col("sig").as("sig1"))
+      .join(banded.select(col("t"), col("b"), col("vec_id").as("id2"), col("sig").as("sig2")),
         Seq("t", "b"))
       .filter(col("id1") < col("id2"))
+      .withColumn("x",
+        expr("(cast(sig1 as bigint) ^ cast(sig2 as bigint)) & 4294967295"))
+      .withColumn("zn", expr(s"((x - ${lowM}L) & ~x) & ${highM}L"))
+      .filter(expr(
+        s"(zn & -zn) = shiftleft(cast(${1L << (w - 1)} as bigint), t * $w)"))
+      .select(col("id1"), col("id2"))
+    val fits = e.count() <= broadcastRowBudget
+    def side(idCol: String, embCol: String) = {
+      val df = e.select(col("vec_id").as(idCol), col("embedding").as(embCol))
+      if (fits) broadcast(df) else df
+    }
+    candidates
+      .join(side("id1", "e1"), "id1")
+      .join(side("id2", "e2"), "id2")
       .select(col("id1"), col("id2"),
         round(expr("graft_cosine(e1, e2)"), 4).as("score"))
       .filter(col("score") >= tau)
-      // score is a pure function of the pair — max() over the ≤nTables
-      // duplicate band hits is the value itself; map-side partial agg
-      // shuffles three scalars per surviving pair
-      .groupBy(col("id1"), col("id2"))
-      .agg(max(col("score")).as("score"))
       .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
   }
 

@@ -163,6 +163,16 @@ class LlmOpsSpec extends SparkSpec {
       s"strong-pair recall $strongHit/${strong.size}")
   }
 
+  test("LSH near-dup broadcast and shuffle score-resolve paths are identical") {
+    val e = graft.Tables.read(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    val bcast = LlmOps.embedCosinePairsLsh(spark, e).collect().toSeq
+    val shuffled = LlmOps.embedCosinePairsLsh(spark, e, broadcastRowBudget = 0L)
+      .collect().toSeq
+    assert(bcast.nonEmpty && bcast == shuffled)
+  }
+
   test("LSH near-dup is deterministic and joins on band keys, never all-pairs") {
     val r1 = LlmOps.llmEmbedCosineDupLsh.fn(spark, sf).collect().toSeq
     val r2 = LlmOps.llmEmbedCosineDupLsh.fn(spark, sf).collect().toSeq
