@@ -48,6 +48,13 @@ class PlanSpec extends SparkSpec {
     assert(plan(SetOps.opTopkGlobal.fn(spark, sf)).contains("TakeOrderedAndProject"))
   }
 
+  test("llm_contamination_ngram broadcasts the eval shingle set") {
+    val p = plan(LlmOps.llmContaminationNgram.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval-set shingles must broadcast, not shuffle:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(800))
+  }
+
   test("agg_hash_groupby does partial (map-side) then final hash aggregation") {
     val p = plan(Aggregations.aggHashGroupby.fn(spark, sf))
     // partial_sum before the exchange, final sum after — two HashAggregates
