@@ -578,26 +578,11 @@ object LlmOps {
         explode(expr(s"transform(sequence(0, ${nTables - 1}), t -> " +
           s"named_struct('t', t, 'b', shiftrightunsigned(sig, t * $bitsPerTable) & $mask))")).as("tb"))
       .select(col("vec_id"), col("sig"), col("tb.t").as("t"), col("tb.b").as("b"))
-    // exactly-once emission: of the ≤nTables tables where the pair's bands
-    // collide, keep only the lowest — t must be the FIRST zero
-    // `bitsPerTable`-wide nibble of sig1^sig2. Closed-form bitwise
-    // find-first-zero-nibble (the zero-byte-detect trick at nibble width:
-    // borrow propagation can corrupt flags ABOVE the first zero nibble,
-    // but the lowest flagged bit is always exact, and that is all we
-    // compare). Pure codegen'd integer ops, no per-element lambda fold.
-    val w = bitsPerTable
-    val lowM = (0 until nTables).map(t => 1L << (w * t)).sum
-    val highM = (0 until nTables).map(t => 1L << (w * t + w - 1)).sum
     val candidates = banded
       .select(col("t"), col("b"), col("vec_id").as("id1"), col("sig").as("sig1"))
       .join(banded.select(col("t"), col("b"), col("vec_id").as("id2"), col("sig").as("sig2")),
         Seq("t", "b"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("x",
-        expr("(cast(sig1 as bigint) ^ cast(sig2 as bigint)) & 4294967295"))
-      .withColumn("zn", expr(s"((x - ${lowM}L) & ~x) & ${highM}L"))
-      .filter(expr(
-        s"(zn & -zn) = shiftleft(cast(${1L << (w - 1)} as bigint), t * $w)"))
+      .filter(col("id1") < col("id2") && isFirstMatchingBand(nTables, bitsPerTable))
       .select(col("id1"), col("id2"))
     val fits = e.count() <= broadcastRowBudget
     def side(idCol: String, embCol: String) = {
@@ -611,6 +596,25 @@ object LlmOps {
         round(expr("graft_cosine(e1, e2)"), 4).as("score"))
       .filter(col("score") >= tau)
       .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+  }
+
+  /** Exactly-once emission predicate over columns (t, sig1, sig2): of the
+    * ≤nTables tables where the pair's bands collide, keep only the lowest
+    * — t must be the FIRST zero `w`-wide nibble of sig1^sig2. Closed-form
+    * bitwise find-first-zero-nibble (the zero-byte-detect trick at nibble
+    * width: borrow propagation can corrupt flags ABOVE the first zero
+    * nibble, but the LOWEST flagged bit is always exact, and that is all
+    * the comparison reads; with no zero nibble at all the detector is 0
+    * and the predicate is false for every t). Pure codegen'd integer ops,
+    * no per-element lambda fold — property-tested against a positional
+    * reference in LlmOpsSpec.
+    */
+  private[operators] def isFirstMatchingBand(nTables: Int, w: Int): Column = {
+    val lowM = (0 until nTables).map(t => 1L << (w * t)).sum
+    val highM = (0 until nTables).map(t => 1L << (w * t + w - 1)).sum
+    val x = "((cast(sig1 as bigint) ^ cast(sig2 as bigint)) & 4294967295)"
+    val zn = s"((($x - ${lowM}L) & ~$x) & ${highM}L)"
+    expr(s"($zn & -$zn) = shiftleft(cast(${1L << (w - 1)} as bigint), t * $w)")
   }
 
   /** LSH-bucketed ANN top-k — the scale path for similarity search.

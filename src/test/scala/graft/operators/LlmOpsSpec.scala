@@ -163,6 +163,30 @@ class LlmOpsSpec extends SparkSpec {
       s"strong-pair recall $strongHit/${strong.size}")
   }
 
+  test("first-matching-band bitwise trick equals the positional reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{explode, expr}
+    val rnd = new scala.util.Random(42)
+    // mix of unrelated pairs and pairs with forced shared nibbles
+    val pairs = Seq.tabulate(500) { _ =>
+      val s1 = rnd.nextInt()
+      val s2 = if (rnd.nextBoolean()) s1 ^ (rnd.nextInt() & rnd.nextInt())
+               else rnd.nextInt()
+      (s1, s2)
+    }
+    val rows = pairs.toDF("sig1", "sig2")
+      .withColumn("t", explode(expr("sequence(0, 7)")))
+      .withColumn("got", LlmOps.isFirstMatchingBand(8, 4))
+      .collect()
+    assert(rows.length == 4000)
+    rows.foreach { r =>
+      val x = (r.getInt(0).toLong ^ r.getInt(1).toLong) & 0xFFFFFFFFL
+      val first = (0 until 8).find(t => ((x >>> (4 * t)) & 15) == 0).getOrElse(-1)
+      assert(r.getBoolean(3) == (r.getInt(2) == first),
+        s"sig1=${r.getInt(0)} sig2=${r.getInt(1)} t=${r.getInt(2)} first=$first")
+    }
+  }
+
   test("LSH near-dup broadcast and shuffle score-resolve paths are identical") {
     val e = graft.Tables.read(spark, sf, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
