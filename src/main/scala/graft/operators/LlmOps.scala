@@ -532,9 +532,8 @@ object LlmOps {
     * by construction (emitted ⊆ exact pairs with identical scores);
     * recall is the banding collision probability (≈1 for true near-dups,
     * lower near the threshold — property-measured in LlmOpsSpec).
-    * Scoring happens once per shared band BEFORE the pair-level groupBy:
-    * a ≤8× recompute of a 64-mult kernel beats shuffling distinct pairs
-    * and joining the vectors back (two extra shuffles). Skewed buckets
+    * Candidates arrive exactly once (first-colliding-table filter, see
+    * [[embedCosinePairsLsh]]) and score once each. Skewed buckets
     * (correlated corpora) are AQE skew-join territory; at 100 TB raise
     * `bitsPerTable` so bucket occupancy tracks corpus growth. No oracle
     * (approximate recall, not SQL-portable) — rows-only + spec.
@@ -584,7 +583,12 @@ object LlmOps {
         Seq("t", "b"))
       .filter(col("id1") < col("id2") && isFirstMatchingBand(nTables, bitsPerTable))
       .select(col("id1"), col("id2"))
-    val fits = e.count() <= broadcastRowBudget
+    // limit-probe, not count(): deciding the score-resolve shape needs
+    // only "≤ budget or not", so scan at most budget+1 rows (the r5
+    // jaccard-gate pattern) — and skip the job entirely when the shuffle
+    // path is forced
+    val probe = math.min(broadcastRowBudget + 1, Int.MaxValue.toLong).toInt
+    val fits = broadcastRowBudget > 0 && e.limit(probe).count() <= broadcastRowBudget
     def side(idCol: String, embCol: String) = {
       val df = e.select(col("vec_id").as(idCol), col("embedding").as(embCol))
       if (fits) broadcast(df) else df
@@ -953,8 +957,12 @@ object LlmOps {
                                 i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))
                        ELSE 0 END AS BIGINT)""").as("n_distinct_bigrams"))
         .withColumn("top_share", col("top_tok_n").cast(DoubleType) / col("n_tokens"))
+        // n_bigrams is 0 for sub-2-token docs and ANSI division by zero
+        // THROWS — null (not a crash) is the defined value there, matching
+        // the oracle's CASE
         .withColumn("dup_bigram_frac",
-          lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) / col("n_bigrams"))
+          when(col("n_bigrams") > 0,
+            lit(1.0) - col("n_distinct_bigrams").cast(DoubleType) / col("n_bigrams")))
         .withColumn("repetitive",
           col("top_share") > 0.2 || col("dup_bigram_frac") > 0.5)
         .orderBy(asc_nulls_first("doc_id")),
@@ -971,9 +979,13 @@ object LlmOps {
                   FROM b)
             SELECT doc_id, n_tokens, top_tok_n, n_bigrams, n_distinct_bigrams,
                    CAST(top_tok_n AS DOUBLE) / n_tokens AS top_share,
-                   1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams AS dup_bigram_frac,
+                   CASE WHEN n_bigrams > 0
+                        THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams END
+                     AS dup_bigram_frac,
                    (CAST(top_tok_n AS DOUBLE) / n_tokens > 0.2
-                    OR 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams > 0.5) AS repetitive
+                    OR CASE WHEN n_bigrams > 0
+                            THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams END > 0.5)
+                     AS repetitive
             FROM c ORDER BY doc_id NULLS FIRST"""))
 
   /** Benchmark-decontamination screen: distinct 5-gram shingles of every
@@ -981,8 +993,11 @@ object LlmOps {
     * (the eval set here is the deterministic `doc_id % 50 = 0` slice —
     * in production, the benchmark suites). Output per non-eval doc:
     * shingle count, overlapping-shingle count, contamination fraction,
-    * flag. At 100 TB the eval shingle set is tiny and broadcasts — the
-    * scan-side work is one Generator + hash-agg pass, no corpus×corpus
+    * flag. (Docs with <5 tokens have no shingles and are absent from the
+    * output by definition — in both engines.) At 100 TB the eval shingle
+    * set is tiny and broadcasts — the scan side is ONE Generator +
+    * left-broadcast-join + hash-agg pass (`count(*)` vs `count(hit)`
+    * yields total and overlapping shingles together); no corpus×corpus
     * join ever exists.
     */
   val llmContaminationNgram: Q = Q(
@@ -995,15 +1010,12 @@ object LlmOps {
                THEN transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))
                ELSE CAST(array() AS array<string>) END""")).as("sh"))
         .distinct()
-      val evalSh = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
-      val nonEval = sh.filter(col("doc_id") % 50 =!= 0)
-      val totals = nonEval.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"))
-      val overlaps = nonEval.join(broadcast(evalSh), "sh")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-      totals.join(overlaps, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_shingles"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      val evalSh = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("sh")).distinct().withColumn("hit", lit(1))
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalSh), Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_overlap"))
         .withColumn("contam_frac",
           col("n_overlap").cast(DoubleType) / col("n_shingles"))
         .withColumn("contaminated", col("n_overlap") > 0)
