@@ -1036,6 +1036,65 @@ object LlmOps {
             FROM tot t LEFT JOIN ov o ON t.doc_id = o.doc_id
             ORDER BY t.doc_id NULLS FIRST"""))
 
+  /** Deterministic multiplicative scramble of the doc id — the orderable
+    * pseudo-random key behind sampling/splitting, exact in both engines
+    * (64-bit-safe: doc_id × Knuth's 2654435761 stays < 2^63 for any
+    * realistic id, then mod 1e9+7). A stand-in for a salted xxhash64,
+    * which is not oracle-portable; swap the hash in production, the plan
+    * shape is identical.
+    */
+  private val scrambleSql = "(doc_id * 2654435761) % 1000000007"
+
+  /** Stratified sampling with exact per-stratum quotas — the data-mixing
+    * step of a training pipeline (N docs per language here; per-source
+    * weights are the same shape). Deterministic: rank by the scramble
+    * within each stratum, keep the first N. The window is ONE shuffle on
+    * the stratum key; with few heavy strata at 100 TB, pre-filter by a
+    * scramble threshold (rate-based sampling, shuffle-free) to decimate
+    * before the exact-quota rank, or salt the stratum for the partial
+    * top-N (the Windows.agg_topk_per_group discussion applies verbatim).
+    */
+  val llmStratifiedSample: Q = Q(
+    "llm_stratified_sample",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .withColumn("scramble", expr(scrambleSql))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("scramble"), col("doc_id"))))
+        .filter(col("rk") <= 40)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("rk").cast(LongType).as("rk"))
+        .orderBy(asc_nulls_first("lang"), asc("rk")),
+    Some(s"""WITH r AS (
+               SELECT doc_id, lang, source,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY $scrambleSql, doc_id) AS rk
+               FROM documents)
+             SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk
+             FROM r WHERE rk <= 40
+             ORDER BY lang NULLS FIRST, rk"""))
+
+  /** Deterministic train/val/test split assignment (90/5/5 by scramble
+    * bucket) — one scan, zero shuffles, reproducible across runs and
+    * engines; the standard holdout step every dataset build ends with.
+    */
+  val llmTrainSplit: Q = Q(
+    "llm_train_split",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .withColumn("bucket", expr(s"($scrambleSql) % 100"))
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          when(col("bucket") < 90, "train")
+            .when(col("bucket") < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy(asc_nulls_first("doc_id")),
+    Some(s"""SELECT doc_id, lang,
+                    ($scrambleSql) % 100 AS bucket,
+                    CASE WHEN ($scrambleSql) % 100 < 90 THEN 'train'
+                         WHEN ($scrambleSql) % 100 < 95 THEN 'val'
+                         ELSE 'test' END AS split
+             FROM documents ORDER BY doc_id NULLS FIRST"""))
+
   /** Document fingerprinting: polynomial rolling hash over characters then
     * tokens, pure 64-bit-safe integer arithmetic (mod 1e9+7) expressible
     * identically in both engines via ordered left folds.
@@ -1206,6 +1265,7 @@ object LlmOps {
     llmAnnLshTopk, llmAnnIvfTopk,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,
+    llmStratifiedSample, llmTrainSplit,
     llmDocFingerprint, llmMultimodalJoin,
     llmMultimodalFeatures, tsUserValueSeries)
 }
