@@ -16,7 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry covers the SURVEY §2 inventory size (≥ 74 declared keys)") {
-    assert(SparkEntry.queries.size >= 74)
+  test("registry matches the SURVEY §2 inventory size (106 keys, 88 oracles)") {
+    assert(SparkEntry.queries.size == 106,
+      s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
+    assert(SparkEntry.oracleSql.size == 88,
+      s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 }
