@@ -544,6 +544,22 @@ object LlmOps {
       Tables.read(s, d, "embeddings").select(col("vec_id"), col("embedding"))),
     None)
 
+  /** The banded-LSH near-dup with the SHUFFLE score-resolve forced
+    * (`broadcastRowBudget = 0`) — the plan that runs when the vector side
+    * outgrows a broadcast: candidates key-partition against the vector
+    * table twice instead of broadcast-hash-joining it. The sf-scale
+    * corpus always fits the broadcast budget, which would leave this
+    * shape exercised only by unit tests; this key runs it end-to-end on
+    * corpus data under the driver's rows-check (the minhash_banded
+    * precedent). LlmOpsSpec proves both resolves emit identical rows.
+    */
+  val llmEmbedCosineDupLshShuffled: Q = Q(
+    "llm_embed_cosine_dup_lsh_shuffled",
+    (s, d) => embedCosinePairsLsh(s,
+      Tables.read(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+      broadcastRowBudget = 0L),
+    None)
+
   /** Banded-LSH near-dup engine (unit-test seam: `nTables`/`bitsPerTable`
     * tune the recall/candidate-volume trade, `nTables * bitsPerTable ≤ 32`;
     * `broadcastRowBudget` forces either score-resolve path).
@@ -1262,7 +1278,7 @@ object LlmOps {
     llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
     llmDedupSimhash, llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
-    llmAnnLshTopk, llmAnnIvfTopk,
+    llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,
     llmStratifiedSample, llmTrainSplit,

@@ -16,8 +16,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (106 keys, 88 oracles)") {
-    assert(SparkEntry.queries.size == 106,
+  test("registry matches the SURVEY §2 inventory size (107 keys, 88 oracles)") {
+    assert(SparkEntry.queries.size == 107,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
     assert(SparkEntry.oracleSql.size == 88,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
