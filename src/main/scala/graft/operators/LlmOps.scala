@@ -1274,6 +1274,55 @@ object LlmOps {
                        v -> CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR)), ',') AS series
             FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST"""))
 
+  /** Time-series resample + forward-fill: each user's event stream lands
+    * on a regular hourly grid between their first and last event, each
+    * grid hour carrying the most recent observed value — the gap-fill
+    * step before windowed feature extraction. Scale shape: per-(user,
+    * hour) last-observation is ONE map-side-combinable struct-max agg
+    * (merge-order independent, event_id tiebreak); the grid explodes one
+    * row per user and joins back on the same (user, hour) key; the fill
+    * is one `last(ignoreNulls)` window per user. Grid size is bounded by
+    * the observed span (≤720 h on this corpus) — in production cap the
+    * span or coarsen the grid, since `sequence` materializes it.
+    */
+  val tsResampleFfill: Q = Q(
+    "ts_resample_ffill",
+    (s, d) => {
+      val e = Tables.read(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("h", expr("ts_us div 3600000000"))
+      val obs = e.groupBy(col("user_id"), col("h"))
+        .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("last_obs"))
+        .select(col("user_id"), col("h"), col("last_obs.value").as("obs_value"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(obs, Seq("user_id", "h"), "left")
+        .withColumn("value", last(col("obs_value"), ignoreNulls = true).over(w))
+        .select(col("user_id"), (col("h") * lit(3600000000L)).as("hour_ts_us"),
+          col("value"))
+        .orderBy(asc_nulls_first("user_id"), asc("hour_ts_us"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                              epoch_us(ts) // 3600000000 AS h, event_id, value
+                       FROM events),
+            obs AS (SELECT user_id, h, value FROM (
+                      SELECT user_id, h, value,
+                             row_number() OVER (PARTITION BY user_id, h
+                                                ORDER BY ts_us DESC, event_id DESC) AS rn
+                      FROM e) WHERE rn = 1),
+            bounds AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY user_id),
+            grid AS (SELECT user_id, unnest(range(h0, h1 + 1)) AS h FROM bounds)
+            SELECT g.user_id, g.h * 3600000000 AS hour_ts_us,
+                   last_value(o.value IGNORE NULLS)
+                     OVER (PARTITION BY g.user_id ORDER BY g.h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+            FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+            ORDER BY g.user_id NULLS FIRST, hour_ts_us"""))
+
   val all: Seq[Q] = Seq(
     llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
@@ -1283,7 +1332,7 @@ object LlmOps {
     llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,
     llmStratifiedSample, llmTrainSplit,
     llmDocFingerprint, llmMultimodalJoin,
-    llmMultimodalFeatures, tsUserValueSeries)
+    llmMultimodalFeatures, tsUserValueSeries, tsResampleFfill)
 }
 
 /** Output row of the multimodal feature extraction (stubbed decode). */
