@@ -364,22 +364,105 @@ object LlmOps {
     */
   val llmDedupSimhash: Q = Q(
     "llm_dedup_simhash",
+    (s, d) => simhashPairs(s, d)
+      .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2")),
+    None)
+
+  /** Unsorted simhash Hamming≤3 pair engine — shared by the registered op
+    * (which adds the presentation sort) and the cluster-resolution op
+    * (which treats the pairs as an edge list, where a sort is wasted
+    * work).
+    */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sims = simhashes(s, d)
+    val chunked = sims.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), " +
+        "c -> named_struct('chunk', c, 'v', (simhash >> (c * 16)) & 65535))")).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+    chunked.select(col("chunk"), col("v"), col("doc_id").as("id1"), col("simhash").as("sh1"))
+      .join(chunked.select(col("chunk"), col("v"), col("doc_id").as("id2"), col("simhash").as("sh2")),
+        Seq("chunk", "v"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), expr("bit_count(sh1 ^ sh2)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Near-dup cluster resolution — the step every dedup pipeline ends
+    * with: fold the pairwise near-dup graph (here: the simhash Hamming≤3
+    * pairs) into connected components and keep ONE representative (the
+    * minimum doc_id) per component. Every document appears in the output
+    * with its cluster id and a `keep` decision; singletons keep
+    * themselves.
+    *
+    * Physical shape: Pregel-style min-label propagation on DataFrames —
+    * per round, one (edge ⋈ label) shuffle + a min-aggregation, with
+    * `localCheckpoint` truncating the iterative plan lineage. Rounds =
+    * graph diameter (near-dup components are shallow; the corpus
+    * converges in ≤3). At extreme scale swap in the large-star/small-star
+    * rounds of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" (SOCC'14) — same DataFrame skeleton, O(log n) rounds on
+    * high-diameter graphs. Not SQL-expressible as one deterministic
+    * query (iterative fixpoint) → rows-only + spec vs a union-find
+    * reference on the real pair set.
+    */
+  val llmDedupClusterRep: Q = Q(
+    "llm_dedup_cluster_rep",
     (s, d) => {
-      val sims = simhashes(s, d)
-      val chunked = sims.select(col("doc_id"), col("simhash"),
-        explode(expr("transform(sequence(0, 3), " +
-          "c -> named_struct('chunk', c, 'v', (simhash >> (c * 16)) & 65535))")).as("cc"))
-        .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
-      chunked.select(col("chunk"), col("v"), col("doc_id").as("id1"), col("simhash").as("sh1"))
-        .join(chunked.select(col("chunk"), col("v"), col("doc_id").as("id2"), col("simhash").as("sh2")),
-          Seq("chunk", "v"))
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"), expr("bit_count(sh1 ^ sh2)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+      val pairs = simhashPairs(s, d).select(col("id1"), col("id2"))
+      val docs = Tables.read(s, d, "documents").select(col("doc_id"))
+      dedupClusterRep(pairs, docs)
     },
     None)
+
+  /** Component engine behind `llm_dedup_cluster_rep` (unit-test seam).
+    *
+    * Propagation runs ONLY over nodes that appear in a pair — singletons
+    * can never change label, so the per-round joins scale with the
+    * near-dup subgraph, not the corpus; singletons rejoin (label = own
+    * id, size 1) in the final projection. Each round materializes once
+    * (`localCheckpoint`, also truncating lineage) and the convergence
+    * check scans that materialized result — no extra shuffle.
+    */
+  def dedupClusterRep(pairs: DataFrame, nodes: DataFrame,
+                      maxRounds: Int = 20): DataFrame = {
+    // materialize the pair plan ONCE before the union references it twice
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(p.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    // one propagation hop, lazily; carries the round-start label in `old`
+    def propagate(lbl: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(lbl.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src")).agg(min(col("nl")).as("nmin"))
+      lbl.join(neighborMin.select(col("src").as("id"), col("nmin")), Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+    }
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // two propagation hops per materialization: halves the checkpoint +
+      // convergence-action count, and a round covers a 2-hop neighborhood
+      val next = propagate(propagate(labels.withColumn("old", col("label"))))
+        .localCheckpoint()
+      converged = next.filter(col("label") < col("old")).isEmpty
+      labels = next.select(col("id"), col("label"))
+      round += 1
+    }
+    val resolved = nodes.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
+    val sizes = resolved.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+    resolved.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        (col("doc_id") === col("cluster")).as("keep"))
+      .orderBy(asc_nulls_first("doc_id"))
+  }
 
   /** 64-bit simhash per document: sum ±1 per bit position over token
     * hashes (weighted by token multiplicity), take the sign bit-vector.
@@ -1326,7 +1409,8 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
-    llmDedupSimhash, llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
+    llmDedupSimhash, llmDedupClusterRep,
+    llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,

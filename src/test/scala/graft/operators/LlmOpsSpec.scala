@@ -163,6 +163,34 @@ class LlmOpsSpec extends SparkSpec {
       s"strong-pair recall $strongHit/${strong.size}")
   }
 
+  test("cluster representatives equal a union-find reference on the pair graph") {
+    val pairs = LlmOps.llmDedupSimhash.fn(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = LlmOps.llmDedupClusterRep.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val nDocs = graft.Tables.read(spark, sf, "documents").count()
+    assert(out.length == nDocs)
+    // union-find reference over the same pairs (min id as representative)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+    }
+    val expected = out.map { case (id, _, _, _) => id -> find(id) }.toMap
+    val sizes = expected.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { case (id, cluster, size, keep) =>
+      assert(cluster == expected(id), s"doc $id: cluster $cluster != ${expected(id)}")
+      assert(size == sizes(expected(id)), s"doc $id size")
+      assert(keep == (id == expected(id)), s"doc $id keep")
+    }
+    // sanity: the pair graph is non-trivial at this sf
+    assert(pairs.nonEmpty && out.count(!_._4) > 0)
+  }
+
   test("first-matching-band bitwise trick equals the positional reference") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{explode, expr}
