@@ -454,6 +454,9 @@ object LlmOps {
       labels = next.select(col("id"), col("label"))
       round += 1
     }
+    // never return silently-unconverged (wrong) cluster labels
+    require(converged,
+      s"cluster label propagation did not converge in $maxRounds rounds")
     val resolved = nodes.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
@@ -769,39 +772,80 @@ object LlmOps {
     * `xxhash64(vec_id)` vectors, Lloyd runs a FIXED 2 iterations with
     * decimal-exact (associative, order-independent) coordinate means, and
     * argmax ties break to the lowest list index — so repeated runs emit
-    * identical rows. At 100 TB: train centroids on a deterministic hash
-    * sample (the collected state is `nLists × dim` REGARDLESS of corpus
-    * size), write the corpus partitioned by `list_id` so a query's
-    * `nProbe` lists are pruned at the source, and broadcast the O(k)
-    * centroid set — no shuffle at query time at all, versus the LSH op's
-    * bucket equi-join. No oracle (approximate recall) — property-tested
-    * against brute force in LlmOpsSpec (probe-all ≡ exact top-k).
+    * identical rows.
+    *
+    * The index is REAL, not recomputed per query: [[ivfBuild]] writes the
+    * assigned corpus as parquet `partitionBy("list_id")` (the inverted
+    * lists ARE the storage partitions) and [[ivfQuery]] reads it back
+    * with `list_id IN (probes)` — Spark prunes the non-probed lists at
+    * the SOURCE (LlmOpsSpec asserts the scan's `inputFiles` all live
+    * under probed `list_id=` directories). At 100 TB that is the whole
+    * point of IVF: query cost scales with `nProbe/nLists` of the corpus,
+    * not the corpus; centroid state is `nLists × dim` driver-side
+    * regardless of corpus size; there is no shuffle at query time at
+    * all, versus the LSH op's bucket equi-join. No oracle (approximate
+    * recall) — property-tested against brute force in LlmOpsSpec
+    * (probe-all ≡ exact top-k).
     */
   val llmAnnIvfTopk: Q = Q(
     "llm_ann_ivf_topk",
     (s, d) => annIvfTopk(s, Tables.read(s, d, "embeddings")),
     None)
 
-  private[operators] def annIvfTopk(s: SparkSession, e: DataFrame,
-                                    nLists: Int = 8, nProbe: Int = 2,
-                                    topK: Int = 10): DataFrame = {
-    val centroids = ivfCentroids(e, nLists, iters = 2)
-    val qvec = e.filter(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
-    // query → probe-list selection on the driver: k centroid cosines,
-    // O(nLists) work regardless of corpus size
-    val probes = centroids.zipWithIndex
+  /** Built IVF index handle: the `list_id`-partitioned parquet path plus
+    * the O(nLists × dim) centroid set (the only driver-side state).
+    */
+  final case class IvfIndex(path: String, centroids: Seq[Array[Float]])
+
+  /** Index-build pass (write-once, query-many): train centroids, assign
+    * every vector to its nearest list, persist partitioned by `list_id`.
+    */
+  private[operators] def ivfBuild(e: DataFrame, nLists: Int = 8,
+                                  iters: Int = 2): IvfIndex = {
+    val centroids = ivfCentroids(e, nLists, iters)
+    val dir = graft.util.TempDirs.create("graft_ivf").toString
+    assignLists(e, centroids)
+      .write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    IvfIndex(dir, centroids)
+  }
+
+  /** Probe-list selection on the driver: `nLists` centroid cosines,
+    * O(nLists) work regardless of corpus size; ties break to the lowest
+    * list index.
+    */
+  private[operators] def ivfProbes(index: IvfIndex, qvec: Array[Float],
+                                   nProbe: Int): Seq[Int] =
+    index.centroids.zipWithIndex
       .map { case (c, i) => (graft.functions.VectorMath.cosineD(qvec, c), i) }
       .sortBy { case (sc, i) => (-sc, i) }
-      .take(math.min(nProbe, nLists)).map(_._2)
-    assignLists(e, centroids)
-      .filter(col("vec_id") =!= 0 && col("list_id").isin(probes: _*))
+      .take(math.min(nProbe, index.centroids.size)).map(_._2)
+
+  /** Query pass over a built index: partition-pruned scan of the probed
+    * lists only + exact codegen'd cosine re-rank. No shuffle, no scan of
+    * non-probed lists.
+    */
+  private[operators] def ivfQuery(s: SparkSession, index: IvfIndex,
+                                  qvec: Array[Float], excludeVecId: Long,
+                                  nProbe: Int, topK: Int): DataFrame = {
+    val probes = ivfProbes(index, qvec, nProbe)
+    s.read.parquet(index.path)
+      .filter(col("list_id").isin(probes: _*) && col("vec_id") =!= excludeVecId)
       .withColumn("qvec", typedLit(qvec))
       .withColumn("score", round(cosineCols(s)("embedding", "qvec"), 4))
       .drop("qvec")
-      .select(col("vec_id"), col("label"), col("list_id"), col("score"))
+      .select(col("vec_id"), col("label"),
+        col("list_id").cast(IntegerType).as("list_id"), col("score"))
       .orderBy(desc_nulls_first("score"), asc_nulls_first("vec_id"))
       .limit(topK)
+  }
+
+  private[operators] def annIvfTopk(s: SparkSession, e: DataFrame,
+                                    nLists: Int = 8, nProbe: Int = 2,
+                                    topK: Int = 10): DataFrame = {
+    val index = ivfBuild(e, nLists)
+    val qvec = e.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    ivfQuery(s, index, qvec, excludeVecId = 0L, nProbe, topK)
   }
 
   /** Deterministic spherical-k-means centroids (unit-test seam).
@@ -1035,10 +1079,13 @@ object LlmOps {
     * gate of a training-data pipeline. Pure per-row HOF arithmetic
     * (no shuffle at all: one scan, one projection); counts are exact
     * ints, the two ratios are single double divisions (§2.0 rule 3).
-    * The token loop is |distinct| × |tokens| per doc — bounded by
-    * vocabulary, fine for natural text; for pathological docs
-    * pre-aggregate with the map-returning counts pattern
-    * ([[graft.functions.BigramCounts]]).
+    * `top_tok_n` (max token multiplicity) is the max RUN LENGTH of the
+    * sorted token array: one `array_sort` + one O(n) `aggregate` fold —
+    * O(n log n) per doc even on pathological long low-diversity docs
+    * (the exact docs a repetition filter exists to catch), versus the
+    * naive |distinct| × |tokens| count-each-distinct loop. The oracle
+    * keeps the naive form — the value is algorithm-independent, so the
+    * hash compare also proves the fold correct on every corpus doc.
     */
   val llmRepetitionStats: Q = Q(
     "llm_repetition_stats",
@@ -1047,8 +1094,18 @@ object LlmOps {
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"),
           expr("CAST(size(t) AS BIGINT)").as("n_tokens"),
-          expr("CAST(array_max(transform(array_distinct(t), d -> size(filter(t, x -> x = d)))) AS BIGINT)")
-            .as("top_tok_n"),
+          expr("""CASE WHEN size(t) = 0 THEN CAST(NULL AS BIGINT) ELSE
+                  aggregate(array_sort(t),
+                    named_struct('prev', CAST(NULL AS STRING),
+                                 'run',  CAST(0 AS BIGINT),
+                                 'best', CAST(0 AS BIGINT)),
+                    (a, x) -> named_struct('prev', x,
+                      'run',  CASE WHEN x = a.prev THEN a.run + 1
+                                   ELSE CAST(1 AS BIGINT) END,
+                      'best', greatest(a.best,
+                        CASE WHEN x = a.prev THEN a.run + 1
+                             ELSE CAST(1 AS BIGINT) END)),
+                    a -> a.best) END""").as("top_tok_n"),
           expr("""CAST(CASE WHEN size(t) >= 2
                        THEN size(t) - 1 ELSE 0 END AS BIGINT)""").as("n_bigrams"),
           expr("""CAST(CASE WHEN size(t) >= 2
@@ -1375,9 +1432,13 @@ object LlmOps {
         .select(col("user_id"), expr("ts div 1000").as("ts_us"),
           col("event_id"), col("value"))
         .withColumn("h", expr("ts_us div 3600000000"))
+      // max_by keyed STRICTLY on (ts_us, event_id) — the oracle's
+      // row_number orders by the same two columns, so the engines share
+      // the exact tiebreak even if a (user, hour, ts_us, event_id) slot
+      // ever held conflicting values. (event_id is unique, so the key is
+      // total; map-side combinable like any declarative agg.)
       val obs = e.groupBy(col("user_id"), col("h"))
-        .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("last_obs"))
-        .select(col("user_id"), col("h"), col("last_obs.value").as("obs_value"))
+        .agg(max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("obs_value"))
       val grid = e.groupBy(col("user_id"))
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("h"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Property/behavior tests for the non-oracle LLM ops (SURVEY §5.2). */
 class LlmOpsSpec extends SparkSpec {
@@ -272,6 +273,47 @@ class LlmOpsSpec extends SparkSpec {
     val lists = assigned.select("list_id").distinct()
       .collect().map(_.getInt(0)).toSet
     assert(lists.subsetOf((0 until 4).toSet) && lists.nonEmpty)
+  }
+
+  test("IVF query scans ONLY the probed lists — partition pruning at the source") {
+    val e = graft.Tables.read(spark, sf, "embeddings")
+    val index = LlmOps.ivfBuild(e, nLists = 8)
+    val qvec = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val nProbe = 2
+    val probed = LlmOps.ivfProbes(index, qvec, nProbe).toSet
+    assert(probed.size == nProbe)
+    val q = LlmOps.ivfQuery(spark, index, qvec, excludeVecId = 0L,
+      nProbe = nProbe, topK = 10)
+    val rows = q.collect().toSeq
+    assert(rows.nonEmpty)
+    // the physical plan carries the partition filter (not a post-scan
+    // Filter over a full read) ...
+    val planStr = q.queryExecution.executedPlan.toString()
+    assert(planStr.contains("PartitionFilters") && planStr.contains("list_id"),
+      planStr.take(1200))
+    // ... and the executed scan's numFiles metric equals the file count of
+    // the PROBED list_id= directories only — the non-probed inverted lists
+    // are never read
+    val finalPlan = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val numFiles = scan.metrics("numFiles").value
+    def filesIn(list: Int): Int =
+      Option(new java.io.File(new java.io.File(index.path), s"list_id=$list")
+        .listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    val probedFiles = probed.toSeq.map(filesIn).sum
+    val allFiles = (0 until 8).map(filesIn).sum
+    assert(numFiles == probedFiles, s"scan read $numFiles files, probed dirs hold $probedFiles")
+    assert(numFiles < allFiles, s"pruning read all $allFiles files")
+    // query results over the index match the one-shot op end-to-end
+    val viaOp = LlmOps.llmAnnIvfTopk.fn(spark, sf).collect().toSeq
+    assert(rows == viaOp)
   }
 
   test("fake multimodal decoder is deterministic and total") {
