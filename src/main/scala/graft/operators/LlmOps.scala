@@ -399,12 +399,14 @@ object LlmOps {
     * per round, one (edge ⋈ label) shuffle + a min-aggregation, with
     * `localCheckpoint` truncating the iterative plan lineage. Rounds =
     * graph diameter (near-dup components are shallow; the corpus
-    * converges in ≤3). At extreme scale swap in the large-star/small-star
-    * rounds of Kiveris et al., "Connected Components in MapReduce and
-    * Beyond" (SOCC'14) — same DataFrame skeleton, O(log n) rounds on
-    * high-diameter graphs. Not SQL-expressible as one deterministic
-    * query (iterative fixpoint) → rows-only + spec vs a union-find
-    * reference on the real pair set.
+    * converges in ≤3). For extreme scale / high-diameter graphs the
+    * large-star/small-star contraction of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SOCC'14) is IMPLEMENTED as
+    * [[dedupClusterRepStar]] — O(log² n) rounds independent of diameter,
+    * spec-proven to emit the identical cluster table on the real pair
+    * set. Not SQL-expressible as one deterministic query (iterative
+    * fixpoint) → rows-only + spec vs a union-find reference on the real
+    * pair set.
     */
   val llmDedupClusterRep: Q = Q(
     "llm_dedup_cluster_rep",
@@ -457,6 +459,14 @@ object LlmOps {
     // never return silently-unconverged (wrong) cluster labels
     require(converged,
       s"cluster label propagation did not converge in $maxRounds rounds")
+    resolveClusters(labels, nodes)
+  }
+
+  /** Shared final projection of both component engines: singletons rejoin
+    * (label = own id), cluster sizes are counted, and the minimum doc of
+    * each cluster is the `keep` representative.
+    */
+  private def resolveClusters(labels: DataFrame, nodes: DataFrame): DataFrame = {
     val resolved = nodes.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster"))
@@ -465,6 +475,84 @@ object LlmOps {
       .select(col("doc_id"), col("cluster"), col("cluster_size"),
         (col("doc_id") === col("cluster")).as("keep"))
       .orderBy(asc_nulls_first("doc_id"))
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., SOCC'14) — the beyond-propagation scale path:
+    * round count is O(log² n) INDEPENDENT of graph diameter, so a 100 TB
+    * chain-shaped near-dup graph converges in ~a dozen rounds where
+    * min-label propagation needs diameter rounds.
+    *
+    * Each round is two passes over the edge list, both plain
+    * shuffle-agg-join shapes:
+    *   - large-star: for every node u with m = min(N(u) ∪ u), re-hang
+    *     every STRICTLY LARGER neighbor v > u onto m;
+    *   - small-star: orient edges toward the larger endpoint; for every
+    *     node u with smaller-neighbor set N⁻(u) and m = min(N⁻(u)),
+    *     re-hang u and all of N⁻(u) \ m onto m.
+    * The fixpoint is a star forest: every edge is (node → component
+    * minimum). Convergence is checked on a cheap deterministic edge-set
+    * signature (count + sum of xxhash64 pairs) over the materialized
+    * round result — no extra shuffle beyond the round itself.
+    */
+  private[operators] def dedupClusterRepStar(pairs: DataFrame, nodes: DataFrame,
+                                             maxRounds: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(col("id1").as("u"), col("id2").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val m = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val hangNeighbors = oriented.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val hangSelf = m.select(col("u"), col("m").as("v"))
+      hangNeighbors.union(hangSelf).distinct()
+    }
+
+    // hashes masked to 32 bits before the sum: ANSI long-overflow-safe up
+    // to ~2^31 edges
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).bitwiseAND(lit(4294967295L))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      edges = next
+      sig = nextSig
+      round += 1
+    }
+    require(converged,
+      s"star contraction did not converge in $maxRounds rounds")
+    // fixpoint edges are (node → component min); roots label themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("v").as("label")))
+      .distinct()
+    resolveClusters(labels, nodes)
   }
 
   /** 64-bit simhash per document: sum ±1 per bit position over token
@@ -778,8 +866,9 @@ object LlmOps {
     * assigned corpus as parquet `partitionBy("list_id")` (the inverted
     * lists ARE the storage partitions) and [[ivfQuery]] reads it back
     * with `list_id IN (probes)` — Spark prunes the non-probed lists at
-    * the SOURCE (LlmOpsSpec asserts the scan's `inputFiles` all live
-    * under probed `list_id=` directories). At 100 TB that is the whole
+    * the SOURCE (LlmOpsSpec asserts the executed scan's `numFiles` metric
+    * equals the file count of the probed `list_id=` directories alone).
+    * At 100 TB that is the whole
     * point of IVF: query cost scales with `nProbe/nLists` of the corpus,
     * not the corpus; centroid state is `nLists × dim` driver-side
     * regardless of corpus size; there is no shuffle at query time at

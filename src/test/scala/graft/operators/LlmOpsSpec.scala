@@ -192,6 +192,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.nonEmpty && out.count(!_._4) > 0)
   }
 
+  test("large-star/small-star contraction emits the identical cluster table") {
+    // the real pair graph: star contraction must agree with min-label
+    // propagation row for row
+    val pairs = LlmOps.simhashPairs(spark, sf).select("id1", "id2")
+    val docs = graft.Tables.read(spark, sf, "documents").select("doc_id")
+    val viaProp = LlmOps.dedupClusterRep(pairs, docs).collect().toSeq
+    val viaStar = LlmOps.dedupClusterRepStar(pairs, docs).collect().toSeq
+    assert(viaStar == viaProp && viaStar.nonEmpty)
+    // a 60-node path graph (diameter 59) — the shape propagation is worst
+    // at and star contraction exists for; plus a disjoint triangle and
+    // isolated singletons
+    import spark.implicits._
+    val chain = (0L until 59L).map(i => (100 + i, 101 + i)) ++
+      Seq((500L, 501L), (501L, 502L), (500L, 502L))
+    val chainNodes = ((100L to 160L) ++ (500L to 503L)).toDF("doc_id")
+    val star = LlmOps.dedupClusterRepStar(chain.toDF("id1", "id2"), chainNodes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    star.foreach { case (id, cluster, size, keep) =>
+      val (expCluster, expSize) =
+        if (id <= 159) (100L, 60L)
+        else if (id == 160) (160L, 1L)
+        else if (id <= 502) (500L, 3L)
+        else (503L, 1L)
+      assert(cluster == expCluster && size == expSize && keep == (id == expCluster),
+        s"doc $id → ($cluster, $size, $keep)")
+    }
+  }
+
   test("first-matching-band bitwise trick equals the positional reference") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{explode, expr}
