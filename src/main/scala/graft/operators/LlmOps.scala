@@ -1037,23 +1037,31 @@ object LlmOps {
     * ratio, average token length, combined score — pure integer counts +
     * per-row double arithmetic, identical expression tree on both engines.
     */
+  /** Per-doc quality metrics + combined score, carrying `lang` — shared by
+    * the score op and the per-lang quantile filter ([[graft.operators
+    * .PipelineOps.llmQualityQuantile]]).
+    */
+  private[operators] def qualityScored(s: SparkSession, d: String): DataFrame =
+    Tables.read(s, d, "documents")
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"),
+        col("n_chars"))
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(size(t) AS BIGINT)").as("n_tokens"),
+        expr("CAST(size(array_distinct(t)) AS BIGINT)").as("n_types"),
+        expr("CAST(size(filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT)").as("n_stop"),
+        col("n_chars"))
+      .withColumn("ttr", col("n_types").cast(DoubleType) / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
+      .withColumn("avg_tok_len",
+        (col("n_chars") - col("n_tokens") + 1).cast(DoubleType) / col("n_tokens"))
+      .withColumn("quality",
+        round(col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.3, 6))
+
   val llmQualityScore: Q = Q(
     "llm_quality_score",
     (s, d) =>
-      Tables.read(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("t"), col("n_chars"))
-        .select(col("doc_id"),
-          expr("CAST(size(t) AS BIGINT)").as("n_tokens"),
-          expr("CAST(size(array_distinct(t)) AS BIGINT)").as("n_types"),
-          expr("CAST(size(filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT)").as("n_stop"),
-          col("n_chars"))
-        .withColumn("ttr", col("n_types").cast(DoubleType) / col("n_tokens"))
-        .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
-        .withColumn("avg_tok_len",
-          (col("n_chars") - col("n_tokens") + 1).cast(DoubleType) / col("n_tokens"))
-        .withColumn("quality",
-          round(col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.3 +
-            least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.3, 6))
+      qualityScored(s, d)
         .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_stop"),
           col("ttr"), col("stop_ratio"), col("avg_tok_len"), col("quality"))
         .orderBy(asc_nulls_first("doc_id")),
@@ -1288,7 +1296,7 @@ object LlmOps {
     * which is not oracle-portable; swap the hash in production, the plan
     * shape is identical.
     */
-  private val scrambleSql = "(doc_id * 2654435761) % 1000000007"
+  private[operators] val scrambleSql = "(doc_id * 2654435761) % 1000000007"
 
   /** Stratified sampling with exact per-stratum quotas — the data-mixing
     * step of a training pipeline (N docs per language here; per-source

@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** SURVEY §2.8 extension — second wave of training-data-pipeline operators
+  * (retrieval backbone, corpus filtering/mixing, event-stream features)
+  * over `documents` / `events`.
+  *
+  * Scale shapes, per op: the inverted index and TF-IDF are one
+  * Generator + hash-agg pass each (the exact skeleton every retrieval /
+  * contamination op here shares); sessionization and z-score are one
+  * shuffle per op, keyed by `user_id` (the natural event-stream
+  * partitioning — co-partitioned with every other per-user op);
+  * quantile filtering and mix rebalancing are one window / one
+  * hash-agg + broadcast-scalar pass over `documents`. §2.0 determinism
+  * discipline throughout: exact ints and DECIMAL sums first, a bounded
+  * number of IEEE-exact double ops (`+ - * / sqrt` are correctly
+  * rounded, so both engines emit identical bits) after, `round(…, 6)`
+  * only where a transcendental (`ln`) enters.
+  */
+object PipelineOps {
+
+  // ------------------------------------------------------------ retrieval
+
+  /** Inverted index over the corpus: token → document frequency,
+    * collection frequency, sorted postings list — the backbone structure
+    * behind the n-gram/contamination joins, materialized as a first-class
+    * table. One Generator + one hash agg; at 100 TB the postings arrays
+    * are the only wide payload, and they shuffle ONCE, already grouped by
+    * token (for truly hot tokens, cap or bucket the postings — `df`/`cf`
+    * stay exact either way).
+    */
+  val llmInvertedIndex: Q = Q(
+    "llm_inverted_index",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cf"),
+          count_distinct(col("doc_id")).as("df"),
+          sort_array(collect_set(col("doc_id"))).as("postings"))
+        .orderBy(asc_nulls_first("token")),
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                       FROM documents)
+            SELECT token, count(*) AS cf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   list_sort(list(DISTINCT doc_id)) AS postings
+            FROM t GROUP BY token ORDER BY token NULLS FIRST"""))
+
+  /** Per-doc top-3 terms by TF-IDF — the classic term-weighting pass of a
+    * retrieval / keyword-extraction pipeline. `tf` and `df` are exact
+    * ints; `ln` is the one transcendental, so the score is rounded to 6
+    * decimals BEFORE ranking and the rank tiebreaks on the term — both
+    * engines rank the identical ordering. Two hash aggs + one broadcast
+    * (the df side is |vocab| rows) + one window, all keyed consistently.
+    */
+  val llmTfidfTopTerms: Q = Q(
+    "llm_tfidf_top_terms",
+    (s, d) => {
+      val docs = Tables.read(s, d, "documents")
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val scored = tf.join(broadcast(df), "term")
+        .withColumn("tfidf",
+          round(col("tf") * expr(s"ln(CAST($n AS DOUBLE) / df)"), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(desc("tfidf"), asc("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          col("tfidf"), col("rk"))
+        .orderBy(asc_nulls_first("doc_id"), asc("rk"))
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                       FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT term, count(*) AS df
+                   FROM (SELECT DISTINCT doc_id, term FROM t) GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                          round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+                   FROM tf JOIN df USING (term) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                             ORDER BY tfidf DESC, term) AS rk FROM sc)
+            SELECT doc_id, term, tf, df, tfidf, rk FROM r WHERE rk <= 3
+            ORDER BY doc_id NULLS FIRST, rk"""))
+
+  // ---------------------------------------------------- filtering / mixing
+
+  /** Per-language quality-quantile filter: keep the top quartile of each
+    * language by the shared quality score ([[LlmOps.qualityScored]]).
+    * Rank-based (`percent_rank` = (rank-1)/(n-1), one exact division —
+    * no interpolated-percentile float hazard), tiebroken by `doc_id` so
+    * the cut is total and engine-identical. One window shuffle keyed by
+    * `lang`; at 100 TB this is the same plan at any size — the quantile
+    * is never collected.
+    */
+  val llmQualityQuantile: Q = Q(
+    "llm_quality_quantile",
+    (s, d) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(asc("quality"), asc("doc_id"))
+      LlmOps.qualityScored(s, d)
+        .withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") >= 0.75)
+        .select(col("doc_id"), col("lang"), col("quality"), col("pr"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, lang,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop
+              FROM documents),
+            q AS (SELECT doc_id, lang,
+                         round(CAST(n_types AS DOUBLE) / n_tokens * 0.4
+                               + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+                               + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3, 6)
+                           AS quality
+                  FROM b),
+            r AS (SELECT doc_id, lang, quality,
+                         percent_rank() OVER (PARTITION BY lang
+                                              ORDER BY quality, doc_id) AS pr
+                  FROM q)
+            SELECT doc_id, lang, quality, pr FROM r WHERE pr >= 0.75
+            ORDER BY doc_id NULLS FIRST"""))
+
+  /** Mix rebalancing (data-mixing step): flatten the (lang, source) cell
+    * distribution by sampling every cell down to the size of the SMALLEST
+    * cell, with the same deterministic scramble rank as
+    * `llm_stratified_sample`. Emits the kept docs plus each cell's size
+    * and effective sampling rate. One hash agg for cell sizes (broadcast
+    * back), one window for the per-cell rank — the min-cell scalar is
+    * O(#cells) regardless of corpus size. At 100 TB with heavy cells,
+    * swap the rank window for the rate-based scramble threshold (as
+    * documented on the stratified-sample op) — the quota here is exact by
+    * construction either way.
+    */
+  val llmMixRebalance: Q = Q(
+    "llm_mix_rebalance",
+    (s, d) => {
+      val docs = Tables.read(s, d, "documents")
+      val cells = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cell_n"))
+      val target = cells.agg(min(col("cell_n"))).head().getLong(0)
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("scramble"), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("scramble", expr(LlmOps.scrambleSql))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= target)
+        .join(broadcast(cells), Seq("lang", "source"))
+        .select(col("doc_id"), col("lang"), col("source"), col("cell_n"),
+          round(lit(target).cast(DoubleType) / col("cell_n"), 6).as("rate"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some(s"""WITH cells AS (SELECT lang, source, count(*) AS cell_n
+                            FROM documents GROUP BY 1, 2),
+             tgt AS (SELECT min(cell_n) AS target FROM cells),
+             r AS (SELECT doc_id, lang, source,
+                          row_number() OVER (PARTITION BY lang, source
+                            ORDER BY ${LlmOps.scrambleSql}, doc_id) AS rk
+                   FROM documents)
+             SELECT r.doc_id, r.lang, r.source, c.cell_n,
+                    round(CAST(t.target AS DOUBLE) / c.cell_n, 6) AS rate
+             FROM r JOIN cells c ON r.lang = c.lang AND r.source = c.source
+             CROSS JOIN tgt t
+             WHERE r.rk <= t.target ORDER BY r.doc_id NULLS FIRST"""))
+
+  // ----------------------------------------------------------- event ops
+
+  /** Sessionization: split each user's event stream into sessions at
+    * inactivity gaps > 6 h (the corpus' median inter-event gap is ~7 h,
+    * so real multi-event sessions emerge), then aggregate per session.
+    * The classic clickstream/feature-pipeline op: one `user_id`-keyed
+    * window (lag + running sum of session-start flags) + one hash agg on
+    * (user, session) — all exact integer arithmetic, one shuffle total
+    * since the agg is co-keyed with the window.
+    */
+  val tsSessionize: Q = Q(
+    "ts_sessionize",
+    (s, d) => {
+      val gapUs = 21600000000L // 6 h
+      val e = Tables.read(s, d, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy(asc_nulls_first("user_id"), asc("session_idx"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+            f AS (SELECT user_id, event_id, ts_us,
+                         lag(ts_us) OVER (PARTITION BY user_id
+                                          ORDER BY ts_us, event_id) AS prev
+                  FROM e),
+            g AS (SELECT user_id, ts_us,
+                         CASE WHEN prev IS NULL OR ts_us - prev > 21600000000
+                              THEN 1 ELSE 0 END AS new_sess
+                  FROM f),
+            h AS (SELECT user_id, ts_us,
+                         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                           AS session_idx
+                  FROM g)
+            SELECT user_id, session_idx,
+                   count(*) AS n_events,
+                   min(ts_us) AS start_us, max(ts_us) AS end_us,
+                   max(ts_us) - min(ts_us) AS duration_us
+            FROM h GROUP BY user_id, session_idx
+            ORDER BY user_id NULLS FIRST, session_idx"""))
+
+  /** Per-user z-score anomaly flags over event values — the outlier
+    * screen before feature extraction. Moments accumulate in DECIMAL
+    * (exact, merge-order independent — the §2.0 iterative-agg
+    * discipline); mean/var/σ then convert once to double, and the z
+    * itself is IEEE-exact `- / sqrt` arithmetic, identical bits in both
+    * engines. Single-value users (σ = 0) get NULL z and a false flag.
+    * One `user_id`-keyed hash agg + one broadcast-shaped join back —
+    * co-partitioned with sessionization.
+    */
+  val tsZscoreAnomaly: Q = Q(
+    "ts_zscore_anomaly",
+    (s, d) => {
+      val e = Tables.read(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val m = e.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(30, 10))).as("sx"),
+        sum((col("value") * col("value")).cast(DecimalType(30, 10))).as("sxx"))
+        .withColumn("mean", col("sx").cast(DoubleType) / col("n"))
+        .withColumn("sd", sqrt(greatest(
+          col("sxx").cast(DoubleType) / col("n") - col("mean") * col("mean"),
+          lit(0.0))))
+        .select(col("user_id"), col("mean"), col("sd"))
+      e.join(m, "user_id")
+        .withColumn("z", when(col("sd") > 0,
+          round((col("value") - col("mean")) / col("sd"), 6)))
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("mean"), 6).as("mean"), round(col("sd"), 6).as("sd"),
+          col("z"),
+          coalesce(abs(col("z")) > 2.0, lit(false)).as("is_anomaly"))
+        .orderBy(asc_nulls_first("event_id"))
+    },
+    Some("""WITH m AS (
+              SELECT user_id, count(*) AS n,
+                     sum(CAST(value AS DECIMAL(30,10))) AS sx,
+                     sum(CAST(value * value AS DECIMAL(30,10))) AS sxx
+              FROM events GROUP BY user_id),
+            s AS (SELECT user_id,
+                         CAST(sx AS DOUBLE) / n AS mean,
+                         sqrt(greatest(CAST(sxx AS DOUBLE) / n
+                              - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n),
+                              0.0)) AS sd
+                  FROM m)
+            SELECT e.event_id, e.user_id, e.value,
+                   round(s.mean, 6) AS mean, round(s.sd, 6) AS sd,
+                   CASE WHEN s.sd > 0
+                        THEN round((e.value - s.mean) / s.sd, 6) END AS z,
+                   coalesce(abs(CASE WHEN s.sd > 0
+                        THEN round((e.value - s.mean) / s.sd, 6) END) > 2.0,
+                        false) AS is_anomaly
+            FROM events e JOIN s USING (user_id)
+            ORDER BY e.event_id NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(
+    llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
+    tsSessionize, tsZscoreAnomaly)
+}

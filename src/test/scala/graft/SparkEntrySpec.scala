@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (109 keys, 89 oracles)") {
-    assert(SparkEntry.queries.size == 109,
+  test("registry matches the SURVEY §2 inventory size (115 keys, 95 oracles)") {
+    assert(SparkEntry.queries.size == 115,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 89,
+    assert(SparkEntry.oracleSql.size == 95,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 }
