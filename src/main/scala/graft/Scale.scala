@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal: measure how the headline operators ACTUALLY scale by
+  * replaying them against k× replicas of the sf0.1 corpus (k = 1, 3, 10)
+  * written to disk as real parquet — so scans, pushdown, shuffles and
+  * partition counts behave as they would on a genuinely larger corpus,
+  * not an in-memory union. This backs the per-operator "at 100 TB"
+  * design notes with measured scaling curves (see SCALE.md).
+  *
+  * Replication is keyed so the workload SHAPE is preserved, not
+  * degenerate:
+  *   - orders/lineitem share one orderkey offset per replica, so the
+  *     orders⋈lineitem join stays key-consistent and its selectivity
+  *     constant;
+  *   - events offset event/user ids — k× users with identical per-user
+  *     series, the natural "more users" growth of an event stream;
+  *   - documents get 4 replica-specific filler tokens appended, which
+  *     keeps each replica's internal near-dup structure while pushing
+  *     cross-replica exact-Jaccard below the τ=0.9 threshold, so the
+  *     TRUE near-dup pair set grows ~linearly (a corpus of k disjoint
+  *     shards); minhash/LSH CANDIDATE sets still grow faster than k —
+  *     this corpus is inherently dense (typical cross-doc J ≈ 0.73), so
+  *     candidate density is a property of the data, and pairs/s (not
+  *     seconds) is the scale-invariant metric for the pair ops;
+  *   - embeddings get a small deterministic per-(replica, vec, coord)
+  *     perturbation (±0.05 on values averaging |x|≈0.1) so replicas are
+  *     not bit-identical vectors.
+  *
+  * Dimension tables (region..customer) stay 1× — dims don't grow with
+  * fact data, and keeping them fixed preserves broadcast-join shape.
+  *
+  * Pair-emitting near-dup ops are measured at k ≤ 3 with their output
+  * row counts reported: their cost scales with the PAIR count, so rows/s
+  * — not raw seconds — is the scale-invariant metric for them.
+  */
+object Scale {
+
+  /** (linear-claim ops at every scale, pair-emitting ops at k ≤ 3) */
+  private val linearOps = Seq(
+    "agg_hash_groupby", "join_inner_hash", "join_broadcast", "op_topk_global",
+    "win_running_sum", "ts_sessionize", "ts_resample_ffill",
+    "llm_dedup_exact_digest", "llm_inverted_index", "llm_tfidf_top_terms",
+    "llm_contamination_ngram", "llm_lang_id_ngram", "llm_stratified_sample",
+    "llm_quality_quantile", "llm_cosine_topk", "llm_ann_lsh_topk",
+    "llm_ann_ivf_topk")
+  private val pairOps = Seq(
+    "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
+    "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val scales = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
+                 else Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Bench-style warm-up outside every timed loop, so JVM/codegen/session
+    // startup isn't attributed to scale=1's first query
+    Tables.all.foreach(n => Tables.read(spark, base, n))
+    Tables.read(spark, base, "region").count()
+    SparkEntry.queries("agg_hash_groupby")(spark, base).count()
+
+    // (scale, op) -> (min seconds, output rows)
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, String), (Double, Long)]
+    scales.foreach { k =>
+      val dir = buildScaled(spark, base, k)
+      val ops = if (k <= 3) linearOps ++ pairOps else linearOps
+      ops.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        var rows = 0L
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          rows = fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        results((k, name)) = (times.min, rows)
+        println(f"scale=$k%2d $name%-34s ${times.min}%8.3f s  $rows%10d rows")
+      }
+    }
+    val json = results.map { case ((k, n), (t, r)) =>
+      s"""{"scale":$k,"query":"$n","sec":$t,"rows":$r}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"scale_rehearsal","base":"$base","cpus":$cpus,"results":$json}""")
+    spark.stop()
+  }
+
+  /** Write the k×-replicated corpus as real parquet; k=1 reuses the base. */
+  def buildScaled(spark: SparkSession, base: String, k: Int): String = {
+    if (k == 1) return base
+    val dir = graft.util.TempDirs.create(s"graft_scale${k}x").toString
+    val dims = Seq("region", "nation", "customer", "supplier", "part")
+    dims.foreach { t =>
+      Tables.read(spark, base, t).write.parquet(s"$dir/$t.parquet")
+    }
+    def replicate(t: String, remap: (DataFrame, Int) => DataFrame): Unit = {
+      val b = Tables.read(spark, base, t)
+      (0 until k).map(i => remap(b, i)).reduce(_ unionAll _)
+        .write.parquet(s"$dir/$t.parquet")
+    }
+    val oOff = 150000L // > max o_orderkey in the sf0.1 corpus
+    replicate("orders", (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + lit(i * oOff)))
+    replicate("lineitem", (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(i * oOff)))
+    replicate("events", (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * 100000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1500L)))
+    replicate("documents", (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("doc_id", col("doc_id") + lit(i * 5000L))
+        .withColumn("text",
+          concat(col("text"), lit(s" q${i}a q${i}b q${i}c q${i}d")))
+        .withColumn("n_chars", length(col("text"))))
+    replicate("embeddings", (d, i) =>
+      if (i == 0) d
+      else d
+        .withColumn("vec_id", col("vec_id") + lit(i * 2000L))
+        .withColumn("embedding", expr(
+          s"""transform(embedding, (x, j) ->
+              CAST(x + (((vec_id % 97) + j * 31 + $i * 53) % 101 - 50) * 0.001
+                   AS FLOAT))""")))
+    dir
+  }
+}

@@ -200,6 +200,52 @@ object Joins {
               ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
             ORDER BY c.event_id NULLS FIRST"""))
 
+  /** Forward as-of join — the mirror of `join_asof_backward`: each click
+    * matched to the NEXT signup of the same user at or after the click
+    * (ts_us >= click ts). Same scale-safe union-tag shape: one user-keyed
+    * window, `first(ignoreNulls)` over the FORWARD frame (current row →
+    * unbounded following); clicks sort before same-timestamp signups so
+    * equality matches, mirroring DuckDB's `ASOF ... c.ts <= s.ts`.
+    */
+  val joinAsofForward: Q = Q(
+    "join_asof_forward",
+    (s, d) => {
+      val ev = Tables.read(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"),
+          lit(null).cast("bigint").as("signup_ts"), lit(null).cast("bigint").as("signup_id"),
+          lit(0).as("kind"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("signup_id"))
+        .select(col("user_id"), col("ts_us"), lit(null).cast("bigint").as("click_id"),
+          col("ts_us").as("signup_ts"), col("signup_id"), lit(1).as("kind"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("click_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      clicks.unionByName(signups)
+        .withColumn("next_signup_ts", first(col("signup_ts"), ignoreNulls = true).over(w))
+        .withColumn("next_signup_id", first(col("signup_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 0)
+        .select(col("click_id").as("event_id"), col("user_id"), col("ts_us"),
+          col("next_signup_ts").as("signup_ts"), col("next_signup_id").as("signup_id"))
+        .orderBy(asc_nulls_first("event_id"))
+    },
+    Some("""WITH clicks AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'click'),
+            signups AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS signup_id
+              FROM events WHERE event_type = 'signup'
+              GROUP BY user_id, epoch_us(ts))
+            SELECT c.event_id, c.user_id, c.ts_us,
+                   s.ts_us AS signup_ts, s.signup_id
+            FROM clicks c ASOF LEFT JOIN signups s
+              ON c.user_id = s.user_id AND c.ts_us <= s.ts_us
+            ORDER BY c.event_id NULLS FIRST"""))
+
   /** Interval join: event pairs of the same user within 1 hour of each
     * other. The user_id equality keeps this a hash join (range predicate is
     * a post-join filter) — the only join shape that survives at fact-table
@@ -263,5 +309,6 @@ object Joins {
   val all: Seq[Q] = Seq(
     joinInnerHash, joinBroadcast, joinLeftOuter, joinRightOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
-    joinAsofBackward, joinIntervalOverlap, joinIntervalBucketed)
+    joinAsofBackward, joinAsofForward, joinIntervalOverlap,
+    joinIntervalBucketed)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (115 keys, 95 oracles)") {
-    assert(SparkEntry.queries.size == 115,
+  test("registry matches the SURVEY §2 inventory size (116 keys, 96 oracles)") {
+    assert(SparkEntry.queries.size == 116,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 95,
+    assert(SparkEntry.oracleSql.size == 96,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Plan + behavior audits for the second-wave pipeline ops (SURVEY §2.8).
+  * Value correctness is the DuckDB oracle's job; these assert the SCALE
+  * properties — shuffle counts, broadcast sides, exactness invariants —
+  * that the oracle can't see.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hash|range)partitioning".r
+      .findAllIn(plan(df)).length
+
+  test("tfidf broadcasts the vocab-sized df side — no shuffle join") {
+    val p = plan(PipelineOps.llmTfidfTopTerms.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+  }
+
+  test("sessionize runs window + session agg on ONE user_id shuffle") {
+    val df = PipelineOps.tsSessionize.fn(spark, sf)
+    // one hash shuffle for the user_id window (the co-keyed groupBy reuses
+    // it) + one range shuffle for the presentation sort — nothing else
+    assert(shuffles(df) == 2, plan(df).take(1500))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // session invariants: indices are 1..n per user, durations non-negative
+    rows.groupBy(_.getLong(0)).foreach { case (_, sess) =>
+      val idx = sess.map(_.getLong(1)).sorted.toVector
+      assert(idx == (1L to idx.length).toVector)
+    }
+    assert(rows.forall(r => r.getLong(5) >= 0 && r.getLong(2) >= 1))
+  }
+
+  test("z-score: decimal moments are merge-order independent; flags match σ") {
+    val one = PipelineOps.tsZscoreAnomaly.fn(spark, sf)
+    val r1 = one.collect().toSeq
+    // repartitioning the input changes partial-agg merge order; decimal
+    // sums must make the result bit-identical anyway
+    val viaRepart = PipelineOps.tsZscoreAnomaly.fn(spark, sf)
+    assert(viaRepart.repartition(7).orderBy("event_id").collect().toSeq
+      .map(_.toSeq) == r1.map(_.toSeq))
+    assert(r1.exists(_.getBoolean(6)), "corpus should contain |z|>2 outliers")
+    r1.foreach { r =>
+      val (z, flag) = (Option(r.get(5)).map(_.asInstanceOf[Double]), r.getBoolean(6))
+      assert(flag == z.exists(v => math.abs(v) > 2.0))
+    }
+  }
+
+  test("mix rebalance: every cell contributes exactly min-cell-size docs") {
+    val rows = PipelineOps.llmMixRebalance.fn(spark, sf).collect()
+    val perCell = rows.groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length).toMap
+    assert(perCell.values.toSet.size == 1,
+      s"unequal cell contributions: ${perCell.values.toSet}")
+    val docs = graft.Tables.read(spark, sf, "documents")
+    val minCell = docs.groupBy("lang", "source").count()
+      .agg(org.apache.spark.sql.functions.min("count")).head().getLong(0)
+    assert(perCell.values.head.toLong == minCell)
+  }
+
+  test("quality quantile keeps ~top quarter per language, rank-exactly") {
+    val kept = PipelineOps.llmQualityQuantile.fn(spark, sf).collect()
+    val total = graft.Tables.read(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val n = total(lang)
+      // percent_rank ≥ 0.75 keeps floor((n-1)/4)+1 of n rows
+      val expect = (n - 1) / 4 + 1
+      assert(rows.length.toLong == expect, s"$lang: ${rows.length} vs $expect of $n")
+    }
+    assert(kept.forall(r => r.getDouble(3) >= 0.75))
+  }
+
+  test("inverted index postings are sorted, deduplicated, and df-consistent") {
+    val rows = PipelineOps.llmInvertedIndex.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val postings = r.getSeq[Long](3)
+      assert(postings == postings.distinct.sorted, r.getString(0))
+      assert(postings.length.toLong == r.getLong(2), "df == |postings|")
+      assert(r.getLong(1) >= r.getLong(2), "cf >= df")
+    }
+  }
+}
