@@ -283,7 +283,103 @@ object PipelineOps {
             FROM events e JOIN s USING (user_id)
             ORDER BY e.event_id NULLS FIRST"""))
 
+  /** PII scrubbing (the redaction pass every published training set
+    * runs): digit runs in the raw event payload replaced by a
+    * placeholder, with a per-row redaction count. Pure per-row regex
+    * projection — no shuffle, stays in whole-stage codegen; the regex is
+    * RE2-compatible so both engines apply the identical automaton. On
+    * real data the pattern set extends to emails/phones/SSNs — same
+    * plan, longer alternation.
+    */
+  val llmPiiMask: Q = Q(
+    "llm_pii_mask",
+    (s, d) =>
+      Tables.read(s, d, "events")
+        .select(col("event_id"), col("props"),
+          regexp_replace(col("props"), "\\d+", "[NUM]").as("masked"),
+          size(expr("regexp_extract_all(props, '\\\\d+', 0)"))
+            .cast(LongType).as("n_redactions"))
+        .orderBy(asc_nulls_first("event_id")),
+    Some("""SELECT event_id, props,
+                   regexp_replace(props, '\d+', '[NUM]', 'g') AS masked,
+                   CAST(len(regexp_extract_all(props, '\d+')) AS BIGINT)
+                     AS n_redactions
+            FROM events ORDER BY event_id NULLS FIRST"""))
+
+  /** Tokenizer-vocabulary build: rank tokens by corpus frequency and
+    * assign contiguous ids, with each token's cumulative corpus coverage
+    * — the frequency-table step a BPE/unigram trainer starts from. One
+    * Generator + one hash agg + one GLOBAL window over |vocab| rows
+    * (vocab is orders of magnitude smaller than the corpus — the single
+    * partition holds ids, never documents; counts are exact, coverage is
+    * one double division per row).
+    */
+  val llmVocabBuild: Q = Q(
+    "llm_vocab_build",
+    (s, d) => {
+      val counts = Tables.read(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(desc("n"), asc("token"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      counts
+        .withColumn("token_id", row_number().over(w).cast(LongType) - 1)
+        .withColumn("cum_n", sum(col("n")).over(run))
+        .withColumn("coverage",
+          round(col("cum_n").cast(DoubleType) /
+            sum(col("n")).over(Window.partitionBy()), 6))
+        .select(col("token_id"), col("token"), col("n"), col("coverage"))
+        .orderBy(asc("token_id"))
+    },
+    Some("""WITH c AS (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+            n AS (SELECT token, count(*) AS n FROM c GROUP BY 1),
+            r AS (SELECT token, n,
+                         row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id,
+                         sum(n) OVER (ORDER BY n DESC, token
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                         sum(n) OVER () AS total
+                  FROM n)
+            SELECT token_id, token, n,
+                   round(CAST(cum_n AS DOUBLE) / total, 6) AS coverage
+            FROM r ORDER BY token_id"""))
+
+  /** Rolling 24 h window features per user: for every event, the count
+    * and value-sum of that user's events in the trailing 24 h — the
+    * standard time-decayed feature shape. A RANGE frame over the event
+    * time (one `user_id` shuffle); the value sum accumulates in DECIMAL
+    * so the frame's internal aggregation tree (Spark's sliding
+    * aggregator vs DuckDB's segment tree) cannot produce
+    * association-order float drift.
+    */
+  val tsRolling24h: Q = Q(
+    "ts_rolling_24h",
+    (s, d) => {
+      val e = Tables.read(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts div 1000").as("ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-86400000000L, 0L)
+      e.withColumn("cnt_24h", count(lit(1)).over(w))
+        .withColumn("sum_24h",
+          sum(col("value").cast(DecimalType(30, 10))).over(w)
+            .cast(DoubleType))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("cnt_24h"), col("sum_24h"))
+        .orderBy(asc_nulls_first("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+                       FROM events)
+            SELECT event_id, user_id, ts_us,
+                   count(*) OVER w AS cnt_24h,
+                   CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)
+                     AS sum_24h
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                         RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
-    tsSessionize, tsZscoreAnomaly)
+    tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h)
 }

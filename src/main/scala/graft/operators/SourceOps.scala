@@ -191,9 +191,61 @@ object SourceOps {
     },
     None)
 
+  /** CSV source/sink round-trip: write a table out as headered CSV, read
+    * it back with an EXPLICIT schema (schema inference is a full extra
+    * scan and non-deterministic under drift — never at 100 TB), then
+    * aggregate. The oracle runs the same aggregate on the ORIGINAL
+    * parquet, so a pass proves byte-level format fidelity, not just
+    * plumbing. Exact-typed columns only — CSV is not a float-safe
+    * transport.
+    */
+  val srcCsvRoundtrip: Q = Q(
+    "src_csv_roundtrip",
+    (s, d) => {
+      val dir = graft.util.TempDirs.create("graft_csv").toString
+      Tables.read(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.option("header", "true")
+        .schema("c_custkey BIGINT, c_nationkey INT, c_mktsegment STRING")
+        .csv(dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy(asc_nulls_first("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+                   min(c_custkey) AS min_key, max(c_custkey) AS max_key
+            FROM customer GROUP BY c_mktsegment
+            ORDER BY c_mktsegment NULLS FIRST"""))
+
+  /** JSON-lines source/sink round-trip — same fidelity contract as the
+    * CSV op (explicit schema on read, oracle on the original parquet).
+    * JSONL is the interchange format of most public text corpora, so the
+    * round-trip is the ingest path of a real training pipeline.
+    */
+  val srcJsonlRoundtrip: Q = Q(
+    "src_jsonl_roundtrip",
+    (s, d) => {
+      val dir = graft.util.TempDirs.create("graft_jsonl").toString
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").json(dir)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .json(dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(asc_nulls_first("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n, sum(n_chars) AS total_chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM documents GROUP BY lang ORDER BY lang NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
     sinkUpsertLatestByKey, sinkCdcApplyUpsertOnly, opSchemaDdlTypemap,
-    opInsertAppend)
+    opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip)
 }
