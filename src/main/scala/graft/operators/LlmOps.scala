@@ -419,6 +419,16 @@ object LlmOps {
 
   /** Component engine behind `llm_dedup_cluster_rep` (unit-test seam).
     *
+    * Two paths behind one contract (the same budget-gated duality as the
+    * minhash op): a banded near-dup pair graph is SPARSE relative to the
+    * corpus, so when one cheap `count()` shows it fits the driver budget,
+    * the components resolve by an in-driver union-find over the collected
+    * edge list (microseconds, zero iterative jobs) and rejoin as a
+    * created label table. Past the budget — the genuine 100 TB regime —
+    * the distributed min-label propagation loop below runs instead
+    * (or [[dedupClusterRepStar]] for high-diameter graphs). Both paths
+    * are spec-proven row-identical.
+    *
     * Propagation runs ONLY over nodes that appear in a pair — singletons
     * can never change label, so the per-round joins scale with the
     * near-dup subgraph, not the corpus; singletons rejoin (label = own
@@ -427,7 +437,37 @@ object LlmOps {
     * check scans that materialized result — no extra shuffle.
     */
   def dedupClusterRep(pairs: DataFrame, nodes: DataFrame,
-                      maxRounds: Int = 20): DataFrame = {
+                      maxRounds: Int = 20,
+                      driverBudget: Long = 2000000L): DataFrame = {
+    if (driverBudget > 0 && pairs.count() <= driverBudget) {
+      val s = pairs.sparkSession
+      val edges = pairs.select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          val (lo, hi) = (math.min(ra, rb), math.max(ra, rb))
+          parent(hi) = lo
+        }
+      }
+      val keys = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+      import s.implicits._
+      val labels = keys.map(k => (k, find(k))).toDF("id", "label")
+      return resolveClusters(labels, nodes)
+    }
+    distributedClusterRep(pairs, nodes, maxRounds)
+  }
+
+  /** The distributed min-label-propagation path (beyond-budget pair
+    * graphs; also a direct unit-test seam).
+    */
+  private[operators] def distributedClusterRep(
+      pairs: DataFrame, nodes: DataFrame, maxRounds: Int = 20): DataFrame = {
     // materialize the pair plan ONCE before the union references it twice
     val p = pairs.localCheckpoint()
     val edges = p.select(col("id1").as("src"), col("id2").as("dst"))

@@ -192,14 +192,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs.nonEmpty && out.count(!_._4) > 0)
   }
 
-  test("large-star/small-star contraction emits the identical cluster table") {
-    // the real pair graph: star contraction must agree with min-label
-    // propagation row for row
+  test("all three component engines emit the identical cluster table") {
+    // the real pair graph: driver union-find (the budget fast path),
+    // distributed min-label propagation, and star contraction must agree
+    // row for row
     val pairs = LlmOps.simhashPairs(spark, sf).select("id1", "id2")
     val docs = graft.Tables.read(spark, sf, "documents").select("doc_id")
-    val viaProp = LlmOps.dedupClusterRep(pairs, docs).collect().toSeq
+    val viaUf = LlmOps.dedupClusterRep(pairs, docs).collect().toSeq
+    val viaProp = LlmOps.distributedClusterRep(pairs, docs).collect().toSeq
     val viaStar = LlmOps.dedupClusterRepStar(pairs, docs).collect().toSeq
-    assert(viaStar == viaProp && viaStar.nonEmpty)
+    assert(viaUf == viaProp && viaStar == viaProp && viaStar.nonEmpty)
     // a 60-node path graph (diameter 59) — the shape propagation is worst
     // at and star contraction exists for; plus a disjoint triangle and
     // isolated singletons
