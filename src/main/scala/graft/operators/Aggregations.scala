@@ -275,9 +275,35 @@ object Aggregations {
               round(sqrt((n * sxx - sx * sx) / (n * n)), 6) AS stddev_pop_qty
        FROM m ORDER BY l_returnflag NULLS FIRST""")
 
+  /** Mode (most frequent value) per group, deterministically tiebroken to
+    * the lexicographically smallest value — two hash aggs + a per-group
+    * rank over |distinct values| rows (never the raw rows).
+    */
+  val aggMode: Q = Q(
+    "agg_mode",
+    (s, d) => {
+      val counts = Tables.read(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(desc("n"), asc("event_type"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT user_id, event_type, n,
+                         row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) AS rk
+                  FROM c)
+            SELECT user_id, event_type AS mode_type, n FROM r WHERE rk = 1
+            ORDER BY user_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     aggGlobal, aggHashGroupby, aggStringAggOrdered, aggCountDistinct,
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
     aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,
-    opUdafWeightedAvg)
+    opUdafWeightedAvg, aggMode)
 }

@@ -243,9 +243,44 @@ object SourceOps {
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM documents GROUP BY lang ORDER BY lang NULLS FIRST"""))
 
+  /** SCD-type-2 historization of a change stream — the OTHER standard CDC
+    * sink shape next to `sink_upsert_latest_by_key`: instead of keeping
+    * only the latest row per key, every change becomes a validity
+    * interval [valid_from, valid_to) with an `is_current` flag, so the
+    * warehouse can answer "what was the value at time T". One key-ordered
+    * window (`lead`) over the change stream — a single shuffle keyed by
+    * the CDC key, exact integer timestamps throughout.
+    */
+  val opScd2Intervals: Q = Q(
+    "op_scd2_intervals",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.read(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("ts_us"))
+        .withColumn("valid_from_us", col("ts_us"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+        .orderBy(asc_nulls_first("user_id"), asc("valid_from_us"),
+          asc("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+                       FROM events)
+            SELECT user_id, event_id, value,
+                   ts_us AS valid_from_us,
+                   lead(ts_us) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS valid_to_us,
+                   lead(ts_us) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) IS NULL AS is_current
+            FROM e
+            ORDER BY user_id NULLS FIRST, valid_from_us, event_id"""))
+
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
     sinkUpsertLatestByKey, sinkCdcApplyUpsertOnly, opSchemaDdlTypemap,
-    opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip)
+    opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals)
 }
