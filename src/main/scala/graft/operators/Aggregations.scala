@@ -286,7 +286,8 @@ object Aggregations {
         .groupBy(col("user_id"), col("event_type"))
         .agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(desc("n"), asc("event_type"))
+        .partitionBy(col("user_id"))
+        .orderBy(desc("n"), asc_nulls_first("event_type"))
       counts.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("user_id"), col("event_type").as("mode_type"), col("n"))
@@ -296,7 +297,7 @@ object Aggregations {
                        FROM events GROUP BY 1, 2),
             r AS (SELECT user_id, event_type, n,
                          row_number() OVER (PARTITION BY user_id
-                           ORDER BY n DESC, event_type) AS rk
+                           ORDER BY n DESC, event_type NULLS FIRST) AS rk
                   FROM c)
             SELECT user_id, event_type AS mode_type, n FROM r WHERE rk = 1
             ORDER BY user_id NULLS FIRST"""))

@@ -439,14 +439,21 @@ object LlmOps {
   def dedupClusterRep(pairs: DataFrame, nodes: DataFrame,
                       maxRounds: Int = 20,
                       driverBudget: Long = 2000000L): DataFrame = {
-    if (driverBudget > 0 && pairs.count() <= driverBudget) {
-      val s = pairs.sparkSession
-      val edges = pairs.select(col("id1"), col("id2")).collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
+    // materialize the pair plan ONCE — the gate's count() and the
+    // fast path's collect() must not re-execute the pair self-join
+    val p0 = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    if (driverBudget > 0 && p0.count() <= driverBudget) {
+      val s = p0.sparkSession
+      val edges = p0.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find + path compression: a chain-shaped component under
+      // the edge budget must not overflow the driver stack
       def find(x: Long): Long = {
-        val p = parent.getOrElse(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
       }
       edges.foreach { case (a, b) =>
         val (ra, rb) = (find(a), find(b))
@@ -460,7 +467,7 @@ object LlmOps {
       val labels = keys.map(k => (k, find(k))).toDF("id", "label")
       return resolveClusters(labels, nodes)
     }
-    distributedClusterRep(pairs, nodes, maxRounds)
+    distributedClusterRep(p0, nodes, maxRounds)
   }
 
   /** The distributed min-label-propagation path (beyond-budget pair

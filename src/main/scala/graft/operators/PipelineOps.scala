@@ -67,8 +67,9 @@ object PipelineOps {
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val tf = toks.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-      val df = toks.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // tf is already one row per (doc_id, term) — df derives from it
+      // without a second corpus explode
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.count()
       val scored = tf.join(broadcast(df), "term")
         .withColumn("tfidf",
@@ -151,9 +152,15 @@ object PipelineOps {
     "llm_mix_rebalance",
     (s, d) => {
       val docs = Tables.read(s, d, "documents")
-      val cells = docs.groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("cell_n"))
-      val target = cells.agg(min(col("cell_n"))).head().getLong(0)
+      // collect the O(#cells) size table ONCE; the min scalar and the
+      // broadcast side both rebuild from it — one corpus scan, not three
+      val cellRows = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("cell_n")).collect()
+      val target = cellRows.map(_.getLong(2)).min
+      import s.implicits._
+      val cells = cellRows
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+        .toDF("lang", "source", "cell_n")
       val w = Window.partitionBy(col("lang"), col("source"))
         .orderBy(col("scramble"), col("doc_id"))
       docs.select(col("doc_id"), col("lang"), col("source"))
@@ -214,12 +221,13 @@ object PipelineOps {
                          lag(ts_us) OVER (PARTITION BY user_id
                                           ORDER BY ts_us, event_id) AS prev
                   FROM e),
-            g AS (SELECT user_id, ts_us,
+            g AS (SELECT user_id, event_id, ts_us,
                          CASE WHEN prev IS NULL OR ts_us - prev > 21600000000
                               THEN 1 ELSE 0 END AS new_sess
                   FROM f),
             h AS (SELECT user_id, ts_us,
-                         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                         CAST(sum(new_sess) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                            AS session_idx
                   FROM g)
