@@ -1336,6 +1336,48 @@ object LlmOps {
             FROM tot t LEFT JOIN ov o ON t.doc_id = o.doc_id
             ORDER BY t.doc_id NULLS FIRST"""))
 
+  /** Exact-substring dedup (the RefinedWeb/CCNet granularity): document
+    * pairs sharing at least one exact 20-token window, with the count of
+    * shared windows — catches copied passages that survive document-level
+    * near-dup because the surrounding text differs. Same skeleton as the
+    * shingle ops: Generator → distinct (doc, window) → equi-join on the
+    * window → pair hash-agg; 20-token windows are near-unique outside
+    * true copies, so postings are shallow and the join never densifies.
+    * The join key here is the window STRING for oracle portability — at
+    * 100 TB hash each window to 64 bits first (exactly as
+    * `llm_ngram_jaccard` does) so the shuffle carries 8-byte keys.
+    */
+  val llmSubstringDedup: Q = Q(
+    "llm_substring_dedup",
+    (s, d) => {
+      val W = 20
+      val sh = Tables.read(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(t) >= $W
+                THEN transform(sequence(1, size(t) - ${W - 1}),
+                               i -> concat_ws(' ', slice(t, i, $W)))
+                ELSE CAST(array() AS array<string>) END""")).as("win"))
+        .distinct()
+      val a = sh.select(col("win"), col("doc_id").as("id1"))
+      val b = sh.select(col("win"), col("doc_id").as("id2"))
+      a.join(b, "win")
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(asc_nulls_first("id1"), asc("id2"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 18, 1))) AS i
+                    FROM toks WHERE len(t) >= 20),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+19], ' ') AS win
+                   FROM pos)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sh a JOIN sh b USING (win)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 ORDER BY id1 NULLS FIRST, id2"""))
+
   /** Deterministic multiplicative scramble of the doc id — the orderable
     * pseudo-random key behind sampling/splitting, exact in both engines
     * (64-bit-safe: doc_id × Knuth's 2654435761 stays < 2^63 for any
@@ -1614,7 +1656,7 @@ object LlmOps {
   val all: Seq[Q] = Seq(
     llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
-    llmDedupSimhash, llmDedupClusterRep,
+    llmDedupSimhash, llmDedupClusterRep, llmSubstringDedup,
     llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,

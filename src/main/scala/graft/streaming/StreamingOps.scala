@@ -311,8 +311,49 @@ object StreamingOps {
     },
     None)
 
+  /** Stream-stream inner join — the Structured Streaming marquee shape:
+    * the click stream joined to the signup stream of the same user within
+    * ±1 h, as TWO independent file-stream sources with watermarks on both
+    * sides plus the event-time range condition (the pair Spark needs to
+    * BOUND the join state — without them join state grows forever; with
+    * them each side is dropped once the other's watermark passes its
+    * window). Inner join → append mode, so the replayed-corpus result is
+    * exactly the batch join and the DuckDB oracle applies directly.
+    */
+  val streamStreamJoin: Q = Q(
+    "stream_stream_join",
+    (s, d) => {
+      val clicks = streamedEvents(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          expr("timestamp_micros(ts div 1000)").as("c_time"))
+        .withWatermark("c_time", "2 hours")
+      val signups = StreamRunner.streamTable(s, d, "events")
+        .filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+          expr("timestamp_micros(ts div 1000)").as("s_time"))
+        .withWatermark("s_time", "2 hours")
+      val joined = clicks.join(signups,
+        col("c_user") === col("s_user") &&
+          col("s_time") >= col("c_time") - expr("INTERVAL 1 HOUR") &&
+          col("s_time") <= col("c_time") + expr("INTERVAL 1 HOUR"))
+      StreamRunner.runToTable(joined, "append")
+        .select(col("click_id"), col("signup_id"),
+          col("c_user").as("user_id"),
+          (unix_micros(col("s_time")) - unix_micros(col("c_time"))).as("delta_us"))
+        .orderBy(asc_nulls_first("click_id"), asc("signup_id"))
+    },
+    Some("""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS t
+                       FROM events WHERE event_type = 'click'),
+            g AS (SELECT event_id AS signup_id, user_id, epoch_us(ts) AS t
+                  FROM events WHERE event_type = 'signup')
+            SELECT c.click_id, g.signup_id, c.user_id, g.t - c.t AS delta_us
+            FROM c JOIN g ON c.user_id = g.user_id
+              AND g.t BETWEEN c.t - 3600000000 AND c.t + 3600000000
+            ORDER BY click_id NULLS FIRST, signup_id"""))
+
   val all: Seq[Q] = Seq(
     streamTumblingCount, streamSlidingSum, streamSessionWindow,
     streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert,
-    streamStatefulRunningMax, streamFlatmapTypeCounts)
+    streamStatefulRunningMax, streamFlatmapTypeCounts, streamStreamJoin)
 }

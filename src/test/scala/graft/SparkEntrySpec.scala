@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (123 keys, 103 oracles)") {
-    assert(SparkEntry.queries.size == 123,
+  test("registry matches the SURVEY §2 inventory size (125 keys, 105 oracles)") {
+    assert(SparkEntry.queries.size == 125,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 103,
+    assert(SparkEntry.oracleSql.size == 105,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 }
