@@ -1343,9 +1343,11 @@ object LlmOps {
     * shingle ops: Generator → distinct (doc, window) → equi-join on the
     * window → pair hash-agg; 20-token windows are near-unique outside
     * true copies, so postings are shallow and the join never densifies.
-    * The join key here is the window STRING for oracle portability — at
-    * 100 TB hash each window to 64 bits first (exactly as
-    * `llm_ngram_jaccard` does) so the shuffle carries 8-byte keys.
+    * Windows hash to 64-bit keys BEFORE the distinct + join (exactly as
+    * `llm_ngram_jaccard` does), so the shuffle carries 8-byte keys
+    * instead of ~150-char strings; the oracle joins on the strings —
+    * agreement also certifies the hash path collision-free on this
+    * corpus.
     */
   val llmSubstringDedup: Q = Q(
     "llm_substring_dedup",
@@ -1356,8 +1358,8 @@ object LlmOps {
         .select(col("doc_id"), explode(expr(
           s"""CASE WHEN size(t) >= $W
                 THEN transform(sequence(1, size(t) - ${W - 1}),
-                               i -> concat_ws(' ', slice(t, i, $W)))
-                ELSE CAST(array() AS array<string>) END""")).as("win"))
+                               i -> xxhash64(concat_ws(' ', slice(t, i, $W))))
+                ELSE CAST(array() AS array<bigint>) END""")).as("win"))
         .distinct()
       val a = sh.select(col("win"), col("doc_id").as("id1"))
       val b = sh.select(col("win"), col("doc_id").as("id2"))
