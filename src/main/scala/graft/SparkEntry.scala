@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Aggregations, Expressions, Joins, LlmOps, PipelineOps, SetOps, SourceOps, Windows}
+import graft.operators.{Aggregations, Expressions, GraphOps, Joins, LlmOps, PipelineOps, SetOps, SourceOps, Windows}
 import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +18,7 @@ object SparkEntry {
   val allQueries: Seq[Q] =
     SourceOps.all ++ Expressions.all ++ Joins.all ++ Aggregations.all ++
       Windows.all ++ SetOps.all ++ StreamingOps.all ++ LlmOps.all ++
-      PipelineOps.all
+      PipelineOps.all ++ GraphOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H-Q1-shaped grouped aggregation over lineitem (SURVEY §7 PR1).

@@ -302,9 +302,28 @@ object Aggregations {
             SELECT user_id, event_type AS mode_type, n FROM r WHERE rk = 1
             ORDER BY user_id NULLS FIRST"""))
 
+  /** Quantile SKETCH per group (`approx_percentile`, mergeable partial
+    * state — the companion to `agg_approx_distinct`'s HLL): at 100 TB the
+    * sketch is THE percentile plan — exact percentile needs a per-group
+    * global sort, the sketch is one map-side-combinable agg of bounded
+    * state. No oracle (sketch output is accuracy-bounded, not
+    * value-exact) — property-tested against exact percentiles.
+    */
+  val aggApproxQuantile: Q = Q(
+    "agg_approx_quantile",
+    (s, d) =>
+      Tables.read(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("approx_q"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag")),
+    None)
+
   val all: Seq[Q] = Seq(
     aggGlobal, aggHashGroupby, aggStringAggOrdered, aggCountDistinct,
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
     aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,
-    opUdafWeightedAvg, aggMode)
+    opUdafWeightedAvg, aggMode, aggApproxQuantile)
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{Q, Tables}
+
+/** Graph analytics over the document-similarity graph (the simhash
+  * near-dup pairs) — the "what structure does my near-dup graph have"
+  * companion to cluster resolution.
+  *
+  * Scale shape: both ops run on the PAIRED subgraph only (edge list ≪
+  * corpus, exactly like cluster resolution); PageRank is the canonical
+  * iterative DataFrame loop — per iteration one (edges ⋈ ranks) shuffle
+  * + one hash agg, `localCheckpoint` truncating lineage — with the §2.0
+  * determinism discipline applied to floats: per-edge contributions are
+  * single IEEE-exact double divisions, the per-node SUM accumulates in
+  * DECIMAL(30,15) (merge-order independent), and the damping update is a
+  * fixed double expression — so every iteration, and therefore the
+  * result, is bit-deterministic regardless of partitioning (spec-proven
+  * against an exact driver reference and under repartitioning).
+  */
+object GraphOps {
+
+  /** Degree distribution of the similarity graph: degree per paired doc,
+    * then histogram (degree → node count). Two hash aggs on the edge
+    * list. DuckDB-oracled exactly (all integers).
+    */
+  val graphDegreeDist: Q = Q(
+    "graph_degree_dist",
+    (s, d) => {
+      val p = LlmOps.simhashPairs(s, d).select(col("id1"), col("id2"))
+      val deg = p.select(col("id1").as("id"))
+        .union(p.select(col("id2").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(asc_nulls_first("degree"))
+    },
+    None) // simhash pairs are not SQL-portable (native expression) — spec'd
+
+  /** PageRank over the (symmetrized) similarity graph: damping 0.85,
+    * FIXED 5 iterations, restricted to paired nodes. Rows-only under the
+    * driver; GraphOpsSpec pins the values to an exact driver-side
+    * reference (same decimal/double operation sequence) and to
+    * themselves under repartitioning.
+    */
+  val graphPagerank: Q = Q(
+    "graph_pagerank",
+    (s, d) => {
+      val pairs = LlmOps.simhashPairs(s, d).select(col("id1"), col("id2"))
+      pageRank(pairs)
+        .select(col("id").as("doc_id"), col("rank"))
+        .orderBy(desc("rank"), asc_nulls_first("doc_id"))
+    },
+    None)
+
+  /** Iterative engine (unit-test seam). Every node of the symmetrized
+    * pair graph has degree ≥ 1 and ≥ 1 in-edge, so there are no dangling
+    * nodes and no rank dropout; N is the paired-node count.
+    */
+  private[operators] def pageRank(pairs: DataFrame, iters: Int = 5,
+                                  damping: Double = 0.85): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(p.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val n = deg.count()
+    require(n > 0, "pair graph is empty — nothing to rank")
+    val base = (1.0 - damping) / n
+    // edges/deg are materialized ONCE above and referenced every round;
+    // with a fixed small iteration count the rank lineage stays bounded,
+    // so the rounds compose into ONE lazy plan (single job) instead of an
+    // eager materialization per round — for large `iters`, reinstate a
+    // localCheckpoint every few rounds to truncate lineage
+    var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
+    (1 to iters).foreach { _ =>
+      val contribs = edges
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+      ranks = contribs.groupBy(col("dst"))
+        .agg(sum(col("c").cast(DecimalType(30, 15))).as("s"))
+        .select(col("dst").as("id"),
+          (lit(base) + lit(damping) * col("s").cast(DoubleType)).as("rank"))
+    }
+    ranks
+  }
+
+  val all: Seq[Q] = Seq(graphDegreeDist, graphPagerank)
+}

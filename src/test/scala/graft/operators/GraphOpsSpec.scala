@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Exact-reference + determinism audits for the graph ops and the
+  * quantile sketch (no-oracle keys).
+  */
+class GraphOpsSpec extends SparkSpec {
+
+  test("degree distribution sums back to the paired-node and edge counts") {
+    val pairs = LlmOps.simhashPairs(spark, sf)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val dist = GraphOps.graphDegreeDist.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(dist.map(_._2).sum == nodes)
+    // sum(degree * n_nodes) = 2 |E|
+    assert(dist.map { case (d, n) => d * n }.sum == 2L * pairs.length)
+  }
+
+  test("pagerank equals the exact driver reference, bit for bit") {
+    val pairsDf = LlmOps.simhashPairs(spark, sf).select("id1", "id2")
+    val got = GraphOps.pageRank(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver reference replaying the exact operation sequence: per-edge
+    // double division, per-node decimal(scale 15, HALF_UP) sum, damping
+    // update in double
+    val pairs = pairsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    val n = deg.size
+    val damping = 0.85
+    val base = (1.0 - damping) / n
+    var ranks = deg.keys.map(_ -> 1.0 / n).toMap
+    (1 to 5).foreach { _ =>
+      val sums = scala.collection.mutable.Map
+        .empty[Long, java.math.BigDecimal]
+      edges.foreach { case (src, dst) =>
+        val c = java.math.BigDecimal.valueOf(ranks(src) / deg(src))
+          .setScale(15, java.math.RoundingMode.HALF_UP)
+        sums(dst) = sums.getOrElse(dst, java.math.BigDecimal.ZERO).add(c)
+      }
+      ranks = sums.map { case (id, s) =>
+        id -> (base + damping * s.doubleValue())
+      }.toMap
+    }
+    assert(got.keySet == ranks.keySet)
+    got.foreach { case (id, r) =>
+      assert(r == ranks(id), s"doc $id: engine $r vs reference ${ranks(id)}")
+    }
+    // and bit-identical under a different input partitioning
+    val gotRepart = GraphOps.pageRank(pairsDf.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotRepart == got)
+  }
+
+  test("approx quantiles bracket the exact percentiles per group") {
+    val approx = Aggregations.aggApproxQuantile.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = graft.Tables.read(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    approx.foreach { case (k, aq) =>
+      val eq = exact(k)
+      assert(aq.length == 3 && aq == aq.sorted, s"$k: quantiles unordered")
+      // accuracy 10000 ⇒ rank error ≤ 1e-4·n; on this value range that is
+      // well within 2% of the exact value
+      aq.zip(eq).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e <= 0.02, s"$k: approx $a vs exact $e")
+      }
+    }
+  }
+}
