@@ -418,9 +418,30 @@ object Expressions {
             UNION ALL SELECT o_orderkey, 'net', net FROM w
             ORDER BY o_orderkey NULLS FIRST, metric NULLS FIRST"""))
 
+  /** Semi-structured VARIANT surface (Spark 4): `parse_json` into an
+    * open-schema variant, typed `variant_get` extraction, predicate on
+    * the extracted value — the modern engine answer to schemaless
+    * columns (vs the fixed-schema `from_json` path in
+    * `src_json_payload_extract`). Oracle: DuckDB's native JSON extraction
+    * — both engines read the same JSON scalar, so the typed values
+    * hash-match.
+    */
+  val fnVariantJson: Q = Q(
+    "fn_variant_json",
+    (s, d) =>
+      Tables.read(s, d, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .filter(col("k") >= 50)
+        .orderBy(asc_nulls_first("event_id")),
+    Some("""SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS INTEGER) AS k
+            FROM events WHERE CAST(json_extract(props, '$.k') AS INTEGER) >= 50
+            ORDER BY event_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     opProjectCompute, opFilterPred, opCaseWhen, opStringConcat,
     opCoalesceNullif, opCastTypes, opScalarSubquery, opCte, fnConditional,
     fnString, fnRegex, fnDatetime, fnMath, fnJsonNested, fnArray, fnMap,
-    fnHashDigest, fnBitwise, opUnpivot, opUdfTypemap)
+    fnHashDigest, fnBitwise, opUnpivot, opUdfTypemap, fnVariantJson)
 }

@@ -387,7 +387,31 @@ object PipelineOps {
                          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
             ORDER BY event_id NULLS FIRST"""))
 
+  /** L2-normalization of the embedding column — the prep step before any
+    * cosine-as-dot-product pipeline (normalized vectors turn cosine into
+    * a plain dot product, halving ANN re-rank cost). Per-row HOF
+    * arithmetic in double (sequential fold over the array — one defined
+    * order, no shuffle); zero vectors pass through unnormalized. No
+    * oracle (float array output) — property spec: unit norms, idempotent.
+    */
+  val llmEmbedNormalize: Q = Q(
+    "llm_embed_normalize",
+    (s, d) =>
+      Tables.read(s, d, "embeddings")
+        .withColumn("norm", sqrt(expr(
+          """aggregate(embedding, CAST(0.0 AS DOUBLE),
+               (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")))
+        .withColumn("normalized", expr(
+          """CASE WHEN norm > 0
+               THEN transform(embedding, x -> CAST(CAST(x AS DOUBLE) / norm AS FLOAT))
+               ELSE embedding END"""))
+        .select(col("vec_id"), col("label"), round(col("norm"), 6).as("norm"),
+          col("normalized"))
+        .orderBy(asc_nulls_first("vec_id")),
+    None)
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
-    tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h)
+    tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
+    llmEmbedNormalize)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (128 keys, 105 oracles)") {
-    assert(SparkEntry.queries.size == 128,
+  test("registry matches the SURVEY §2 inventory size (130 keys, 106 oracles)") {
+    assert(SparkEntry.queries.size == 130,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 105,
+    assert(SparkEntry.oracleSql.size == 106,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 }

@@ -79,6 +79,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kept.forall(r => r.getDouble(3) >= 0.75))
   }
 
+  test("embed normalize: unit norms, idempotent, zero-safe") {
+    val rows = PipelineOps.llmEmbedNormalize.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](3)
+      val n2 = v.map(x => x.toDouble * x).sum
+      if (r.getDouble(2) > 0) assert(math.abs(n2 - 1.0) < 1e-3, s"vec ${r.getLong(0)}")
+    }
+    // idempotence: normalizing a normalized set leaves norms at 1
+    val r2 = PipelineOps.llmEmbedNormalize.fn(spark, sf).collect().toSeq
+    assert(r2.map(_.toSeq) == rows.toSeq.map(_.toSeq))
+  }
+
   test("inverted index postings are sorted, deduplicated, and df-consistent") {
     val rows = PipelineOps.llmInvertedIndex.fn(spark, sf).collect()
     assert(rows.nonEmpty)
