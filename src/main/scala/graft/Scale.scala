@@ -41,14 +41,23 @@ object Scale {
   /** (linear-claim ops at every scale, pair-emitting ops at k ≤ 3) */
   private val linearOps = Seq(
     "agg_hash_groupby", "join_inner_hash", "join_broadcast", "op_topk_global",
-    "win_running_sum", "ts_sessionize", "ts_resample_ffill",
+    "win_running_sum", "ts_sessionize", "ts_resample_ffill", "ts_rolling_24h",
+    // NOT rehearsed: stream_stream_join — the k× corpus is many parquet
+    // files, AvailableNow splits them into several micro-batches, and
+    // replicas share timestamps, so later batches arrive behind the
+    // watermark and the join drops them (0 rows). A real finding, kept in
+    // SCALE.md: file-source replay at scale needs time-ordered input or
+    // watermark slack.
+    "op_scd2_intervals", "join_asof_forward",
     "llm_dedup_exact_digest", "llm_inverted_index", "llm_tfidf_top_terms",
     "llm_contamination_ngram", "llm_lang_id_ngram", "llm_stratified_sample",
-    "llm_quality_quantile", "llm_cosine_topk", "llm_ann_lsh_topk",
+    "llm_quality_quantile", "llm_vocab_build", "llm_pii_mask",
+    "fn_variant_json", "llm_cosine_topk", "llm_ann_lsh_topk",
     "llm_ann_ivf_topk")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
-    "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled")
+    "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
+    "llm_substring_dedup", "graph_pagerank")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse(
