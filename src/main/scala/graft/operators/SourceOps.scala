@@ -278,9 +278,37 @@ object SourceOps {
             FROM e
             ORDER BY user_id NULLS FIRST, valid_from_us, event_id"""))
 
+  /** Hive-style partitioned write + partition-pruned read-back: events
+    * written `partitionBy(event_type)`, then ONE partition read with a
+    * filter that must prune at the source (the same mechanism the IVF
+    * index rides; LlmOpsSpec proves pruning there via scan metrics). The
+    * oracle aggregates the original parquet with the same predicate —
+    * passing proves the partition layout preserved every row of the
+    * selected partition.
+    */
+  val srcPartitionedRoundtrip: Q = Q(
+    "src_partitioned_roundtrip",
+    (s, d) => {
+      val dir = graft.util.TempDirs.create("graft_part").toString
+      Tables.read(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("click_value"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""SELECT user_id, count(*) AS n_clicks,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id ORDER BY user_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
     sinkUpsertLatestByKey, sinkCdcApplyUpsertOnly, opSchemaDdlTypemap,
-    opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals)
+    opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals,
+    srcPartitionedRoundtrip)
 }
