@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.{Q, Tables}
 
@@ -310,5 +311,29 @@ object Joins {
     joinInnerHash, joinBroadcast, joinLeftOuter, joinRightOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
     joinAsofBackward, joinAsofForward, joinIntervalOverlap,
-    joinIntervalBucketed)
+    joinIntervalBucketed, joinHintShuffleHash)
+
+  /** Join-strategy hint surface: the same orders⋈customer join FORCED to
+    * a shuffled hash join via `hint("SHUFFLE_HASH")` — the strategy you
+    * pick when one side is too big to broadcast but small enough to hash
+    * per partition, and sorting the bigger side (SMJ) would dominate.
+    * PlanSpec asserts ShuffledHashJoin actually planned; results are
+    * strategy-invariant, so the plain join SQL is the oracle.
+    */
+  lazy val joinHintShuffleHash: Q = Q(
+    "join_hint_shuffle_hash",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .join(Tables.read(s, d, "customer").hint("SHUFFLE_HASH"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_price"))
+        .orderBy(asc_nulls_first("c_mktsegment")),
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"""))
 }

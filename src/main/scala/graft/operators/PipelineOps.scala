@@ -410,8 +410,47 @@ object PipelineOps {
         .orderBy(asc_nulls_first("vec_id")),
     None)
 
+  /** Unigram language-model scoring (the CCNet-style fluency signal):
+    * per-doc average token log-probability under the corpus' own unigram
+    * model. The per-token `ln` is rounded to 6 decimals (the one
+    * transcendental — empirically cross-engine exact on this corpus, but
+    * rounded anyway) and CARRIED AS DECIMAL so the per-doc sum is
+    * merge-order independent; the final average is one double division.
+    * Two hash aggs + a vocab-sized broadcast join — the same skeleton as
+    * TF-IDF.
+    */
+  val llmUnigramLogprob: Q = Q(
+    "llm_unigram_logprob",
+    (s, d) => {
+      val toks = Tables.read(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val total = vocab.agg(sum(col("n"))).head().getLong(0)
+      val lnp = vocab.withColumn("lnp",
+        round(expr(s"ln(CAST(n AS DOUBLE) / $total)"), 6)
+          .cast(DecimalType(20, 6)))
+      toks.join(broadcast(lnp.select(col("token"), col("lnp"))), "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lnp")).as("sum_lnp"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("sum_lnp").cast(DoubleType) / col("n_tokens")).as("avg_logprob"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+            v AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
+            tot AS (SELECT sum(n) AS total FROM v),
+            l AS (SELECT token,
+                         CAST(round(ln(CAST(n AS DOUBLE) / t.total), 6)
+                              AS DECIMAL(20,6)) AS lnp
+                  FROM v CROSS JOIN tot t)
+            SELECT t.doc_id, count(*) AS n_tokens,
+                   CAST(sum(l.lnp) AS DOUBLE) / count(*) AS avg_logprob
+            FROM t JOIN l USING (token)
+            GROUP BY t.doc_id ORDER BY t.doc_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
-    llmEmbedNormalize)
+    llmEmbedNormalize, llmUnigramLogprob)
 }

@@ -107,7 +107,46 @@ object SetOps {
             SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000.0
             ORDER BY c_custkey NULLS FIRST, c_mktsegment NULLS FIRST"""))
 
+  /** Multiset EXCEPT ALL — bag semantics (each duplicate counted), the
+    * set-op the DISTINCT-based EXCEPT can't express. One hash-aggregated
+    * anti-count per side under the hood; columns chosen for heavy
+    * duplication so the multiset arithmetic is actually exercised.
+    */
+  val setopExceptAll: Q = Q(
+    "setop_except_all",
+    (s, d) =>
+      Tables.read(s, d, "lineitem")
+        .filter(col("l_quantity") <= 25)
+        .select(col("l_suppkey"), col("l_returnflag"))
+        .exceptAll(
+          Tables.read(s, d, "lineitem")
+            .filter(col("l_quantity") > 40)
+            .select(col("l_suppkey"), col("l_returnflag")))
+        .orderBy(asc_nulls_first("l_suppkey"), asc_nulls_first("l_returnflag")),
+    Some("""SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity <= 25
+            EXCEPT ALL
+            SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity > 40
+            ORDER BY l_suppkey NULLS FIRST, l_returnflag NULLS FIRST"""))
+
+  /** Multiset INTERSECT ALL — min-of-multiplicities bag semantics. */
+  val setopIntersectAll: Q = Q(
+    "setop_intersect_all",
+    (s, d) =>
+      Tables.read(s, d, "lineitem")
+        .filter(col("l_quantity") <= 25)
+        .select(col("l_suppkey"), col("l_returnflag"))
+        .intersectAll(
+          Tables.read(s, d, "lineitem")
+            .filter(col("l_quantity") > 40)
+            .select(col("l_suppkey"), col("l_returnflag")))
+        .orderBy(asc_nulls_first("l_suppkey"), asc_nulls_first("l_returnflag")),
+    Some("""SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity <= 25
+            INTERSECT ALL
+            SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity > 40
+            ORDER BY l_suppkey NULLS FIRST, l_returnflag NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     opSortMulti, opLimitSorted, opTopkGlobal, setopUnionAll,
-    setopUnionDistinct, setopIntersect, setopExcept)
+    setopUnionDistinct, setopIntersect, setopExcept, setopExceptAll,
+    setopIntersectAll)
 }

@@ -196,7 +196,31 @@ object Windows {
                    cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS cd
             FROM orders ORDER BY o_orderkey NULLS FIRST"""))
 
+  /** nth_value over the whole partition (explicit unbounded frame — the
+    * default running frame would return NULL until the nth row, a classic
+    * cross-engine trap): each order sees its customer's second-cheapest
+    * order total. Ties on the full sort key carry the same value, so the
+    * result is engine-stable.
+    */
+  val winNthValue: Q = Q(
+    "win_nth_value",
+    (s, d) => {
+      val w = byCust.orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_cheapest"))
+        .orderBy(asc_nulls_first("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice,
+                   nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                     AS second_cheapest
+            FROM orders ORDER BY o_orderkey NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     winRowNumber, winRankDense, winLagLead, winRunningSum, winSlidingFrame,
-    winRangeFrame, winFirstLast, winNtile, winPercentCume, aggTopkPerGroup)
+    winRangeFrame, winFirstLast, winNtile, winPercentCume, aggTopkPerGroup,
+    winNthValue)
 }

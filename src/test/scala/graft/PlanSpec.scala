@@ -38,6 +38,10 @@ class PlanSpec extends SparkSpec {
     assert(plan(Joins.joinBroadcast.fn(spark, sf)).contains("BroadcastHashJoin"))
   }
 
+  test("join_hint_shuffle_hash actually plans a ShuffledHashJoin") {
+    assert(plan(Joins.joinHintShuffleHash.fn(spark, sf)).contains("ShuffledHashJoin"))
+  }
+
   test("join_interval_overlap keeps the equality key a hash/merge join, not nested-loop") {
     val p = plan(Joins.joinIntervalOverlap.fn(spark, sf))
     assert(!p.contains("BroadcastNestedLoopJoin"),

@@ -56,6 +56,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(gotRepart == got)
   }
 
+  test("star contraction equals union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val n = 20 + trial * 10
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val got = LlmOps.dedupClusterRepStar(edges.toDF("id1", "id2"), nodes)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0L until n.toLong).foreach { id =>
+        assert(got(id) == find(id), s"trial $trial doc $id")
+      }
+    }
+  }
+
   test("approx quantiles bracket the exact percentiles per group") {
     val approx = Aggregations.aggApproxQuantile.fn(spark, sf).collect()
       .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
