@@ -321,9 +321,30 @@ object Aggregations {
         .orderBy(asc_nulls_first("l_returnflag")),
     None)
 
+  /** Boolean-logic aggregates per group: `count_if`, `bool_and`,
+    * `bool_or`, `every`-style predicates — all exact, one hash agg.
+    */
+  val aggBoolLogic: Q = Q(
+    "agg_bool_logic",
+    (s, d) =>
+      Tables.read(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("count_if(l_quantity > 25)").as("n_bulk"),
+          expr("bool_and(l_quantity <= 50)").as("all_in_range"),
+          expr("bool_or(l_discount > 0.09)").as("any_deep_discount"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag")),
+    Some("""SELECT l_returnflag,
+                   count_if(l_quantity > 25) AS n_bulk,
+                   bool_and(l_quantity <= 50) AS all_in_range,
+                   bool_or(l_discount > 0.09) AS any_deep_discount,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     aggGlobal, aggHashGroupby, aggStringAggOrdered, aggCountDistinct,
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
     aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,
-    opUdafWeightedAvg, aggMode, aggApproxQuantile)
+    opUdafWeightedAvg, aggMode, aggApproxQuantile, aggBoolLogic)
 }

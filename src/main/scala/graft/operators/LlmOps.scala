@@ -1391,6 +1391,36 @@ object LlmOps {
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 ORDER BY id1 NULLS FIRST, id2"""))
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    * k-means clustering THEN within-cluster cosine near-dup — the
+    * clustering is the blocking step, so the quadratic scan shrinks from
+    * n² to Σ|cluster|², and at 100 TB each cluster is one shuffle
+    * partition (`list_id` key) processed independently. Reuses the IVF
+    * spherical-k-means machinery; exactly-deterministic assignment +
+    * rounded scores. Rows-only (simhash-style: hash-seeded clustering not
+    * SQL-portable) — spec proves every pair is (a) co-clustered and (b) a
+    * subset of the exact all-pairs cosine dups at the same τ.
+    */
+  val llmSemdedupCentroid: Q = Q(
+    "llm_semdedup_centroid",
+    (s, d) => {
+      val e = Tables.read(s, d, "embeddings")
+      val centroids = ivfCentroids(e, nLists = 8, iters = 2)
+      val assigned = assignLists(e, centroids)
+        .select(col("list_id"), col("vec_id"), col("embedding"))
+      val a = assigned.select(col("list_id"), col("vec_id").as("id1"),
+        col("embedding").as("e1"))
+      val b = assigned.select(col("list_id"), col("vec_id").as("id2"),
+        col("embedding").as("e2"))
+      a.join(b, Seq("list_id"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("score", round(cosineCols(s)("e1", "e2"), 4))
+        .filter(col("score") >= 0.35)
+        .select(col("list_id"), col("id1"), col("id2"), col("score"))
+        .orderBy(asc_nulls_first("id1"), asc("id2"))
+    },
+    None)
+
   /** Deterministic multiplicative scramble of the doc id — the orderable
     * pseudo-random key behind sampling/splitting, exact in both engines
     * (64-bit-safe: doc_id × Knuth's 2654435761 stays < 2^63 for any
@@ -1672,6 +1702,7 @@ object LlmOps {
     llmDedupSimhash, llmDedupClusterRep, llmSubstringDedup,
     llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
+    llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,
     llmStratifiedSample, llmTrainSplit,

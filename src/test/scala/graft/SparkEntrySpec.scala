@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (136 keys, 112 oracles)") {
-    assert(SparkEntry.queries.size == 136,
+  test("registry matches the SURVEY §2 inventory size (138 keys, 113 oracles)") {
+    assert(SparkEntry.queries.size == 138,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 112,
+    assert(SparkEntry.oracleSql.size == 113,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 }

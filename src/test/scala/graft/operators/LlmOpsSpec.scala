@@ -346,6 +346,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows == viaOp)
   }
 
+  test("semdedup pairs are co-clustered and a subset of exact cosine dups") {
+    val sem = LlmOps.llmSemdedupCentroid.fn(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(sem.nonEmpty)
+    val exact = LlmOps.llmEmbedCosineDup.fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    sem.foreach { case (id1, id2, score) =>
+      assert(exact.contains((id1, id2)), s"($id1,$id2) not an exact dup pair")
+      assert(exact((id1, id2)) == score, s"($id1,$id2) score mismatch")
+    }
+    // blocking loses some cross-cluster pairs by design — but must keep a
+    // non-trivial share on this corpus
+    assert(sem.length * 10 >= exact.size, s"${sem.length} of ${exact.size} kept")
+  }
+
   test("fake multimodal decoder is deterministic and total") {
     val d = new LlmOps.FakeImageDecoder
     val f1 = d.decode(7L, "ab".getBytes("UTF-8"))
