@@ -1372,6 +1372,9 @@ object LlmOps {
                                i -> xxhash64(concat_ws(' ', slice(t, i, $W))))
                 ELSE CAST(array() AS array<bigint>) END""")).as("win"))
         .distinct()
+        // materialized ONCE: the self-join's aliased sides don't
+        // ReuseExchange, so the window explode + distinct would run twice
+        .localCheckpoint()
       val a = sh.select(col("win"), col("doc_id").as("id1"))
       val b = sh.select(col("win"), col("doc_id").as("id2"))
       a.join(b, "win")
@@ -1406,8 +1409,12 @@ object LlmOps {
     (s, d) => {
       val e = Tables.read(s, d, "embeddings")
       val centroids = ivfCentroids(e, nLists = 8, iters = 2)
+      // materialize the assignment ONCE before the self-join references it
+      // twice — Spark does not ReuseExchange across the aliased sides, so
+      // without this the codegen'd centroid argmax runs per side
       val assigned = assignLists(e, centroids)
         .select(col("list_id"), col("vec_id"), col("embedding"))
+        .localCheckpoint()
       val a = assigned.select(col("list_id"), col("vec_id").as("id1"),
         col("embedding").as("e1"))
       val b = assigned.select(col("list_id"), col("vec_id").as("id2"),

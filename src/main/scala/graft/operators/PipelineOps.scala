@@ -202,8 +202,7 @@ object PipelineOps {
       val e = Tables.read(s, d, "events")
         .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-      val run = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       e.withColumn("prev", lag(col("ts_us"), 1).over(w))
         .withColumn("new_sess",
           when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L)
@@ -424,11 +423,18 @@ object PipelineOps {
     (s, d) => {
       val toks = Tables.read(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-      val total = vocab.agg(sum(col("n"))).head().getLong(0)
-      val lnp = vocab.withColumn("lnp",
-        round(expr(s"ln(CAST(n AS DOUBLE) / $total)"), 6)
-          .cast(DecimalType(20, 6)))
+      // collect the |vocab|-row count table ONCE (same pattern as the mix
+      // rebalancer): the total scalar and the broadcast log-prob side both
+      // rebuild from it, so the corpus explodes exactly once in the final
+      // plan instead of three times
+      val vocabRows = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val total = vocabRows.map(_._2).sum
+      import s.implicits._
+      val lnp = vocabRows.toSeq.toDF("token", "n")
+        .withColumn("lnp",
+          round(expr(s"ln(CAST(n AS DOUBLE) / $total)"), 6)
+            .cast(DecimalType(20, 6)))
       toks.join(broadcast(lnp.select(col("token"), col("lnp"))), "token")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("lnp")).as("sum_lnp"))

@@ -112,16 +112,23 @@ object SetOps {
     * anti-count per side under the hood; columns chosen for heavy
     * duplication so the multiset arithmetic is actually exercised.
     */
+  // the two bag-semantics ops share their multiset sides: A (qty ≤ 25) and
+  // the deliberately narrower B (qty > 40), so differences/minima are
+  // non-trivial on every key
+  private def bagA(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.read(s, d, "lineitem")
+      .filter(col("l_quantity") <= 25)
+      .select(col("l_suppkey"), col("l_returnflag"))
+
+  private def bagB(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.read(s, d, "lineitem")
+      .filter(col("l_quantity") > 40)
+      .select(col("l_suppkey"), col("l_returnflag"))
+
   val setopExceptAll: Q = Q(
     "setop_except_all",
     (s, d) =>
-      Tables.read(s, d, "lineitem")
-        .filter(col("l_quantity") <= 25)
-        .select(col("l_suppkey"), col("l_returnflag"))
-        .exceptAll(
-          Tables.read(s, d, "lineitem")
-            .filter(col("l_quantity") > 40)
-            .select(col("l_suppkey"), col("l_returnflag")))
+      bagA(s, d).exceptAll(bagB(s, d))
         .orderBy(asc_nulls_first("l_suppkey"), asc_nulls_first("l_returnflag")),
     Some("""SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity <= 25
             EXCEPT ALL
@@ -132,13 +139,7 @@ object SetOps {
   val setopIntersectAll: Q = Q(
     "setop_intersect_all",
     (s, d) =>
-      Tables.read(s, d, "lineitem")
-        .filter(col("l_quantity") <= 25)
-        .select(col("l_suppkey"), col("l_returnflag"))
-        .intersectAll(
-          Tables.read(s, d, "lineitem")
-            .filter(col("l_quantity") > 40)
-            .select(col("l_suppkey"), col("l_returnflag")))
+      bagA(s, d).intersectAll(bagB(s, d))
         .orderBy(asc_nulls_first("l_suppkey"), asc_nulls_first("l_returnflag")),
     Some("""SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity <= 25
             INTERSECT ALL
