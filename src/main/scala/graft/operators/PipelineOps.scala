@@ -455,8 +455,122 @@ object PipelineOps {
             FROM t JOIN l USING (token)
             GROUP BY t.doc_id ORDER BY t.doc_id NULLS FIRST"""))
 
+  /** Sliding-window document chunking (the RAG / long-doc-pretraining
+    * splitter): 50-token chunks on a 40-token stride (10-token overlap),
+    * every token covered, trailing chunk may be short. One Generator per
+    * doc — no shuffle before the presentation sort; chunk counts are
+    * ~len/stride so output is ~1.25× the corpus, streamed through
+    * codegen.
+    */
+  val llmDocChunking: Q = Q(
+    "llm_doc_chunking",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), expr("size(t)").as("len"),
+          posexplode(expr(
+            "transform(sequence(1, size(t), 40), st -> concat_ws(' ', slice(t, st, 50)))"))
+            .as(Seq("chunk_idx", "chunk_text")))
+        .withColumn("chunk_start", col("chunk_idx") * 40 + 1)
+        .withColumn("chunk_tokens",
+          least(lit(50), col("len") - col("chunk_start") + 1).cast(LongType))
+        .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+          col("chunk_start").cast(LongType).as("chunk_start"),
+          col("chunk_tokens"), col("chunk_text"))
+        .orderBy(asc_nulls_first("doc_id"), asc("chunk_idx")),
+    Some("""WITH b AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            c AS (SELECT doc_id, len(t) AS len, t,
+                         unnest(range(0, (len(t) + 39) // 40)) AS chunk_idx
+                  FROM b)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(chunk_idx * 40 + 1 AS BIGINT) AS chunk_start,
+                   CAST(least(50, len - (chunk_idx * 40 + 1) + 1) AS BIGINT)
+                     AS chunk_tokens,
+                   array_to_string(t[chunk_idx * 40 + 1 : chunk_idx * 40 + 50], ' ')
+                     AS chunk_text
+            FROM c ORDER BY doc_id NULLS FIRST, chunk_idx"""))
+
+  /** Sequence packing, concat-and-split form (the GPT-style pretraining
+    * batcher): docs concatenate in deterministic scramble order and split
+    * into fixed 256-token blocks; each doc reports its first block, its
+    * offset inside it, and how many blocks it spans. ONE global window —
+    * but over (doc_id, len) metadata only, never text, so the single
+    * partition holds two ints per doc; at 100 TB pack per shard (the
+    * scramble key prefix) with this exact plan per shard.
+    */
+  val llmPackBlocks: Q = Q(
+    "llm_pack_blocks",
+    (s, d) => {
+      val B = 256
+      val w = Window.orderBy(col("scramble"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"))
+        .withColumn("scramble", expr(LlmOps.scrambleSql))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"cum_before div $B").as("block_first"),
+          (col("cum_before") % B).as("block_offset"),
+          expr(s"(cum_before + n_tokens - 1) div $B - cum_before div $B + 1")
+            .as("blocks_spanned"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some(s"""WITH b AS (SELECT doc_id,
+                               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                               ${LlmOps.scrambleSql} AS scramble
+                        FROM documents),
+             c AS (SELECT doc_id, n_tokens,
+                          COALESCE(sum(n_tokens) OVER (ORDER BY scramble, doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS cum_before
+                   FROM b)
+             SELECT doc_id, n_tokens,
+                    cum_before // 256 AS block_first,
+                    cum_before % 256 AS block_offset,
+                    (cum_before + n_tokens - 1) // 256 - cum_before // 256 + 1
+                      AS blocks_spanned
+             FROM c ORDER BY doc_id NULLS FIRST"""))
+
+  /** OHLC bars per (user, hour) — the resample-to-bars op of a metrics /
+    * market pipeline: open and close via `min_by`/`max_by` keyed STRICTLY
+    * on (ts, event_id) (the ffill tiebreak discipline), high/low/count
+    * plain aggs. One hash agg, map-side combinable.
+    */
+  val tsOhlcBars: Q = Q(
+    "ts_ohlc_bars",
+    (s, d) =>
+      Tables.read(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("h", expr("ts_us div 3600000000"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(
+          min_by(col("value"), struct(col("ts_us"), col("event_id"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"), struct(col("ts_us"), col("event_id"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("user_id"), asc("h")),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                              epoch_us(ts) // 3600000000 AS h, event_id, value
+                       FROM events),
+            r AS (SELECT user_id, h, value, ts_us, event_id,
+                         row_number() OVER (PARTITION BY user_id, h
+                           ORDER BY ts_us, event_id) AS rn_a,
+                         row_number() OVER (PARTITION BY user_id, h
+                           ORDER BY ts_us DESC, event_id DESC) AS rn_z
+                  FROM e)
+            SELECT user_id, h,
+                   max(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   max(value) AS high, min(value) AS low,
+                   max(CASE WHEN rn_z = 1 THEN value END) AS close,
+                   count(*) AS n
+            FROM r GROUP BY user_id, h
+            ORDER BY user_id NULLS FIRST, h"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
-    llmEmbedNormalize, llmUnigramLogprob)
+    llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
+    tsOhlcBars)
 }

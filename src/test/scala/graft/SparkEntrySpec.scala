@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (138 keys, 113 oracles)") {
-    assert(SparkEntry.queries.size == 138,
+  test("registry matches the SURVEY §2 inventory size (141 keys, 116 oracles)") {
+    assert(SparkEntry.queries.size == 141,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 113,
+    assert(SparkEntry.oracleSql.size == 116,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 }
