@@ -568,9 +568,115 @@ object PipelineOps {
             FROM r GROUP BY user_id, h
             ORDER BY user_id NULLS FIRST, h"""))
 
+  /** The composed corpus-filter decision table — what a curation pipeline
+    * actually ships: one row per document with each gate's verdict
+    * (exact-dup canonical? quality ≥ 0.5? length in [10, 500] tokens?)
+    * and the final `keep`. Composition stays one scan + one dup
+    * hash-agg + a broadcast-back join; every gate is individually
+    * inspectable, so reviewers can audit WHY a doc dropped (the reason
+    * matters as much as the decision in a 100 TB curation run).
+    */
+  val llmCorpusFilterDecision: Q = Q(
+    "llm_corpus_filter_decision",
+    (s, d) => {
+      val scored = LlmOps.qualityScored(s, d)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      val canon = Tables.read(s, d, "documents")
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("is_canonical"))
+      scored.join(canon, Seq("doc_id"), "left")
+        .withColumn("pass_dedup", coalesce(col("is_canonical"), lit(false)))
+        .withColumn("pass_quality", col("quality") >= 0.5)
+        .withColumn("pass_length",
+          col("n_tokens") >= 10 && col("n_tokens") <= 500)
+        .withColumn("keep",
+          col("pass_dedup") && col("pass_quality") && col("pass_length"))
+        .select(col("doc_id"), col("n_tokens"), col("quality"),
+          col("pass_dedup"), col("pass_quality"), col("pass_length"),
+          col("keep"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH b AS (
+              SELECT doc_id, text,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+                     CAST(len(list_filter(string_split(text, ' '),
+                          x -> x = 'the' OR x = 'a')) AS BIGINT) AS n_stop
+              FROM documents),
+            q AS (SELECT doc_id, text, n_tokens,
+                         round(CAST(n_types AS DOUBLE) / n_tokens * 0.4
+                               + (1.0 - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+                               + least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.3, 6)
+                           AS quality
+                  FROM b),
+            c AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+            SELECT q.doc_id, q.n_tokens, q.quality,
+                   c.doc_id IS NOT NULL AS pass_dedup,
+                   q.quality >= 0.5 AS pass_quality,
+                   q.n_tokens BETWEEN 10 AND 500 AS pass_length,
+                   (c.doc_id IS NOT NULL AND q.quality >= 0.5
+                    AND q.n_tokens BETWEEN 10 AND 500) AS keep
+            FROM q LEFT JOIN c ON q.doc_id = c.doc_id
+            ORDER BY q.doc_id NULLS FIRST"""))
+
+  /** Per-user inactivity-gap statistics (the data-quality screen before
+    * sessionization thresholds are chosen): gap count over 24 h, max and
+    * average gap. Gaps are exact integer µs; the average is DECIMAL-summed
+    * then one double division. One window + one hash agg, co-keyed.
+    */
+  val tsGapStats: Q = Q(
+    "ts_gap_stats",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.read(s, d, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"),
+          sum(when(col("gap") > 86400000000L, 1L).otherwise(0L)).as("n_gaps_24h"),
+          max(col("gap")).as("max_gap_us"),
+          (sum(col("gap").cast(DecimalType(30, 0))).cast(DoubleType)
+            / count(lit(1))).as("avg_gap_us"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+            g AS (SELECT user_id,
+                         ts_us - lag(ts_us) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS gap
+                  FROM e)
+            SELECT user_id, count(*) AS n_gaps,
+                   sum(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END) AS n_gaps_24h,
+                   max(gap) AS max_gap_us,
+                   CAST(sum(CAST(gap AS DECIMAL(30,0))) AS DOUBLE) / count(*)
+                     AS avg_gap_us
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY user_id ORDER BY user_id NULLS FIRST"""))
+
+  /** Fixed-width histogram of event values (10 buckets of width 60):
+    * the distribution screen every numeric column gets before outlier
+    * thresholds are chosen. Pure integer bucketing + one hash agg.
+    */
+  val aggHistogramFixed: Q = Q(
+    "agg_histogram_fixed",
+    (s, d) =>
+      Tables.read(s, d, "events")
+        .select(expr("CAST(floor(value / 60) AS BIGINT)").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .withColumn("lo", col("bucket") * 60.0)
+        .withColumn("hi", (col("bucket") + 1) * 60.0)
+        .select(col("bucket"), col("lo"), col("hi"), col("n"))
+        .orderBy(asc_nulls_first("bucket")),
+    Some("""SELECT CAST(floor(value / 60) AS BIGINT) AS bucket,
+                   CAST(floor(value / 60) AS BIGINT) * 60.0 AS lo,
+                   (CAST(floor(value / 60) AS BIGINT) + 1) * 60.0 AS hi,
+                   count(*) AS n
+            FROM events GROUP BY 1
+            ORDER BY bucket NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
-    tsOhlcBars)
+    tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed)
 }
