@@ -439,9 +439,47 @@ object Expressions {
             FROM events WHERE CAST(json_extract(props, '$.k') AS INTEGER) >= 50
             ORDER BY event_id NULLS FIRST"""))
 
+  /** LATERAL correlated subquery (top-1-per-row without a window): each
+    * customer joined laterally to their single highest-value order. One
+    * SQL text valid in BOTH engines — Catalyst decorrelates the LIMIT 1
+    * subquery into a ranked join under the hood; the lateral FORM is the
+    * surface a SQL user reaches for first.
+    */
+  val opLateralTopn: Q = Q.sql(
+    "op_lateral_topn",
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+       FROM customer c,
+       LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_custkey = c.c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+       ORDER BY c_custkey NULLS FIRST""")
+
+  /** ANSI-safe `try_*` arithmetic — the idiom this engine's always-ANSI
+    * sessions rely on: `try_divide` yields NULL where strict division
+    * THROWS (DIVIDE_BY_ZERO), `try_add` yields NULL where strict addition
+    * overflows. The oracle spells out the equivalent CASE guards.
+    */
+  val fnTryArith: Q = Q(
+    "fn_try_arith",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .select(col("o_orderkey"),
+          expr("try_divide(CAST(o_totalprice AS DOUBLE), CAST(o_custkey % 3 AS DOUBLE))")
+            .as("safe_div"),
+          expr("try_add(9223372036854775800L, o_orderkey)").as("safe_add"))
+        .orderBy(asc_nulls_first("o_orderkey")),
+    Some("""SELECT o_orderkey,
+                   CASE WHEN o_custkey % 3 = 0 THEN NULL
+                        ELSE CAST(o_totalprice AS DOUBLE) / (o_custkey % 3) END
+                     AS safe_div,
+                   CASE WHEN o_orderkey > 7 THEN NULL
+                        ELSE 9223372036854775800 + o_orderkey END AS safe_add
+            FROM orders ORDER BY o_orderkey NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     opProjectCompute, opFilterPred, opCaseWhen, opStringConcat,
     opCoalesceNullif, opCastTypes, opScalarSubquery, opCte, fnConditional,
     fnString, fnRegex, fnDatetime, fnMath, fnJsonNested, fnArray, fnMap,
-    fnHashDigest, fnBitwise, opUnpivot, opUdfTypemap, fnVariantJson)
+    fnHashDigest, fnBitwise, opUnpivot, opUdfTypemap, fnVariantJson,
+    opLateralTopn, fnTryArith)
 }

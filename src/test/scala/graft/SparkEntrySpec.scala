@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (144 keys, 119 oracles)") {
-    assert(SparkEntry.queries.size == 144,
+  test("registry matches the SURVEY §2 inventory size (146 keys, 121 oracles)") {
+    assert(SparkEntry.queries.size == 146,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 119,
+    assert(SparkEntry.oracleSql.size == 121,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 }

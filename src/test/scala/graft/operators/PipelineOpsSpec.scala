@@ -92,6 +92,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2.map(_.toSeq) == rows.toSeq.map(_.toSeq))
   }
 
+  test("chunking covers every token; chunks respect size/stride") {
+    val chunks = PipelineOps.llmDocChunking.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lens = graft.Tables.read(spark, sf, "documents")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS len")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val len = lens(doc)
+      // starts are 1, 41, 81, ...; the chunk count is ceil(len / 40)
+      assert(cs.length.toLong == (len + 39) / 40, s"doc $doc chunk count")
+      cs.foreach { case (_, idx, start, n) =>
+        assert(start == idx * 40 + 1 && n >= 1 && n <= 50, s"doc $doc chunk $idx")
+      }
+      // full coverage: last chunk reaches the final token
+      val (_, _, lastStart, lastN) = cs.maxBy(_._2)
+      assert(lastStart + lastN - 1 == len, s"doc $doc tail coverage")
+    }
+  }
+
+  test("packing is gap-free: blocks fill contiguously in scramble order") {
+    val rows = PipelineOps.llmPackBlocks.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, n, first, off, span) =>
+      assert(off >= 0 && off < 256, s"doc $doc offset")
+      // span is exactly the number of 256-blocks [first*256 + off, +n) touches
+      assert(span == (off + n - 1) / 256 + 1, s"doc $doc span")
+    }
+    // global token positions are a gap-free prefix of the packed stream
+    val total = rows.map(_._2).sum
+    val maxEnd = rows.map { case (_, n, first, off, _) => first * 256 + off + n }.max
+    assert(maxEnd == total, "packed stream has gaps or overlaps")
+  }
+
   test("inverted index postings are sorted, deduplicated, and df-consistent") {
     val rows = PipelineOps.llmInvertedIndex.fn(spark, sf).collect()
     assert(rows.nonEmpty)
