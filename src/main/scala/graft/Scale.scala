@@ -53,7 +53,9 @@ object Scale {
     "llm_contamination_ngram", "llm_lang_id_ngram", "llm_stratified_sample",
     "llm_quality_quantile", "llm_vocab_build", "llm_pii_mask",
     "fn_variant_json", "llm_cosine_topk", "llm_ann_lsh_topk",
-    "llm_ann_ivf_topk")
+    "llm_ann_ivf_topk", "llm_doc_chunking", "llm_pack_blocks",
+    "llm_unigram_logprob", "llm_corpus_filter_decision", "ts_ohlc_bars",
+    "ts_gap_stats", "agg_histogram_fixed", "op_lateral_topn")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
