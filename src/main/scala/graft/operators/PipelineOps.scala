@@ -674,9 +674,98 @@ object PipelineOps {
             FROM events GROUP BY 1
             ORDER BY bucket NULLS FIRST"""))
 
+  /** Per-user value trend: least-squares slope of value over time (the
+    * drift feature). x is hours since the USER'S first event — re-origined
+    * so x² stays in exact long range — and the moments follow the
+    * `agg_corr_manual` DECIMAL discipline (merge-order independent);
+    * single-point / zero-variance users get NULL slope. One co-keyed
+    * window (per-user min) + one hash agg.
+    */
+  val tsTrendSlope: Q = Q(
+    "ts_trend_slope",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      val e = Tables.read(s, d, "events")
+        .select(col("user_id"), col("value"),
+          expr("(ts div 1000) div 3600000000").as("h"))
+        .withColumn("x", col("h") - min(col("h")).over(w))
+      val m = e.groupBy(col("user_id")).agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x").cast(DecimalType(20, 0))).cast(DoubleType).as("sx"),
+        sum(col("value").cast(DecimalType(30, 10))).cast(DoubleType).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(24, 0)))
+          .cast(DoubleType).as("sxx"),
+        sum((col("x").cast(DoubleType) * col("value"))
+          .cast(DecimalType(30, 6))).cast(DoubleType).as("sxy"))
+      m.select(col("user_id"), col("n").cast(LongType).as("n_events"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / (col("n") * col("sxx") - col("sx") * col("sx")), 6))
+            .as("slope_per_hour"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, value,
+                              epoch_us(ts) // 3600000000 AS h
+                       FROM events),
+            x AS (SELECT user_id, value,
+                         h - min(h) OVER (PARTITION BY user_id) AS x
+                  FROM e),
+            m AS (SELECT user_id,
+                         CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(CAST(x AS DECIMAL(20,0))) AS DOUBLE) AS sx,
+                         CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+                         CAST(sum(CAST(x * x AS DECIMAL(24,0))) AS DOUBLE) AS sxx,
+                         CAST(sum(CAST(CAST(x AS DOUBLE) * value AS DECIMAL(30,6)))
+                              AS DOUBLE) AS sxy
+                  FROM x GROUP BY user_id)
+            SELECT user_id, CAST(n AS BIGINT) AS n_events,
+                   CASE WHEN n * sxx - sx * sx > 0
+                        THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   END AS slope_per_hour
+            FROM m ORDER BY user_id NULLS FIRST"""))
+
+  /** Bloom-filter prescreen for eval-set contamination — the O(KB)
+    * mergeable-sketch fast path in front of the exact 5-gram screen:
+    * Spark's own BloomFilterAggregate (surfaced as `graft_bloom_agg` —
+    * it backs the optimizer's runtime filters but isn't in the public
+    * registry) builds the sketch over eval-doc hashes in one pass, and
+    * the probe is a codegen'd expression, no UDF anywhere. Guarantees NO
+    * false negatives (every true eval duplicate is flagged); false
+    * positives only cost a wasted exact check downstream. Rows-only —
+    * spec proves the no-false-negative property and bounds the flag rate.
+    */
+  val llmBloomPrescreen: Q = Q(
+    "llm_bloom_prescreen",
+    (s, d) => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val docs = Tables.read(s, d, "documents")
+      // the sketch collects to the driver — O(KB) REGARDLESS of eval-set
+      // size, that is the point — and probes as a constant (the form
+      // might_contain requires)
+      val bf = bloomOf(docs.filter(col("doc_id") % 50 === 0))
+      val bfHex = bf.map("%02X".format(_)).mkString
+      docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"),
+          expr(s"graft_bloom_contains(X'$bfHex', xxhash64(text))")
+            .as("maybe_eval_dup"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    None)
+
+  /** Build the eval-set bloom sketch and collect its binary (unit-test
+    * seam; O(KB) driver state).
+    */
+  private[operators] def bloomOf(evalDocs: org.apache.spark.sql.DataFrame): Array[Byte] = {
+    org.apache.spark.sql.graft.GraftFunctions.register(evalDocs.sparkSession)
+    evalDocs
+      .agg(expr("graft_bloom_agg(xxhash64(text), 1000L, 16384L)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
-    tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed)
+    tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,
+    tsTrendSlope, llmBloomPrescreen)
 }

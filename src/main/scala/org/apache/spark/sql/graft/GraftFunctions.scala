@@ -25,5 +25,20 @@ object GraftFunctions {
       "graft_simhash64", exprs => Simhash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_bigram_counts", exprs => BigramCounts(exprs(0)), "built-in")
+    // Spark's own bloom-filter aggregate + probe are implemented but NOT
+    // exposed in the public function registry (they back the optimizer's
+    // runtime row-group filtering); surfacing them here gives the dedup /
+    // decontamination prescreens a mergeable O(KB) sketch without any UDF
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+        .toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in")
   }
 }

@@ -16,10 +16,24 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (146 keys, 121 oracles)") {
-    assert(SparkEntry.queries.size == 146,
+  test("registry matches the SURVEY §2 inventory size (148 keys, 122 oracles)") {
+    assert(SparkEntry.queries.size == 148,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 121,
+    assert(SparkEntry.oracleSql.size == 122,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
+  }
+
+  test("SURVEY §2 key rows and the registry agree EXACTLY, name by name") {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val keyRe =
+      """(?m)^\| `((?:op|fn|src|sink|join|agg|win|setop|stream|llm|ts|graph)_[a-z0-9_]+)`""".r
+    val surveyKeys = keyRe.findAllMatchIn(text).map(_.group(1)).toSet
+    val registry = SparkEntry.queries.keySet
+    val missing = registry -- surveyKeys
+    val stale = surveyKeys -- registry
+    assert(missing.isEmpty && stale.isEmpty,
+      s"SURVEY missing: ${missing.toSeq.sorted}; SURVEY stale: ${stale.toSeq.sorted}")
   }
 }

@@ -126,6 +126,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(maxEnd == total, "packed stream has gaps or overlaps")
   }
 
+  test("bloom prescreen has NO false negatives and a bounded flag rate") {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val docs = graft.Tables.read(spark, sf, "documents")
+    import org.apache.spark.sql.functions.col
+    val bfHex = PipelineOps.bloomOf(docs.filter(col("doc_id") % 50 === 0))
+      .map("%02X".format(_)).mkString
+    // probing the very texts the sketch was built from must ALL hit
+    val selfHits = docs.filter(col("doc_id") % 50 === 0)
+      .selectExpr(s"graft_bloom_contains(X'$bfHex', xxhash64(text)) AS hit")
+      .collect().map(_.getBoolean(0))
+    assert(selfHits.nonEmpty && selfHits.forall(identity))
+    // the registered op flags true dups + a small FP tail, never the bulk
+    val flags = PipelineOps.llmBloomPrescreen.fn(spark, sf).collect()
+    val rate = flags.count(_.getBoolean(1)).toDouble / flags.length
+    assert(rate < 0.2, s"flag rate $rate — sketch too small or broken")
+  }
+
   test("inverted index postings are sorted, deduplicated, and df-consistent") {
     val rows = PipelineOps.llmInvertedIndex.fn(spark, sf).collect()
     assert(rows.nonEmpty)
