@@ -269,18 +269,26 @@ object LlmOps {
     * identical pair set (both verify full band equality, band hashes are
     * prefilters only).
     */
+  /** k=16 minhash signature per doc (shared by the dedup pair engine and
+    * the Jaccard estimator): per-seed min over salted token hashes — one
+    * hash agg, map-side combinable.
+    */
+  private[operators] def minhashSigs(toks: DataFrame): DataFrame = {
+    val numHashes = 16
+    val sigCols = (0 until numHashes).map(i =>
+      min(xxhash64(concat(col("tok"), lit(s"#$i")))).as(s"h$i"))
+    toks.groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
   def minhashPairs(s: SparkSession, toks: DataFrame,
                    broadcastRowBudget: Long = 500000L): DataFrame = {
     val numHashes = 16
     val bands = 4
     val rows = numHashes / bands
-    val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(concat(col("tok"), lit(s"#$i")))).as(s"h$i"))
-    val sigs = toks.groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-      .cache()
+    val sigs = minhashSigs(toks).cache()
     import s.implicits._
     val sigRows = sigs.select(col("doc_id"), col("sig")).as[(Long, Seq[Long])]
     val pairs =
@@ -1394,6 +1402,32 @@ object LlmOps {
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 ORDER BY id1 NULLS FIRST, id2"""))
 
+  /** MinHash Jaccard ESTIMATION — the measurement half of the minhash
+    * machinery: for every banded candidate pair, the estimated Jaccard is
+    * the fraction of agreeing signature positions (an unbiased estimator,
+    * σ = √(J(1−J)/k) ≈ 0.11 at k=16). The downstream use is
+    * threshold-free dup-rate profiling: estimate the full similarity
+    * histogram of a corpus WITHOUT computing any exact intersection.
+    * Candidates + signatures are two outputs of the same one-pass sig
+    * build; the estimate itself is a per-row zip_with fold. Rows-only —
+    * spec bounds the mean absolute error against exact Jaccard.
+    */
+  val llmMinhashJaccardEst: Q = Q(
+    "llm_minhash_jaccard_est",
+    (s, d) => {
+      val toks = docTokens(s, d)
+      val sigs = minhashSigs(toks).localCheckpoint()
+      val pairs = minhashPairs(s, toks).select(col("id1"), col("id2"))
+      pairs
+        .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), "id1")
+        .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), "id2")
+        .withColumn("j_est", round(
+          expr("size(filter(zip_with(s1, s2, (a, b) -> a = b), x -> x))") / 16.0, 4))
+        .select(col("id1"), col("id2"), col("j_est"))
+        .orderBy(asc_nulls_first("id1"), asc("id2"))
+    },
+    None)
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * k-means clustering THEN within-cluster cosine near-dup — the
     * clustering is the blocking step, so the quadratic scan shrinks from
@@ -1707,6 +1741,7 @@ object LlmOps {
     llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
     llmDedupSimhash, llmDedupClusterRep, llmSubstringDedup,
+    llmMinhashJaccardEst,
     llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
     llmSemdedupCentroid,

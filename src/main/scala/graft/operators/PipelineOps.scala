@@ -762,10 +762,66 @@ object PipelineOps {
       .head().getAs[Array[Byte]](0)
   }
 
+  /** Per-user lag-1 autocorrelation of event values — the "is this series
+    * noise or momentum" feature. Consecutive (prev, cur) pairs via one
+    * co-keyed lag window; the correlation follows the `agg_corr_manual`
+    * DECIMAL-moment discipline exactly; degenerate users (≤1 pair or zero
+    * variance on either side) get NULL.
+    */
+  val tsAutocorrLag1: Q = Q(
+    "ts_autocorr_lag1",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val p = Tables.read(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("ts_us"))
+        .withColumn("prev", lag(col("value"), 1).over(w))
+        .filter(col("prev").isNotNull)
+      val m = p.groupBy(col("user_id")).agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("prev").cast(DecimalType(30, 10))).cast(DoubleType).as("sx"),
+        sum(col("value").cast(DecimalType(30, 10))).cast(DoubleType).as("sy"),
+        sum((col("prev") * col("prev")).cast(DecimalType(30, 6)))
+          .cast(DoubleType).as("sxx"),
+        sum((col("value") * col("value")).cast(DecimalType(30, 6)))
+          .cast(DoubleType).as("syy"),
+        sum((col("prev") * col("value")).cast(DecimalType(30, 6)))
+          .cast(DoubleType).as("sxy"))
+      m.select(col("user_id"), col("n").cast(LongType).as("n_pairs"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+               (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+                 * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+            .as("autocorr_lag1"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+                       FROM events),
+            p AS (SELECT user_id, value,
+                         lag(value) OVER (PARTITION BY user_id
+                           ORDER BY ts_us, event_id) AS prev
+                  FROM e),
+            q AS (SELECT * FROM p WHERE prev IS NOT NULL),
+            m AS (SELECT user_id,
+                         CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(CAST(prev AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+                         CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+                         CAST(sum(CAST(prev * prev AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+                         CAST(sum(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+                         CAST(sum(CAST(prev * value AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+                  FROM q GROUP BY user_id)
+            SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+                   CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                        THEN round((n * sxy - sx * sy)
+                                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+                   END AS autocorr_lag1
+            FROM m ORDER BY user_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,
-    tsTrendSlope, llmBloomPrescreen)
+    tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1)
 }

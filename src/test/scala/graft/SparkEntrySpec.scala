@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (148 keys, 122 oracles)") {
-    assert(SparkEntry.queries.size == 148,
+  test("registry matches the SURVEY §2 inventory size (150 keys, 123 oracles)") {
+    assert(SparkEntry.queries.size == 150,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 122,
+    assert(SparkEntry.oracleSql.size == 123,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -346,6 +346,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows == viaOp)
   }
 
+  test("minhash Jaccard estimates track exact Jaccard (MAE bound)") {
+    val est = LlmOps.llmMinhashJaccardEst.fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est.nonEmpty)
+    // exact Jaccard for the TRUE near-dup pairs (τ=0.9 ground truth)
+    val exact = LlmOps.llmJaccardNearDup.fn(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    val common = exact.keySet.intersect(est.keySet)
+    assert(common.nonEmpty, "banded candidates should cover true pairs")
+    val mae = common.iterator
+      .map(k => math.abs(est(k) - exact(k))).sum / common.size
+    // k=16 ⇒ σ ≈ 0.075 at J≈0.9; MAE across hundreds of pairs ≪ 0.15
+    assert(mae < 0.15, s"MAE $mae over ${common.size} pairs")
+    est.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
   test("semdedup pairs are co-clustered and a subset of exact cosine dups") {
     val sem = LlmOps.llmSemdedupCentroid.fn(spark, sf).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
