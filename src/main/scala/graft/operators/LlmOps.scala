@@ -256,19 +256,6 @@ object LlmOps {
     (s, d) => minhashPairs(s, docTokens(s, d), broadcastRowBudget = 0L),
     None)
 
-  /** MinHash candidate-pair engine behind `llm_dedup_minhash` (unit-test
-    * seam: `broadcastRowBudget` forces either physical path).
-    *
-    * Candidate generation is size-gated: a corpus whose signature side fits
-    * a broadcast (numHashes longs per doc) takes the broadcast-block path —
-    * band-hash compare + signature match in one primitive loop per pair, no
-    * candidate shuffle + distinct. Beyond the budget it switches to the
-    * (band, band-hash) equi-join, which IS the 100 TB plan: one shuffle
-    * keyed by the band hash, candidate set ≪ n², exact band verification
-    * and pair-level distinct AFTER the equi-join. Both paths emit the
-    * identical pair set (both verify full band equality, band hashes are
-    * prefilters only).
-    */
   /** k=16 minhash signature per doc (shared by the dedup pair engine and
     * the Jaccard estimator): per-seed min over salted token hashes — one
     * hash agg, map-side combinable.
@@ -283,12 +270,29 @@ object LlmOps {
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
+  /** MinHash candidate-pair engine behind `llm_dedup_minhash` (unit-test
+    * seam: `broadcastRowBudget` forces either physical path;
+    * `precomputedSigs` lets a caller that already materialized the
+    * signatures — the Jaccard estimator — share them instead of paying
+    * the corpus hash agg twice).
+    *
+    * Candidate generation is size-gated: a corpus whose signature side fits
+    * a broadcast (numHashes longs per doc) takes the broadcast-block path —
+    * band-hash compare + signature match in one primitive loop per pair, no
+    * candidate shuffle + distinct. Beyond the budget it switches to the
+    * (band, band-hash) equi-join, which IS the 100 TB plan: one shuffle
+    * keyed by the band hash, candidate set ≪ n², exact band verification
+    * and pair-level distinct AFTER the equi-join. Both paths emit the
+    * identical pair set (both verify full band equality, band hashes are
+    * prefilters only).
+    */
   def minhashPairs(s: SparkSession, toks: DataFrame,
-                   broadcastRowBudget: Long = 500000L): DataFrame = {
+                   broadcastRowBudget: Long = 500000L,
+                   precomputedSigs: Option[DataFrame] = None): DataFrame = {
     val numHashes = 16
     val bands = 4
     val rows = numHashes / bands
-    val sigs = minhashSigs(toks).cache()
+    val sigs = precomputedSigs.getOrElse(minhashSigs(toks).cache())
     import s.implicits._
     val sigRows = sigs.select(col("doc_id"), col("sig")).as[(Long, Seq[Long])]
     val pairs =
@@ -995,8 +999,12 @@ object LlmOps {
   private[operators] def annIvfTopk(s: SparkSession, e: DataFrame,
                                     nLists: Int = 8, nProbe: Int = 2,
                                     topK: Int = 10): DataFrame = {
+    // the canonicalized plan of a parquet scan does NOT include the file
+    // path (HadoopFsRelation renders as just "parquet"), so the input
+    // FILES anchor the key — two corpora must never share an index
     val key = (System.identityHashCode(s),
-      e.queryExecution.analyzed.canonicalized.toString(), nLists)
+      e.inputFiles.sorted.mkString(",") +
+        e.queryExecution.analyzed.canonicalized.toString(), nLists)
     val index = ivfIndexCache.computeIfAbsent(key, _ => ivfBuild(e, nLists))
     val qvec = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
@@ -1417,7 +1425,8 @@ object LlmOps {
     (s, d) => {
       val toks = docTokens(s, d)
       val sigs = minhashSigs(toks).localCheckpoint()
-      val pairs = minhashPairs(s, toks).select(col("id1"), col("id2"))
+      val pairs = minhashPairs(s, toks, precomputedSigs = Some(sigs))
+        .select(col("id1"), col("id2"))
       pairs
         .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), "id1")
         .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), "id2")

@@ -396,18 +396,24 @@ object PipelineOps {
   val llmEmbedNormalize: Q = Q(
     "llm_embed_normalize",
     (s, d) =>
-      Tables.read(s, d, "embeddings")
-        .withColumn("norm", sqrt(expr(
-          """aggregate(embedding, CAST(0.0 AS DOUBLE),
-               (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")))
-        .withColumn("normalized", expr(
-          """CASE WHEN norm > 0
-               THEN transform(embedding, x -> CAST(CAST(x AS DOUBLE) / norm AS FLOAT))
-               ELSE embedding END"""))
+      normalizeEmbeddings(Tables.read(s, d, "embeddings"))
         .select(col("vec_id"), col("label"), round(col("norm"), 6).as("norm"),
           col("normalized"))
         .orderBy(asc_nulls_first("vec_id")),
     None)
+
+  /** Normalization kernel over any frame with an `embedding` column
+    * (unit-test seam — the idempotence spec feeds its own output back).
+    */
+  private[operators] def normalizeEmbeddings(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("norm", sqrt(expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE),
+             (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")))
+      .withColumn("normalized", expr(
+        """CASE WHEN norm > 0
+             THEN transform(embedding, x -> CAST(CAST(x AS DOUBLE) / norm AS FLOAT))
+             ELSE embedding END"""))
 
   /** Unigram language-model scoring (the CCNet-style fluency signal):
     * per-doc average token log-probability under the corpus' own unigram

@@ -328,7 +328,7 @@ object StreamingOps {
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
           expr("timestamp_micros(ts div 1000)").as("c_time"))
         .withWatermark("c_time", "2 hours")
-      val signups = StreamRunner.streamTable(s, d, "events")
+      val signups = streamedEvents(s, d)
         .filter(col("event_type") === "signup")
         .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
           expr("timestamp_micros(ts div 1000)").as("s_time"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Plan + behavior audits for the second-wave pipeline ops (SURVEY §2.8).
   * Value correctness is the DuckDB oracle's job; these assert the SCALE
@@ -87,9 +88,22 @@ class PipelineOpsSpec extends SparkSpec {
       val n2 = v.map(x => x.toDouble * x).sum
       if (r.getDouble(2) > 0) assert(math.abs(n2 - 1.0) < 1e-3, s"vec ${r.getLong(0)}")
     }
-    // idempotence: normalizing a normalized set leaves norms at 1
-    val r2 = PipelineOps.llmEmbedNormalize.fn(spark, sf).collect().toSeq
-    assert(r2.map(_.toSeq) == rows.toSeq.map(_.toSeq))
+    // TRUE idempotence: feed the normalized output back through the
+    // kernel — vectors must be fixed points (norm ≈ 1 ⇒ division by ~1
+    // reproduces the same floats after the round trip within 1 ulp-ish)
+    val once = PipelineOps.normalizeEmbeddings(
+      graft.Tables.read(spark, sf, "embeddings"))
+      .select(col("vec_id"), col("normalized").as("embedding"))
+    val twice = PipelineOps.normalizeEmbeddings(once)
+      .select(col("vec_id"), col("normalized"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val first = once.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    first.foreach { case (id, v) =>
+      v.zip(twice(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= math.ulp(math.abs(a).max(1e-10f)) * 4,
+          s"vec $id drifts on re-normalization: $a vs $b")
+      }
+    }
   }
 
   test("chunking covers every token; chunks respect size/stride") {
