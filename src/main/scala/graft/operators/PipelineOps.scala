@@ -824,10 +824,49 @@ object PipelineOps {
                    END AS autocorr_lag1
             FROM m ORDER BY user_id NULLS FIRST"""))
 
+  /** Daily active users + cumulative user growth — the canonical product
+    * metric pair: per UTC day, the distinct active users, the number of
+    * users seen for the FIRST time that day, and the running total of
+    * distinct users ever seen. Two hash aggs (per-(day, user) dedup →
+    * per-day counts) + one tiny window over |days| rows; the first-seen
+    * day is a per-user min, so the cumulative line needs no distinct-over-
+    * window (which neither engine can stream).
+    */
+  val tsDailyActiveUsers: Q = Q(
+    "ts_daily_active_users",
+    (s, d) => {
+      val e = Tables.read(s, d, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      val dau = e.distinct().groupBy(col("day"))
+        .agg(count(lit(1)).as("dau"))
+      val firstSeen = e.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dau.join(firstSeen, Seq("day"), "left")
+        .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum(col("new_users")).over(w))
+        .select(col("day"), col("dau"), col("new_users"), col("cum_users"))
+        .orderBy(asc_nulls_first("day"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events),
+            dau AS (SELECT day, count(*) AS dau FROM e GROUP BY day),
+            fs AS (SELECT min(day) AS day FROM e GROUP BY user_id),
+            nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day)
+            SELECT d.day, d.dau,
+                   COALESCE(n.new_users, 0) AS new_users,
+                   sum(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum_users
+            FROM dau d LEFT JOIN nu n ON d.day = n.day
+            ORDER BY d.day NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,
-    tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1)
+    tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers)
 }
