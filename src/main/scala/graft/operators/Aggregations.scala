@@ -318,6 +318,11 @@ object Aggregations {
           "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)")
           .as("approx_q"),
           count(lit(1)).as("n"))
+        // scalar columns only: the driver's pandas row-sort can't hash an
+        // array cell, so the sketch's three quantiles land as three doubles
+        .select(col("l_returnflag"),
+          expr("approx_q[0]").as("q25"), expr("approx_q[1]").as("q50"),
+          expr("approx_q[2]").as("q75"), col("n"))
         .orderBy(asc_nulls_first("l_returnflag")),
     None)
 
@@ -335,7 +340,7 @@ object Aggregations {
           count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("l_returnflag")),
     Some("""SELECT l_returnflag,
-                   count_if(l_quantity > 25) AS n_bulk,
+                   CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
                    bool_and(l_quantity <= 50) AS all_in_range,
                    bool_or(l_discount > 0.09) AS any_deep_discount,
                    count(*) AS n

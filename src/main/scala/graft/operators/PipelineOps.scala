@@ -43,13 +43,17 @@ object PipelineOps {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("cf"),
           count_distinct(col("doc_id")).as("df"),
-          sort_array(collect_set(col("doc_id"))).as("postings"))
+          // CSV-serialized postings: the driver's pandas row-sort can't
+          // hash an array cell, and the string form is oracle-comparable
+          array_join(sort_array(collect_set(col("doc_id"))), ",")
+            .as("postings"))
         .orderBy(asc_nulls_first("token")),
     Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                        FROM documents)
             SELECT token, count(*) AS cf,
                    CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-                   list_sort(list(DISTINCT doc_id)) AS postings
+                   array_to_string(list_sort(list(DISTINCT doc_id)), ',')
+                     AS postings
             FROM t GROUP BY token ORDER BY token NULLS FIRST"""))
 
   /** Per-doc top-3 terms by TF-IDF — the classic term-weighting pass of a
@@ -391,14 +395,22 @@ object PipelineOps {
     * a plain dot product, halving ANN re-rank cost). Per-row HOF
     * arithmetic in double (sequential fold over the array — one defined
     * order, no shuffle); zero vectors pass through unnormalized. No
-    * oracle (float array output) — property spec: unit norms, idempotent.
+    * oracle (float kernel) — property spec: unit norms, idempotent. The
+    * registry row projects scalar digests of the normalized vector (its
+    * recomputed norm and first component) because the driver's pandas
+    * row-sort can't hash an array cell; the full-array form is the
+    * `normalizeEmbeddings` kernel other ops consume.
     */
   val llmEmbedNormalize: Q = Q(
     "llm_embed_normalize",
     (s, d) =>
-      normalizeEmbeddings(Tables.read(s, d, "embeddings"))
-        .select(col("vec_id"), col("label"), round(col("norm"), 6).as("norm"),
-          col("normalized"))
+      normalizeEmbeddings(normalizeEmbeddings(Tables.read(s, d, "embeddings"))
+        .select(col("vec_id"), col("label"), col("norm").as("norm_before"),
+          col("normalized").as("embedding")))
+        .select(col("vec_id"), col("label"),
+          round(col("norm_before"), 6).as("norm_before"),
+          round(col("norm"), 6).as("unit_norm"),
+          round(expr("CAST(embedding[0] AS DOUBLE)"), 6).as("first_component"))
         .orderBy(asc_nulls_first("vec_id")),
     None)
 
@@ -532,10 +544,10 @@ object PipelineOps {
                             AS cum_before
                    FROM b)
              SELECT doc_id, n_tokens,
-                    cum_before // 256 AS block_first,
-                    cum_before % 256 AS block_offset,
-                    (cum_before + n_tokens - 1) // 256 - cum_before // 256 + 1
-                      AS blocks_spanned
+                    CAST(cum_before // 256 AS BIGINT) AS block_first,
+                    CAST(cum_before % 256 AS BIGINT) AS block_offset,
+                    CAST((cum_before + n_tokens - 1) // 256 - cum_before // 256 + 1
+                      AS BIGINT) AS blocks_spanned
              FROM c ORDER BY doc_id NULLS FIRST"""))
 
   /** OHLC bars per (user, hour) — the resample-to-bars op of a metrics /
@@ -652,7 +664,8 @@ object PipelineOps {
                            ORDER BY ts_us, event_id) AS gap
                   FROM e)
             SELECT user_id, count(*) AS n_gaps,
-                   sum(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END) AS n_gaps_24h,
+                   CAST(sum(CASE WHEN gap > 86400000000 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_gaps_24h,
                    max(gap) AS max_gap_us,
                    CAST(sum(CAST(gap AS DECIMAL(30,0))) AS DOUBLE) / count(*)
                      AS avg_gap_us
@@ -857,9 +870,9 @@ object PipelineOps {
             nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day)
             SELECT d.day, d.dau,
                    COALESCE(n.new_users, 0) AS new_users,
-                   sum(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+                   CAST(sum(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS cum_users
+                     AS BIGINT) AS cum_users
             FROM dau d LEFT JOIN nu n ON d.day = n.day
             ORDER BY d.day NULLS FIRST"""))
 

@@ -239,7 +239,8 @@ object SourceOps {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(asc_nulls_first("lang"))
     },
-    Some("""SELECT lang, count(*) AS n, sum(n_chars) AS total_chars,
+    Some("""SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM documents GROUP BY lang ORDER BY lang NULLS FIRST"""))
 

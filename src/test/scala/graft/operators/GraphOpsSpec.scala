@@ -83,8 +83,10 @@ class GraphOpsSpec extends SparkSpec {
   }
 
   test("approx quantiles bracket the exact percentiles per group") {
+    // registry row is scalar-split: (l_returnflag, q25, q50, q75, n)
     val approx = Aggregations.aggApproxQuantile.fn(spark, sf).collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
     val exact = graft.Tables.read(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(org.apache.spark.sql.functions.expr(

@@ -81,12 +81,12 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("embed normalize: unit norms, idempotent, zero-safe") {
+    // registry row: (vec_id, label, norm_before, unit_norm, first_component)
     val rows = PipelineOps.llmEmbedNormalize.fn(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val v = r.getSeq[Float](3)
-      val n2 = v.map(x => x.toDouble * x).sum
-      if (r.getDouble(2) > 0) assert(math.abs(n2 - 1.0) < 1e-3, s"vec ${r.getLong(0)}")
+      if (r.getDouble(2) > 0)
+        assert(math.abs(r.getDouble(3) - 1.0) < 1e-3, s"vec ${r.getLong(0)}")
     }
     // TRUE idempotence: feed the normalized output back through the
     // kernel — vectors must be fixed points (norm ≈ 1 ⇒ division by ~1
@@ -161,7 +161,7 @@ class PipelineOpsSpec extends SparkSpec {
     val rows = PipelineOps.llmInvertedIndex.fn(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val postings = r.getSeq[Long](3)
+      val postings = r.getString(3).split(",").map(_.toLong).toSeq
       assert(postings == postings.distinct.sorted, r.getString(0))
       assert(postings.length.toLong == r.getLong(2), "df == |postings|")
       assert(r.getLong(1) >= r.getLong(2), "cf >= df")

@@ -34,6 +34,35 @@ def cells_equal(a, b):
     return a == b
 
 
+def pandas_hash_mismatch(name, out_dir, duck_rel, con):
+    """Mirror the driver's hash: both sides loaded THROUGH DuckDB into
+    pandas (the driver does the same — DATE lands as datetime64 on both
+    sides), sort columns by name, sort_values over all columns,
+    pd.util.hash_pandas_object. Returns a reason string or None."""
+    import pandas as pd
+
+    s = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+    o = duck_rel.df()
+    s = s[sorted(s.columns)]
+    o = o[sorted(o.columns)]
+    try:
+        ss = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+        oo = o.sort_values(by=list(o.columns)).reset_index(drop=True)
+    except TypeError as e:
+        return f"driver sort_values would fail (array column?): {e}"
+    hs = pd.util.hash_pandas_object(ss, index=False).sum()
+    ho = pd.util.hash_pandas_object(oo, index=False).sum()
+    if hs == ho:
+        return None
+    cols = [
+        c for c in ss.columns
+        if pd.util.hash_pandas_object(ss[c], index=False).sum()
+        != pd.util.hash_pandas_object(oo[c], index=False).sum()]
+    details = ", ".join(
+        f"{c}: spark {ss[c].dtype} vs duck {oo[c].dtype}" for c in cols)
+    return f"pandas-hash mismatch ({details})"
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -76,6 +105,14 @@ def main():
                 failed.append(
                     (name, f"row {bad[0]} col {bad[1]}: "
                            f"spark={bad[2]!r} duck={bad[3]!r}"))
+                continue
+            # Replicate the driver's dtype-sensitive pandas hash: values can
+            # be equal while dtypes differ (DuckDB HUGEINT -> float64), or an
+            # array column can make sort_values raise — both are driver
+            # failures even when the value compare above passes.
+            why = pandas_hash_mismatch(name, out_dir, duck_rel, con)
+            if why:
+                failed.append((name, why))
             else:
                 passed.append((name, len(s_rows)))
         except Exception as e:
