@@ -118,25 +118,36 @@ object Scale {
       (0 until k).map(i => remap(b, i)).reduce(_ unionAll _)
         .write.parquet(s"$dir/$t.parquet")
     }
-    val oOff = 150000L // > max o_orderkey in the sf0.1 corpus
+    // Replica key offsets derive from each base table's actual max key + 1
+    // (one cheap max() agg per table) — hardcoded sf0.1 cardinalities would
+    // silently collide keys when the rehearsal runs against another scale
+    // factor, corrupting the workload shape the replication promises.
+    def keyOffset(t: String, key: String): Long =
+      Tables.read(spark, base, t)
+        .agg(max(col(key)).cast("long")).head().getLong(0) + 1L
+    val oOff = keyOffset("orders", "o_orderkey")
+    val eOff = keyOffset("events", "event_id")
+    val uOff = keyOffset("events", "user_id")
+    val dOff = keyOffset("documents", "doc_id")
+    val vOff = keyOffset("embeddings", "vec_id")
     replicate("orders", (d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * oOff)))
     replicate("lineitem", (d, i) =>
       d.withColumn("l_orderkey", col("l_orderkey") + lit(i * oOff)))
     replicate("events", (d, i) =>
-      d.withColumn("event_id", col("event_id") + lit(i * 100000L))
-        .withColumn("user_id", col("user_id") + lit(i * 1500L)))
+      d.withColumn("event_id", col("event_id") + lit(i * eOff))
+        .withColumn("user_id", col("user_id") + lit(i * uOff)))
     replicate("documents", (d, i) =>
       if (i == 0) d
       else d
-        .withColumn("doc_id", col("doc_id") + lit(i * 5000L))
+        .withColumn("doc_id", col("doc_id") + lit(i * dOff))
         .withColumn("text",
           concat(col("text"), lit(s" q${i}a q${i}b q${i}c q${i}d")))
         .withColumn("n_chars", length(col("text"))))
     replicate("embeddings", (d, i) =>
       if (i == 0) d
       else d
-        .withColumn("vec_id", col("vec_id") + lit(i * 2000L))
+        .withColumn("vec_id", col("vec_id") + lit(i * vOff))
         .withColumn("embedding", expr(
           s"""transform(embedding, (x, j) ->
               CAST(x + (((vec_id % 97) + j * 31 + $i * 53) % 101 - 50) * 0.001

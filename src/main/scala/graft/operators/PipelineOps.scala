@@ -106,18 +106,22 @@ object PipelineOps {
     * language by the shared quality score ([[LlmOps.qualityScored]]).
     * Rank-based (`percent_rank` = (rank-1)/(n-1), one exact division —
     * no interpolated-percentile float hazard), tiebroken by `doc_id` so
-    * the cut is total and engine-identical. One window shuffle keyed by
-    * `lang`; at 100 TB this is the same plan at any size — the quantile
-    * is never collected.
+    * the cut is total and engine-identical. A single-doc language keeps
+    * its lone document (percent_rank of one row is 0 in both engines —
+    * without the guard a sparse stratum would vanish entirely). One
+    * window shuffle keyed by `lang`; at 100 TB this is the same plan at
+    * any size — the quantile is never collected.
     */
   val llmQualityQuantile: Q = Q(
     "llm_quality_quantile",
     (s, d) => {
       val w = Window.partitionBy(col("lang"))
         .orderBy(asc("quality"), asc("doc_id"))
+      val wn = Window.partitionBy(col("lang"))
       LlmOps.qualityScored(s, d)
         .withColumn("pr", percent_rank().over(w))
-        .filter(col("pr") >= 0.75)
+        .withColumn("n_lang", count(lit(1)).over(wn))
+        .filter(col("pr") >= 0.75 || col("n_lang") === 1)
         .select(col("doc_id"), col("lang"), col("quality"), col("pr"))
         .orderBy(asc_nulls_first("doc_id"))
     },
@@ -136,9 +140,11 @@ object PipelineOps {
                   FROM b),
             r AS (SELECT doc_id, lang, quality,
                          percent_rank() OVER (PARTITION BY lang
-                                              ORDER BY quality, doc_id) AS pr
+                                              ORDER BY quality, doc_id) AS pr,
+                         count(*) OVER (PARTITION BY lang) AS n_lang
                   FROM q)
-            SELECT doc_id, lang, quality, pr FROM r WHERE pr >= 0.75
+            SELECT doc_id, lang, quality, pr FROM r
+            WHERE pr >= 0.75 OR n_lang = 1
             ORDER BY doc_id NULLS FIRST"""))
 
   /** Mix rebalancing (data-mixing step): flatten the (lang, source) cell

@@ -73,11 +73,28 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     kept.groupBy(_.getString(1)).foreach { case (lang, rows) =>
       val n = total(lang)
-      // percent_rank ≥ 0.75 keeps floor((n-1)/4)+1 of n rows
+      // percent_rank ≥ 0.75 keeps floor((n-1)/4)+1 of n rows — and the
+      // lone-doc guard keeps exactly that 1 row when n = 1 (pr = 0)
       val expect = (n - 1) / 4 + 1
       assert(rows.length.toLong == expect, s"$lang: ${rows.length} vs $expect of $n")
     }
-    assert(kept.forall(r => r.getDouble(3) >= 0.75))
+    assert(kept.forall(r => r.getDouble(3) >= 0.75 || total(r.getString(1)) == 1))
+  }
+
+  test("quality quantile keeps the lone doc of a single-doc language") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft_qq").toString
+    // 8 docs in 'en' plus ONE doc in 'zz' — without the lone-stratum
+    // guard the zz row has percent_rank 0 and vanishes entirely
+    val docs = ((1L to 8L).map(i =>
+      (i, "en", s"the quick doc $i with some tokens", 30L)) :+
+      (9L, "zz", "lone stratum document", 21L))
+      .toDF("doc_id", "lang", "text", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = PipelineOps.llmQualityQuantile.fn(spark, dir).collect()
+    val langs = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(langs("zz") == 1, "lone-language doc must survive the cut")
+    assert(langs("en") == 2, "en keeps floor((8-1)/4)+1 = 2 docs")
   }
 
   test("embed normalize: unit norms, idempotent, zero-safe") {
