@@ -991,45 +991,48 @@ object LlmOps {
     * and queried many times — that asymmetry IS the operator's point, so
     * repeated calls (Verify, Bench reps, interactive use) reuse the
     * persisted index exactly like `Tables.read` reuses analyzed plans.
-    * Deterministic: the build is a pure function of the corpus. Bounded:
-    * LRU over at most [[IvfCacheMax]] indexes — the eldest entry's
-    * on-disk parquet is deleted on eviction, so a long-lived JVM serving
-    * many sessions/corpora holds O(1) heap AND disk, not one index per
-    * corpus it ever saw.
+    * Deterministic: the build is a pure function of the corpus.
+    *
+    * Concurrency + lifecycle (see [[graft.util.KeyedLazyCache]]):
+    * builds run OUTSIDE the cache lock (a slow corpus build never blocks
+    * another session's cache hit), and eviction frees only the HEAP entry
+    * (centroids + path). The evicted index's parquet stays on disk until
+    * the [[graft.util.TempDirs]] JVM-exit hook — [[annIvfTopk]] returns a
+    * LAZY DataFrame over the index files, so a not-yet-collected query
+    * may legitimately read an already-evicted index; deleting at eviction
+    * time (as before r10) raced such readers into FileNotFoundException.
+    * Heap stays bounded at [[IvfCacheMax]] × O(nLists × dim); disk is
+    * bounded by the distinct corpora seen in one JVM and reclaimed at
+    * exit, the strongest bound compatible with handing out lazy plans.
     */
-  private val IvfCacheMax = 4
-  private val ivfIndexCache =
-    new java.util.LinkedHashMap[(Int, String, Int), IvfIndex](16, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, String, Int), IvfIndex]): Boolean = {
-        val evict = size() > IvfCacheMax
-        if (evict) graft.util.TempDirs.deleteRecursively(
-          java.nio.file.Paths.get(e.getValue.path))
-        evict
-      }
-    }
+  private[operators] val IvfCacheMax = 4
+  private[operators] val ivfIndexCache =
+    new graft.util.KeyedLazyCache[(Int, String, Int), IvfIndex](IvfCacheMax)
 
-  private[operators] def annIvfTopk(s: SparkSession, e: DataFrame,
-                                    nLists: Int = 8, nProbe: Int = 2,
-                                    topK: Int = 10): DataFrame = {
-    // the canonicalized plan of a parquet scan does NOT include the file
-    // path (HadoopFsRelation renders as just "parquet"), so the input
-    // FILES anchor the key — two corpora must never share an index — and
-    // each file carries its modification time, so rewriting a corpus
-    // in place under the same paths invalidates rather than serving a
-    // stale index (O(#files) metadata-only stats, no data read)
+  /** Cache key for a corpus DataFrame (shared by the operator and its
+    * eviction spec). The canonicalized plan of a parquet scan does NOT
+    * include the file path (HadoopFsRelation renders as just "parquet"),
+    * so the input FILES anchor the key — two corpora must never share an
+    * index — and each file carries its modification time, so rewriting a
+    * corpus in place under the same paths invalidates rather than serving
+    * a stale index (O(#files) metadata-only stats, no data read).
+    */
+  private[operators] def ivfCacheKey(s: SparkSession, e: DataFrame,
+                                     nLists: Int): (Int, String, Int) = {
     val hconf = s.sparkContext.hadoopConfiguration
     val stampedFiles = e.inputFiles.sorted.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       s"$f@${p.getFileSystem(hconf).getFileStatus(p).getModificationTime}"
     }.mkString(",")
-    val key = (System.identityHashCode(s),
+    (System.identityHashCode(s),
       stampedFiles + e.queryExecution.analyzed.canonicalized.toString(), nLists)
-    val index = ivfIndexCache.synchronized {
-      val hit = ivfIndexCache.get(key)
-      if (hit != null) hit
-      else { val b = ivfBuild(e, nLists); ivfIndexCache.put(key, b); b }
-    }
+  }
+
+  private[operators] def annIvfTopk(s: SparkSession, e: DataFrame,
+                                    nLists: Int = 8, nProbe: Int = 2,
+                                    topK: Int = 10): DataFrame = {
+    val key = ivfCacheKey(s, e, nLists)
+    val index = ivfIndexCache.getOrBuild(key)(ivfBuild(e, nLists))
     val qvec = e.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     ivfQuery(s, index, qvec, excludeVecId = 0L, nProbe, topK)
