@@ -995,19 +995,29 @@ object LlmOps {
     *
     * Concurrency + lifecycle (see [[graft.util.KeyedLazyCache]]):
     * builds run OUTSIDE the cache lock (a slow corpus build never blocks
-    * another session's cache hit), and eviction frees only the HEAP entry
-    * (centroids + path). The evicted index's parquet stays on disk until
-    * the [[graft.util.TempDirs]] JVM-exit hook — [[annIvfTopk]] returns a
-    * LAZY DataFrame over the index files, so a not-yet-collected query
-    * may legitimately read an already-evicted index; deleting at eviction
-    * time (as before r10) raced such readers into FileNotFoundException.
-    * Heap stays bounded at [[IvfCacheMax]] × O(nLists × dim); disk is
-    * bounded by the distinct corpora seen in one JVM and reclaimed at
-    * exit, the strongest bound compatible with handing out lazy plans.
+    * another session's cache hit), and eviction frees the HEAP entry
+    * immediately but DEFERS deleting the index's on-disk parquet —
+    * [[annIvfTopk]] returns a LAZY DataFrame over the index files, so a
+    * not-yet-collected query may legitimately read an already-evicted
+    * index; deleting at eviction time (as before r10) raced such readers
+    * into FileNotFoundException. An evicted index is retired (directory
+    * deleted) only after [[IvfCacheMax]] FURTHER evictions, so disk holds
+    * at most 2 × [[IvfCacheMax]] indexes at once — a real bound for a
+    * long-lived multi-tenant JVM, unlike exit-hook-only cleanup, which
+    * keeps one corpus-sized rewrite per distinct corpus ever seen. The
+    * residual race is generational and explicit: a query's plan breaks
+    * only if it is still uncollected after 2 × [[IvfCacheMax]] subsequent
+    * distinct-corpus index builds (LlmOpsSpec exercises both sides: a
+    * held query survives eviction, and a fully-retired index's directory
+    * really is deleted). Heap stays bounded at [[IvfCacheMax]] ×
+    * O(nLists × dim).
     */
   private[operators] val IvfCacheMax = 4
   private[operators] val ivfIndexCache =
-    new graft.util.KeyedLazyCache[(Int, String, Int), IvfIndex](IvfCacheMax)
+    new graft.util.KeyedLazyCache[(Int, String, Int), IvfIndex](
+      IvfCacheMax, retireKeep = IvfCacheMax,
+      onRetire = idx =>
+        graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(idx.path)))
 
   /** Cache key for a corpus DataFrame (shared by the operator and its
     * eviction spec). The canonicalized plan of a parquet scan does NOT

@@ -3,7 +3,7 @@ package graft.util
 /** LRU-bounded memoizing cache for expensive build-once/use-many values
   * (e.g. an on-disk IVF index built from a corpus).
   *
-  * Two concurrency guarantees, both load-bearing for a long-lived JVM
+  * Three lifecycle guarantees, all load-bearing for a long-lived JVM
   * serving many sessions:
   *
   *   1. '''Builds run OUTSIDE the shared lock.''' The map monitor is held
@@ -14,51 +14,104 @@ package graft.util
   *      build. (The pre-r10 IVF cache built full Spark jobs inside the
   *      global monitor, serializing every unrelated session's cache hit.)
   *
-  *   2. '''Eviction frees the HEAP entry only — it never destroys the
-  *      value's backing resources.''' Values handed out by [[getOrBuild]]
-  *      may outlive their cache residency arbitrarily (a lazy DataFrame
-  *      over an evicted index's files is collected whenever the caller
-  *      gets around to it), so eviction-time cleanup is a use-after-free
-  *      by construction. Callers that own on-disk state must tie its
-  *      lifetime to something that provably outlives every reader — e.g.
-  *      the [[TempDirs]] JVM-exit hook. (The pre-r10 IVF cache deleted
-  *      the evicted index's parquet inside `removeEldestEntry`, racing
-  *      not-yet-collected queries into FileNotFoundException.)
+  *   2. '''Eviction never destroys the value's backing resources
+  *      immediately.''' Values handed out by [[getOrBuild]] may outlive
+  *      their cache residency (a lazy DataFrame over an evicted index's
+  *      files is collected whenever the caller gets around to it), so
+  *      eviction-time cleanup is a use-after-free by construction — the
+  *      pre-r10 IVF cache deleted the evicted index's parquet inside
+  *      `removeEldestEntry`, racing not-yet-collected queries into
+  *      FileNotFoundException.
+  *
+  *   3. '''Retirement is DEFERRED but BOUNDED.''' Evicted values that
+  *      were actually built enter a FIFO retirement queue of depth
+  *      `retireKeep`; once `retireKeep` further evictions have passed, the
+  *      oldest is handed to `onRetire` (outside the lock) to free its
+  *      backing resources. Total resource footprint is therefore bounded
+  *      at `maxEntries + retireKeep` live values — not "every key ever
+  *      seen", which for corpus-sized on-disk state is an operational
+  *      disk-growth risk in a long-lived JVM. The residual race window is
+  *      explicit and generational: a reader's lazy plan breaks only if it
+  *      is still uncollected after `maxEntries + retireKeep` SUBSEQUENT
+  *      distinct-key builds — each a full corpus-scale index write —
+  *      which is the same bounded-staleness bet generational GC makes.
+  *      Callers whose values need no cleanup leave the default
+  *      (`retireKeep = Int.MaxValue`): nothing is ever retired and
+  *      resource lifetime falls to the owner (e.g. a [[TempDirs]]
+  *      JVM-exit hook).
+  *
+  * Two documented caveats:
+  *   - A slot evicted while its value is still BEING BUILT is skipped by
+  *     retirement (nothing safe to clean yet) and its resources fall back
+  *     to the owner's exit-time cleanup; and because the evicted slot is
+  *     invisible to later callers of the same key, such a caller starts a
+  *     duplicate build. Correctness is unaffected (builders are pure and
+  *     produce independent resources); under heavy same-key churn at
+  *     `maxEntries` this wastes builds — if that becomes real, consult a
+  *     secondary in-flight map (key → Slot) cleared on build completion.
+  *   - `onRetire` runs on whichever caller thread happens to drain the
+  *     queue; it must be safe to call concurrently with readers of OTHER
+  *     values (it only ever receives values `retireKeep` evictions old).
   *
   * Eviction order is least-recently-USED (access-order LinkedHashMap), so
   * the hot working set survives a burst of one-off keys.
   */
-final class KeyedLazyCache[K, V](maxEntries: Int) {
+final class KeyedLazyCache[K, V](
+    maxEntries: Int,
+    retireKeep: Int = Int.MaxValue,
+    onRetire: V => Unit = (_: V) => ()) {
   require(maxEntries > 0, s"maxEntries must be positive, got $maxEntries")
+  require(retireKeep >= 0, s"retireKeep must be non-negative, got $retireKeep")
 
   /** Per-key memo: `lazy val` gives once-only building with the slot —
-    * not the cache — as the synchronization domain.
+    * not the cache — as the synchronization domain. `isBuilt` flips only
+    * AFTER the builder returns, so retirement can distinguish a usable
+    * value from an in-flight or failed build without forcing one.
     */
-  private final class Slot(build: () => V) { lazy val value: V = build() }
+  private final class Slot(build: () => V) {
+    @volatile private var built = false
+    lazy val value: V = { val v = build(); built = true; v }
+    def isBuilt: Boolean = built
+  }
+
+  /** Evicted-but-not-yet-retired slots, oldest first. Only mutated under
+    * the map monitor (removeEldestEntry fires inside our locked put).
+    */
+  private val retiredQ = new java.util.ArrayDeque[Slot]()
 
   private val map = new java.util.LinkedHashMap[K, Slot](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[K, Slot]): Boolean =
-      size() > maxEntries
+    override def removeEldestEntry(e: java.util.Map.Entry[K, Slot]): Boolean = {
+      val evict = size() > maxEntries
+      if (evict && retireKeep != Int.MaxValue) retiredQ.addLast(e.getValue)
+      evict
+    }
   }
 
   /** Return the cached value for `key`, building it (at most once per
-    * residency) if absent. The builder runs outside the cache-wide lock.
+    * residency) if absent. The builder — and any due `onRetire` work —
+    * runs outside the cache-wide lock.
     *
     * If the builder throws, the failure propagates to every caller forced
     * on that slot while it remains cached (standard lazy-val semantics:
     * a later force retries the builder).
     */
   def getOrBuild(key: K)(build: => V): V = {
-    val slot = map.synchronized {
+    val (slot, due) = map.synchronized {
       var s = map.get(key)
       if (s == null) { s = new Slot(() => build); map.put(key, s) }
-      s
+      val drained = Seq.newBuilder[Slot]
+      while (retiredQ.size() > retireKeep) drained += retiredQ.pollFirst()
+      (s, drained.result())
     }
+    due.foreach(r => if (r.isBuilt) onRetire(r.value))
     slot.value
   }
 
   /** Current number of resident entries (test seam). */
   def size: Int = map.synchronized(map.size())
+
+  /** Evicted values awaiting retirement (test seam). */
+  def retiredPending: Int = map.synchronized(retiredQ.size())
 
   /** Whether `key` is currently resident (test seam). `containsKey` is not
     * an "access" on an access-order LinkedHashMap, so probing residency

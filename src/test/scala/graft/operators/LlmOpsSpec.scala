@@ -346,6 +346,56 @@ class LlmOpsSpec extends SparkSpec {
     assert(rows == viaOp)
   }
 
+  test("IVF eviction defers deletion: a held lazy query survives eviction; a fully-retired index dir is deleted") {
+    import java.nio.file.{Files, Paths}
+    // Distinct on-disk corpora (the cache key anchors on input FILES, so
+    // each parquet dir is a distinct index) — tiny, so the 9 index builds
+    // this test needs stay cheap.
+    def corpusDir(seed: Int): String = {
+      import spark.implicits._
+      val dir = graft.util.TempDirs.create(s"graft_ivf_evict$seed").toString
+      (0 until 40).map { i =>
+        (i.toLong, s"l${i % 3}",
+          Array.tabulate(8)(j => (((i * 31 + j * 17 + seed * 101) % 19) - 9) / 10.0f))
+      }.toDF("vec_id", "label", "embedding")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def query(seed: Int) = LlmOps.annIvfTopk(
+      spark, spark.read.parquet(corpusDir(seed)), nLists = 4, nProbe = 2, topK = 5)
+
+    val c1 = spark.read.parquet(corpusDir(1))
+    val df1 = LlmOps.annIvfTopk(spark, c1, nLists = 4, nProbe = 2, topK = 5) // held, NOT collected
+    val key1 = LlmOps.ivfCacheKey(spark, c1, 4)
+    val idx1 = LlmOps.ivfIndexCache.getOrBuild(key1)(fail("c1's index must already be cached"))
+    // expected rows via an uncached build+query of the same corpus — the
+    // whole pipeline is deterministic, so the held plan must match exactly
+    val expected = {
+      val idx = LlmOps.ivfBuild(c1, nLists = 4)
+      val qvec = c1.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      LlmOps.ivfQuery(spark, idx, qvec, excludeVecId = 0L, nProbe = 2, topK = 5)
+        .collect().toSeq
+    }
+    // 4 newer distinct corpora push c1 out of the IvfCacheMax=4 cache...
+    (2 to 5).foreach(query(_).collect())
+    assert(!LlmOps.ivfIndexCache.contains(key1), "c1 should be evicted by 4 newer corpora")
+    // ...but c1 is the NEWEST retiree, so its directory is still within the
+    // retireKeep window — the held lazy plan collects fine (pre-r10 this
+    // threw FileNotFoundException; post-r10 the fix shipped untested)
+    assert(Files.exists(Paths.get(idx1.path)), "evicted index must survive the retirement window")
+    val held = df1.collect().toSeq
+    assert(held.nonEmpty && held == expected)
+    // 4 FURTHER evictions walk c1 through the FIFO retirement queue: its
+    // directory really is deleted — disk is bounded at 2×IvfCacheMax
+    // indexes, not "every corpus ever seen"
+    (6 to 9).foreach(query(_).collect())
+    assert(Files.notExists(Paths.get(idx1.path)),
+      "an index past the retirement window must be deleted from disk")
+    assert(LlmOps.ivfIndexCache.size == LlmOps.IvfCacheMax)
+    assert(LlmOps.ivfIndexCache.retiredPending <= LlmOps.IvfCacheMax)
+  }
+
   test("minhash Jaccard estimates track exact Jaccard (MAE bound)") {
     val est = LlmOps.llmMinhashJaccardEst.fn(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
