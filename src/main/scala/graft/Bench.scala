@@ -47,7 +47,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.values.filterNot(_.isInfinite).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // The full per-query line exceeds a tail-capture window at 150+
+    // queries, so a capture that keeps only the LAST few KB beheads it
+    // into unparseable JSON (every BENCH_r{5..10} landed "parsed": null).
+    // Persist the full line to a file, print it first for whole-log
+    // readers, and END output with a compact self-contained summary —
+    // same keys, slowest queries only — that any tail capture parses.
+    val outPath = java.nio.file.Paths.get("target/bench_out.json")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath,
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    val slowestN = 25
+    val slowest = results.toSeq.filterNot(_._2.isInfinite)
+      .sortBy { case (k, v) => (-v, k) }.take(slowestN)
+      .map { case (k, v) => f""""$k":${v}%.3f""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to":$slowestN,"full_json":"${outPath}","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
