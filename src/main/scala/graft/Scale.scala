@@ -42,12 +42,6 @@ object Scale {
   private val linearOps = Seq(
     "agg_hash_groupby", "join_inner_hash", "join_broadcast", "op_topk_global",
     "win_running_sum", "ts_sessionize", "ts_resample_ffill", "ts_rolling_24h",
-    // NOT rehearsed: stream_stream_join — the k× corpus is many parquet
-    // files, AvailableNow splits them into several micro-batches, and
-    // replicas share timestamps, so later batches arrive behind the
-    // watermark and the join drops them (0 rows). A real finding, kept in
-    // SCALE.md: file-source replay at scale needs time-ordered input or
-    // watermark slack.
     "op_scd2_intervals", "join_asof_forward",
     "llm_dedup_exact_digest", "llm_inverted_index", "llm_tfidf_top_terms",
     "llm_contamination_ngram", "llm_lang_id_ngram", "llm_stratified_sample",
@@ -59,7 +53,19 @@ object Scale {
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
-    "llm_substring_dedup", "graph_pagerank")
+    "llm_substring_dedup", "graph_pagerank", "stream_stream_join")
+
+  /** Rehearsal overrides for ops whose registered form assumes the
+    * driver's single-file corpus. The k× events table is MANY parquet
+    * files replayed as several overlapping-event-time micro-batches, so
+    * stream_stream_join needs its watermark sized to REPLAY disorder (the
+    * full ~30-day corpus span, 745 h ≥ any sf here) or later batches are
+    * silently dropped behind the live-sized 2 h default — the r7 SCALE.md
+    * finding, now a parameter on the op instead of a prose caveat.
+    */
+  private val replayFns: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_stream_join" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamStreamJoinFrames(s, dir, watermark = "745 hours")))
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse(
@@ -83,11 +89,15 @@ object Scale {
     // (scale, op) -> (min seconds, output rows)
     val results = scala.collection.mutable.LinkedHashMap
       .empty[(Int, String), (Double, Long)]
+    // dev-only subset filter, mirroring Bench's SPARK_GRAFT_BENCH_ONLY
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     scales.foreach { k =>
       val dir = buildScaled(spark, base, k)
-      val ops = if (k <= 3) linearOps ++ pairOps else linearOps
+      val all = if (k <= 3) linearOps ++ pairOps else linearOps
+      val ops = only.fold(all)(names => all.filter(names))
       ops.foreach { name =>
-        val fn = SparkEntry.queries(name)
+        val fn = replayFns.getOrElse(name, SparkEntry.queries(name))
         var rows = 0L
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
@@ -103,6 +113,17 @@ object Scale {
     }.mkString("[", ",", "]")
     println(s"""{"metric":"scale_rehearsal","base":"$base","cpus":$cpus,"results":$json}""")
     spark.stop()
+  }
+
+  /** Max key + 1 of `df`'s `key` column — the per-replica id offset. An
+    * empty table makes max() NULL; fail with the table's name rather than
+    * letting getLong(0) throw an opaque NullPointerException.
+    */
+  private[graft] def keyOffset(df: DataFrame, table: String, key: String): Long = {
+    val row = df.agg(max(col(key)).cast("long")).head()
+    require(!row.isNullAt(0),
+      s"table '$table' is empty — max($key) is NULL, no replica key offset derivable")
+    row.getLong(0) + 1L
   }
 
   /** Write the k×-replicated corpus as real parquet; k=1 reuses the base. */
@@ -122,14 +143,13 @@ object Scale {
     // (one cheap max() agg per table) — hardcoded sf0.1 cardinalities would
     // silently collide keys when the rehearsal runs against another scale
     // factor, corrupting the workload shape the replication promises.
-    def keyOffset(t: String, key: String): Long =
-      Tables.read(spark, base, t)
-        .agg(max(col(key)).cast("long")).head().getLong(0) + 1L
-    val oOff = keyOffset("orders", "o_orderkey")
-    val eOff = keyOffset("events", "event_id")
-    val uOff = keyOffset("events", "user_id")
-    val dOff = keyOffset("documents", "doc_id")
-    val vOff = keyOffset("embeddings", "vec_id")
+    def off(t: String, key: String): Long =
+      keyOffset(Tables.read(spark, base, t), t, key)
+    val oOff = off("orders", "o_orderkey")
+    val eOff = off("events", "event_id")
+    val uOff = off("events", "user_id")
+    val dOff = off("documents", "doc_id")
+    val vOff = off("embeddings", "vec_id")
     replicate("orders", (d, i) =>
       d.withColumn("o_orderkey", col("o_orderkey") + lit(i * oOff)))
     replicate("lineitem", (d, i) =>

@@ -56,23 +56,35 @@ object StreamRunner {
   /** Stream a corpus parquet table. File streaming needs an explicit schema,
     * so the batch reader supplies it (also triggering the `events`
     * nanosAsLong conf in Tables.read — on the tuned child session, which is
-    * the one that reads). The corpus table is a single parquet FILE and
-    * Spark's file-stream source only accepts directories ("Option
-    * 'basePath' must be a directory"), so the file is exposed through a
-    * per-JVM temp directory via symlink — the production shape is a
-    * partitioned directory anyway.
+    * the one that reads).
+    *
+    * A table that is already a DIRECTORY of part-files (Spark-written
+    * corpora, e.g. the k× Scale rehearsal) streams directly — that is the
+    * production shape. The driver corpus's tables are single parquet
+    * FILES, which the file-stream source rejects ("Option 'basePath' must
+    * be a directory"), so a file is exposed through a per-JVM temp
+    * directory via symlink. The two cases MUST be distinguished: the
+    * source lists only the directory's immediate files, so symlinking a
+    * directory under another directory used to yield zero discovered
+    * files — every streaming op silently saw an empty stream on any
+    * multi-file corpus (found by the r11 rehearsal; r7 had misattributed
+    * the resulting 0 rows to watermark drops).
     */
-  def streamTable(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  def streamTable(spark: SparkSession, sfDir: String, name: String,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val child = tunedSession(spark)
     val schema = graft.Tables.read(child, sfDir, name).schema
-    val dir = sourceDirs.computeIfAbsent(s"$sfDir/$name", _ => {
-      val d = graft.util.TempDirs.create(s"graft_stream_src_$name")
-      java.nio.file.Files.createSymbolicLink(
-        d.resolve(s"$name.parquet"),
-        java.nio.file.Paths.get(s"$sfDir/$name.parquet"))
-      d
-    })
-    child.readStream.schema(schema).parquet(dir.toString)
+    val src = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
+    val dir =
+      if (java.nio.file.Files.isDirectory(src)) src
+      else sourceDirs.computeIfAbsent(s"$sfDir/$name", _ => {
+        val d = graft.util.TempDirs.create(s"graft_stream_src_$name")
+        java.nio.file.Files.createSymbolicLink(d.resolve(s"$name.parquet"), src)
+        d
+      })
+    val reader = child.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir.toString)
   }
 
   /** Run a streaming DataFrame to completion into an in-memory table and

@@ -26,8 +26,9 @@ object StreamingOps {
 
   private val HourNs = 3600000000000L
 
-  private def streamedEvents(s: SparkSession, d: String): DataFrame =
-    StreamRunner.streamTable(s, d, "events")
+  private def streamedEvents(s: SparkSession, d: String,
+                             maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    StreamRunner.streamTable(s, d, "events", maxFilesPerTrigger)
 
   /** Tumbling 1h counts as a genuine streaming aggregation (complete mode);
     * oracle = the batch form on the same prefix.
@@ -319,30 +320,54 @@ object StreamingOps {
     * them each side is dropped once the other's watermark passes its
     * window). Inner join → append mode, so the replayed-corpus result is
     * exactly the batch join and the DuckDB oracle applies directly.
+    *
+    * `watermark` is the REPLAY-DISORDER slack, a first-class parameter
+    * because the watermark bounds two different things at once: live-run
+    * out-of-orderness (minutes) and historical-replay file disorder
+    * (potentially the whole corpus span). When a replayed corpus splits
+    * into several micro-batches whose event-time ranges overlap — many
+    * files, or a bounded `maxFilesPerTrigger` — a pair whose two rows
+    * sit further behind an earlier batch's maximum event time than the
+    * live-sized 2 h default and arrive in DIFFERENT batches is SILENTLY
+    * lost: the join never drops late input, but the watermark has
+    * already evicted the earlier row's join state when its partner
+    * arrives (StreamingSpec pins exactly this).
+    * Replaying history therefore passes slack ≥ the replay's event-time
+    * disorder — the corpus span when file order is unknown — trading
+    * join-state size for completeness; alternatively feed files in
+    * event-time order and keep the live slack. The driver-registered op
+    * streams the single-file corpus, where one micro-batch sees all rows
+    * and the default applies. (The r7 SCALE.md rehearsal's "0 rows at
+    * k=3" was NOT this hazard: it was StreamRunner's directory-symlink
+    * listing bug, fixed in r11 — the hazard itself is real and spec'd.)
     */
+  private[graft] def streamStreamJoinFrames(
+      s: SparkSession, d: String, watermark: String = "2 hours",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val clicks = streamedEvents(s, d, maxFilesPerTrigger)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        expr("timestamp_micros(ts div 1000)").as("c_time"))
+      .withWatermark("c_time", watermark)
+    val signups = streamedEvents(s, d, maxFilesPerTrigger)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        expr("timestamp_micros(ts div 1000)").as("s_time"))
+      .withWatermark("s_time", watermark)
+    val joined = clicks.join(signups,
+      col("c_user") === col("s_user") &&
+        col("s_time") >= col("c_time") - expr("INTERVAL 1 HOUR") &&
+        col("s_time") <= col("c_time") + expr("INTERVAL 1 HOUR"))
+    StreamRunner.runToTable(joined, "append")
+      .select(col("click_id"), col("signup_id"),
+        col("c_user").as("user_id"),
+        (unix_micros(col("s_time")) - unix_micros(col("c_time"))).as("delta_us"))
+      .orderBy(asc_nulls_first("click_id"), asc("signup_id"))
+  }
+
   val streamStreamJoin: Q = Q(
     "stream_stream_join",
-    (s, d) => {
-      val clicks = streamedEvents(s, d)
-        .filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-          expr("timestamp_micros(ts div 1000)").as("c_time"))
-        .withWatermark("c_time", "2 hours")
-      val signups = streamedEvents(s, d)
-        .filter(col("event_type") === "signup")
-        .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
-          expr("timestamp_micros(ts div 1000)").as("s_time"))
-        .withWatermark("s_time", "2 hours")
-      val joined = clicks.join(signups,
-        col("c_user") === col("s_user") &&
-          col("s_time") >= col("c_time") - expr("INTERVAL 1 HOUR") &&
-          col("s_time") <= col("c_time") + expr("INTERVAL 1 HOUR"))
-      StreamRunner.runToTable(joined, "append")
-        .select(col("click_id"), col("signup_id"),
-          col("c_user").as("user_id"),
-          (unix_micros(col("s_time")) - unix_micros(col("c_time"))).as("delta_us"))
-        .orderBy(asc_nulls_first("click_id"), asc("signup_id"))
-    },
+    (s, d) => streamStreamJoinFrames(s, d),
     Some("""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS t
                        FROM events WHERE event_type = 'click'),
             g AS (SELECT event_id AS signup_id, user_id, epoch_us(ts) AS t

@@ -23,6 +23,17 @@ class SparkEntrySpec extends SparkSpec {
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
+  test("Scale.keyOffset names the table when it is empty; max+1 otherwise") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("k", LongType))))
+    val e = intercept[IllegalArgumentException](Scale.keyOffset(empty, "orders", "k"))
+    assert(e.getMessage.contains("orders"), e.getMessage)
+    import spark.implicits._
+    assert(Scale.keyOffset(Seq(1L, 7L).toDF("k"), "t", "k") == 8L)
+  }
+
   test("SURVEY §2 key rows and the registry agree EXACTLY, name by name") {
     val text = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),

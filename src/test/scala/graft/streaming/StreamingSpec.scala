@@ -62,4 +62,48 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
   }
+
+  test("stream-stream join: watermark slack recovers an out-of-order file replay") {
+    import java.nio.file.Files
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val H = 3600000000000L // 1 h in nanos (events.ts unit)
+    // The hazard is PARTNER-STATE EVICTION, not a late-row drop (the join
+    // stores and matches even late inputs): click B and its signup S2 sit
+    // 90 h before the first replayed file's events, and arrive in two
+    // DIFFERENT later micro-batches — by then the watermark (advanced to
+    // ~98 h by the first file) has evicted B's join state, so S2 finds no
+    // partner. Same-batch partners always match, which is why disorder
+    // must straddle batches within a side's own stream.
+    val f0 = Seq((101L, 1L, "click", 100L * H), (201L, 1L, "signup", 100L * H + H / 2))
+    val f1 = Seq((103L, 2L, "click", 10L * H))
+    val f2 = Seq((203L, 2L, "signup", 10L * H + H / 2))
+    val dir = graft.util.TempDirs.create("graft_ooo_replay")
+    val table = dir.resolve("events.parquet")
+    Files.createDirectories(table)
+    Seq((f0, 1000000L), (f1, 2000000L), (f2, 3000000L)).zipWithIndex.foreach {
+      case ((rows, mtime), i) =>
+        val tmp = dir.resolve(s"tmp$i")
+        rows.toDF("event_id", "user_id", "event_type", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        val dest = table.resolve(s"f$i.parquet")
+        Files.move(part, dest)
+        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
+    }
+    def joinRows(watermark: String) = StreamingOps
+      .streamStreamJoinFrames(spark, dir.toString, watermark,
+        maxFilesPerTrigger = Some(1))
+      .select("click_id", "signup_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // live-sized watermark: batch 1's max event time (100 h) advances the
+    // watermark past batch 2's older rows — the B–S2 pair is silently lost
+    val dflt = joinRows("2 hours")
+    assert(dflt == Set(101L -> 201L), s"expected only the on-time pair, got $dflt")
+    // slack ≥ the replay's event-time disorder recovers the batch join
+    val slack = joinRows("745 hours")
+    assert(slack == Set(101L -> 201L, 103L -> 203L), s"got $slack")
+  }
 }
