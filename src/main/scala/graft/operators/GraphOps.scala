@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Q, Tables}
+import graft.util.Checkpoints.Truncate
 
 /** Graph analytics over the document-similarity graph (the simhash
   * near-dup pairs) — the "what structure does my near-dup graph have"
@@ -13,7 +14,8 @@ import graft.{Q, Tables}
   * Scale shape: both ops run on the PAIRED subgraph only (edge list ≪
   * corpus, exactly like cluster resolution); PageRank is the canonical
   * iterative DataFrame loop — per iteration one (edges ⋈ ranks) shuffle
-  * + one hash agg, `localCheckpoint` truncating lineage — with the §2.0
+  * + one hash agg, `Checkpoints.truncate` truncating lineage (reliable
+  * checkpoints under `spark.graft.reliableCheckpoints=true`) — with the §2.0
   * determinism discipline applied to floats: per-edge contributions are
   * single IEEE-exact double divisions, the per-node SUM accumulates in
   * DECIMAL(30,15) (merge-order independent), and the damping update is a
@@ -61,12 +63,12 @@ object GraphOps {
     */
   private[operators] def pageRank(pairs: DataFrame, iters: Int = 5,
                                   damping: Double = 0.85): DataFrame = {
-    val p = pairs.localCheckpoint()
+    val p = pairs.truncated
     val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
       .union(p.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint()
+      .truncated
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
+      .truncated
     val n = deg.count()
     require(n > 0, "pair graph is empty — nothing to rank")
     val base = (1.0 - damping) / n
@@ -74,7 +76,7 @@ object GraphOps {
     // with a fixed small iteration count the rank lineage stays bounded,
     // so the rounds compose into ONE lazy plan (single job) instead of an
     // eager materialization per round — for large `iters`, reinstate a
-    // localCheckpoint every few rounds to truncate lineage
+    // truncation every few rounds to bound lineage
     var ranks = deg.select(col("src").as("id"), lit(1.0 / n).as("rank"))
     (1 to iters).foreach { _ =>
       val contribs = edges

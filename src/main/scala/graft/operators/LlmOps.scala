@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Q, Tables}
+import graft.util.Checkpoints.Truncate
 
 /** SURVEY §2.8 — LLM-training-data pipeline operators (all EXT;
   * `BASELINE.json` north_star: dedup, similarity search, multimodal columns,
@@ -408,8 +409,10 @@ object LlmOps {
     * themselves.
     *
     * Physical shape: Pregel-style min-label propagation on DataFrames —
-    * per round, one (edge ⋈ label) shuffle + a min-aggregation, with
-    * `localCheckpoint` truncating the iterative plan lineage. Rounds =
+    * per round, one (edge ⋈ label) shuffle + a min-aggregation, with a
+    * lineage-truncating materialization per round ([[graft.util.Checkpoints]]:
+    * `localCheckpoint` by default, reliable `checkpoint` under
+    * `spark.graft.reliableCheckpoints=true` for executor-loss survival). Rounds =
     * graph diameter (near-dup components are shallow; the corpus
     * converges in ≤3). For extreme scale / high-diameter graphs the
     * large-star/small-star contraction of Kiveris et al., "Connected
@@ -445,7 +448,7 @@ object LlmOps {
     * can never change label, so the per-round joins scale with the
     * near-dup subgraph, not the corpus; singletons rejoin (label = own
     * id, size 1) in the final projection. Each round materializes once
-    * (`localCheckpoint`, also truncating lineage) and the convergence
+    * (`Checkpoints.truncate`, also truncating lineage) and the convergence
     * check scans that materialized result — no extra shuffle.
     */
   def dedupClusterRep(pairs: DataFrame, nodes: DataFrame,
@@ -453,7 +456,7 @@ object LlmOps {
                       driverBudget: Long = 2000000L): DataFrame = {
     // materialize the pair plan ONCE — the gate's count() and the
     // fast path's collect() must not re-execute the pair self-join
-    val p0 = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val p0 = pairs.select(col("id1"), col("id2")).truncated
     if (driverBudget > 0 && p0.count() <= driverBudget) {
       val s = p0.sparkSession
       val edges = p0.collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -488,13 +491,13 @@ object LlmOps {
   private[operators] def distributedClusterRep(
       pairs: DataFrame, nodes: DataFrame, maxRounds: Int = 20): DataFrame = {
     // materialize the pair plan ONCE before the union references it twice
-    val p = pairs.localCheckpoint()
+    val p = pairs.truncated
     val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
       .union(p.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint()
+      .truncated
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint()
+      .truncated
     // one propagation hop, lazily; carries the round-start label in `old`
     def propagate(lbl: DataFrame): DataFrame = {
       val neighborMin = edges
@@ -510,7 +513,7 @@ object LlmOps {
       // two propagation hops per materialization: halves the checkpoint +
       // convergence-action count, and a round covers a 2-hop neighborhood
       val next = propagate(propagate(labels.withColumn("old", col("label"))))
-        .localCheckpoint()
+        .truncated
       converged = next.filter(col("label") < col("old")).isEmpty
       labels = next.select(col("id"), col("label"))
       round += 1
@@ -560,7 +563,7 @@ object LlmOps {
       .select(col("id1").as("u"), col("id2").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .truncated
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.select(col("u"), col("v"))
@@ -598,7 +601,7 @@ object LlmOps {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).truncated
       val nextSig = signature(next)
       converged = nextSig == sig
       edges = next
@@ -1427,7 +1430,7 @@ object LlmOps {
         .distinct()
         // materialized ONCE: the self-join's aliased sides don't
         // ReuseExchange, so the window explode + distinct would run twice
-        .localCheckpoint()
+        .truncated
       val a = sh.select(col("win"), col("doc_id").as("id1"))
       val b = sh.select(col("win"), col("doc_id").as("id2"))
       a.join(b, "win")
@@ -1461,7 +1464,7 @@ object LlmOps {
     "llm_minhash_jaccard_est",
     (s, d) => {
       val toks = docTokens(s, d)
-      val sigs = minhashSigs(toks).localCheckpoint()
+      val sigs = minhashSigs(toks).truncated
       val pairs = minhashPairs(s, toks, precomputedSigs = Some(sigs))
         .select(col("id1"), col("id2"))
       pairs
@@ -1494,7 +1497,7 @@ object LlmOps {
       // without this the codegen'd centroid argmax runs per side
       val assigned = assignLists(e, centroids)
         .select(col("list_id"), col("vec_id"), col("embedding"))
-        .localCheckpoint()
+        .truncated
       val a = assigned.select(col("list_id"), col("vec_id").as("id1"),
         col("embedding").as("e1"))
       val b = assigned.select(col("list_id"), col("vec_id").as("id2"),

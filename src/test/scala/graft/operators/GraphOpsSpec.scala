@@ -82,6 +82,37 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint seam: iterative ops run end-to-end on durable checkpoints") {
+    // flip every Checkpoints.truncate site to reliable checkpoint() and
+    // run the two iterative flagships end-to-end: results must equal the
+    // default localCheckpoint path, and checkpoint data must actually
+    // land in the checkpoint dir (proving the reliable path executed)
+    val flag = graft.util.Checkpoints.Flag
+    val pairsDf = LlmOps.simhashPairs(spark, sf).select("id1", "id2")
+    val nodes = graft.Tables.read(spark, sf, "documents").select(col("doc_id"))
+    // driverBudget=0 forces the distributed propagation loop — the path
+    // whose per-round truncations the seam exists for
+    val localClusters = LlmOps.dedupClusterRep(pairsDf, nodes, driverBudget = 0L)
+      .collect().toSeq
+    val localRanks = GraphOps.pageRank(pairsDf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.conf.set(flag, "true")
+    try {
+      val reliableClusters = LlmOps.dedupClusterRep(pairsDf, nodes, driverBudget = 0L)
+        .collect().toSeq
+      val reliableRanks = GraphOps.pageRank(pairsDf).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(reliableClusters == localClusters)
+      assert(reliableRanks == localRanks)
+      val cpDir = spark.sparkContext.getCheckpointDir
+      assert(cpDir.nonEmpty, "reliable path must install a checkpoint dir")
+      val written = java.nio.file.Files.walk(
+          java.nio.file.Paths.get(new java.net.URI(cpDir.get).getPath))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(written > 0, s"no checkpoint files under ${cpDir.get}")
+    } finally spark.conf.unset(flag)
+  }
+
   test("approx quantiles bracket the exact percentiles per group") {
     // registry row is scalar-split: (l_returnflag, q25, q50, q75, n)
     val approx = Aggregations.aggApproxQuantile.fn(spark, sf).collect()
