@@ -60,6 +60,12 @@ def pandas_hash_mismatch(name, out_dir, duck_rel, con):
         != pd.util.hash_pandas_object(oo[c], index=False).sum()]
     details = ", ".join(
         f"{c}: spark {ss[c].dtype} vs duck {oo[c].dtype}" for c in cols)
+    if not details:
+        # per-column hash SUMS can all agree while the frame hash differs
+        # (row-wise combination is alignment-sensitive): point at row
+        # pairing instead of rendering an empty, unactionable "()"
+        details = ("no single column differs — row-level mismatch "
+                   "(ordering/pairing of values across columns)")
     return f"pandas-hash mismatch ({details})"
 
 
