@@ -63,7 +63,13 @@ object Bench {
     val slowestN = 25
     val slowest = results.toSeq.filterNot(_._2.isInfinite)
       .sortBy { case (k, v) => (-v, k) }.take(slowestN)
-      .map { case (k, v) => f""""$k":${v}%.3f""" }.mkString("{", ",", "}")
+      // Locale.ROOT: the f-interpolator's %.3f is locale-sensitive and a
+      // comma decimal separator would make this "always parseable" line
+      // invalid JSON
+      .map { case (k, v) =>
+        "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"queries_truncated_to":$slowestN,"full_json":"${outPath}","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

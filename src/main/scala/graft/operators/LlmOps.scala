@@ -1008,12 +1008,13 @@ object LlmOps {
     * at most 2 × [[IvfCacheMax]] indexes at once — a real bound for a
     * long-lived multi-tenant JVM, unlike exit-hook-only cleanup, which
     * keeps one corpus-sized rewrite per distinct corpus ever seen. The
-    * residual race is generational and explicit: a query's plan breaks
-    * only if it is still uncollected after 2 × [[IvfCacheMax]] subsequent
-    * distinct-corpus index builds (LlmOpsSpec exercises both sides: a
-    * held query survives eviction, and a fully-retired index's directory
-    * really is deleted). Heap stays bounded at [[IvfCacheMax]] ×
-    * O(nLists × dim).
+    * residual race is generational and explicit: a query's plan stays
+    * readable until its index's EVICTION plus [[IvfCacheMax]] further
+    * evictions — at minimum [[IvfCacheMax]] + 1 subsequent
+    * distinct-corpus index builds, more while its corpus stays recently
+    * queried (LlmOpsSpec exercises both sides: a held query survives
+    * eviction, and a fully-retired index's directory really is deleted).
+    * Heap stays bounded at [[IvfCacheMax]] × O(nLists × dim).
     */
   private[operators] val IvfCacheMax = 4
   private[operators] val ivfIndexCache =

@@ -22,6 +22,15 @@ import org.apache.spark.sql.DataFrame
   * is installed so the reliable path works out of the box on a
   * single-node session (durable across executor loss there, since
   * local[*] executors share the driver's filesystem).
+  *
+  * Disk-growth note for reliable mode: Spark only deletes checkpoint
+  * data when `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  * (default false; a context-creation-time setting), so each truncation
+  * leaves a snapshot of the working set in the checkpoint dir for the
+  * job's lifetime. The iterative ops here run FIXED small round counts
+  * (≤ 30), bounding growth at rounds × working-set; a long-lived
+  * deployment driving many reliable jobs should enable the cleaner conf
+  * on its session or recycle its checkpoint directory between jobs.
   */
 object Checkpoints {
   val Flag = "spark.graft.reliableCheckpoints"

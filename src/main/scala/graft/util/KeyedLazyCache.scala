@@ -23,35 +23,45 @@ package graft.util
   *      `removeEldestEntry`, racing not-yet-collected queries into
   *      FileNotFoundException.
   *
-  *   3. '''Retirement is DEFERRED but BOUNDED.''' Evicted values that
-  *      were actually built enter a FIFO retirement queue of depth
-  *      `retireKeep`; once `retireKeep` further evictions have passed, the
-  *      oldest is handed to `onRetire` (outside the lock) to free its
-  *      backing resources. Total resource footprint is therefore bounded
-  *      at `maxEntries + retireKeep` live values — not "every key ever
-  *      seen", which for corpus-sized on-disk state is an operational
-  *      disk-growth risk in a long-lived JVM. The residual race window is
-  *      explicit and generational: a reader's lazy plan breaks only if it
-  *      is still uncollected after `maxEntries + retireKeep` SUBSEQUENT
-  *      distinct-key builds — each a full corpus-scale index write —
-  *      which is the same bounded-staleness bet generational GC makes.
-  *      Callers whose values need no cleanup leave the default
-  *      (`retireKeep = Int.MaxValue`): nothing is ever retired and
-  *      resource lifetime falls to the owner (e.g. a [[TempDirs]]
-  *      JVM-exit hook).
+  *   3. '''Retirement is DEFERRED but BOUNDED.''' A value that was
+  *      already built WHEN EVICTED enters a FIFO retirement queue of
+  *      depth `retireKeep`; once `retireKeep` further evictions have
+  *      passed, the oldest is handed to `onRetire` (outside the lock) to
+  *      free its backing resources. Total resource footprint is
+  *      therefore bounded at `maxEntries + retireKeep` live values — not
+  *      "every key ever seen", which for corpus-sized on-disk state is
+  *      an operational disk-growth risk in a long-lived JVM. The
+  *      residual race window is explicit and generational: a reader's
+  *      value stays live until its key's EVICTION plus `retireKeep`
+  *      further evictions — at minimum `retireKeep + 1` subsequent
+  *      distinct-key builds, each a full corpus-scale index write, and
+  *      more while the key stays recently used. (The bound is on
+  *      evictions after the reader's key falls out, NOT a flat
+  *      `maxEntries + retireKeep`: hits on other keys can demote a key
+  *      to LRU without any build.) Callers whose values need no cleanup
+  *      leave the default (`retireKeep = Int.MaxValue`): nothing is ever
+  *      retired and resource lifetime falls to the owner (e.g. a
+  *      [[TempDirs]] JVM-exit hook).
   *
-  * Two documented caveats:
-  *   - A slot evicted while its value is still BEING BUILT is skipped by
-  *     retirement (nothing safe to clean yet) and its resources fall back
-  *     to the owner's exit-time cleanup; and because the evicted slot is
-  *     invisible to later callers of the same key, such a caller starts a
-  *     duplicate build. Correctness is unaffected (builders are pure and
-  *     produce independent resources); under heavy same-key churn at
+  * Documented caveats:
+  *   - Retire-eligibility is decided AT EVICTION TIME: a slot evicted
+  *     while its value is still being built is never retired — even if
+  *     the build completes moments later — because its builder's caller
+  *     has not received the value yet and would otherwise face a
+  *     zero-width window. Such a value's resources fall back to the
+  *     owner's exit-time cleanup. And because the evicted slot is
+  *     invisible to later callers of the same key, such a caller starts
+  *     a duplicate build. Correctness is unaffected (builders are pure
+  *     and produce independent resources); under heavy same-key churn at
   *     `maxEntries` this wastes builds — if that becomes real, consult a
   *     secondary in-flight map (key → Slot) cleared on build completion.
-  *   - `onRetire` runs on whichever caller thread happens to drain the
-  *     queue; it must be safe to call concurrently with readers of OTHER
-  *     values (it only ever receives values `retireKeep` evictions old).
+  *   - `onRetire` is BEST-EFFORT: it runs on whichever caller thread
+  *     happens to drain the queue, must be safe to call concurrently
+  *     with readers of OTHER values, and a thrown exception is swallowed
+  *     (the drain continues; the failed value's resources fall back to
+  *     the owner's exit-time cleanup) — an unrelated caller, possibly a
+  *     pure cache hit, must never fail because someone else's cleanup
+  *     did.
   *
   * Eviction order is least-recently-USED (access-order LinkedHashMap), so
   * the hot working set survives a burst of one-off keys.
@@ -82,7 +92,13 @@ final class KeyedLazyCache[K, V](
   private val map = new java.util.LinkedHashMap[K, Slot](16, 0.75f, true) {
     override def removeEldestEntry(e: java.util.Map.Entry[K, Slot]): Boolean = {
       val evict = size() > maxEntries
-      if (evict && retireKeep != Int.MaxValue) retiredQ.addLast(e.getValue)
+      // retire-eligibility is decided HERE, not at drain time: a slot
+      // still mid-build now may finish before the drain runs, and
+      // retiring it then would destroy a value its builder's caller is
+      // only just receiving (zero-width race window). Not enqueued ⇒
+      // never retired ⇒ owner's exit-time cleanup applies.
+      if (evict && retireKeep != Int.MaxValue && e.getValue.isBuilt)
+        retiredQ.addLast(e.getValue)
       evict
     }
   }
@@ -103,7 +119,13 @@ final class KeyedLazyCache[K, V](
       while (retiredQ.size() > retireKeep) drained += retiredQ.pollFirst()
       (s, drained.result())
     }
-    due.foreach(r => if (r.isBuilt) onRetire(r.value))
+    // best-effort, per slot: one failed cleanup must neither abort the
+    // rest of the drained batch nor fail this (unrelated) caller — the
+    // failed value's resources fall back to the owner's exit-time hook
+    due.foreach { r =>
+      try onRetire(r.value)
+      catch { case scala.util.control.NonFatal(_) => }
+    }
     slot.value
   }
 

@@ -106,9 +106,11 @@ class GraphOpsSpec extends SparkSpec {
       assert(reliableRanks == localRanks)
       val cpDir = spark.sparkContext.getCheckpointDir
       assert(cpDir.nonEmpty, "reliable path must install a checkpoint dir")
-      val written = java.nio.file.Files.walk(
-          java.nio.file.Paths.get(new java.net.URI(cpDir.get).getPath))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(new java.net.URI(cpDir.get).getPath))
+      val written =
+        try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close()
       assert(written > 0, s"no checkpoint files under ${cpDir.get}")
     } finally spark.conf.unset(flag)
   }

@@ -86,9 +86,11 @@ class StreamingSpec extends SparkSpec {
         val tmp = dir.resolve(s"tmp$i")
         rows.toDF("event_id", "user_id", "event_type", "ts")
           .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp)
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .findFirst().orElseThrow()
+        val listing = Files.list(tmp)
+        val part =
+          try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().orElseThrow()
+          finally listing.close()
         val dest = table.resolve(s"f$i.parquet")
         Files.move(part, dest)
         Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
