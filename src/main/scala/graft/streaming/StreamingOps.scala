@@ -235,9 +235,9 @@ object StreamingOps {
 
   /** Write df as exactly one parquet part-file at `dest` with a pinned
     * mtime, so the file-stream source discovers files in a deterministic
-    * order.
+    * order. (Also the fixture-builder for replay-order tests.)
     */
-  private def writeSingleFile(df: DataFrame, tmp: Path, dest: Path, mtime: Long): Unit = {
+  private[streaming] def writeSingleFile(df: DataFrame, tmp: Path, dest: Path, mtime: Long): Unit = {
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val stream = Files.list(tmp)
     val part =

@@ -76,11 +76,16 @@ final class KeyedLazyCache[K, V](
   /** Per-key memo: `lazy val` gives once-only building with the slot —
     * not the cache — as the synchronization domain. `isBuilt` flips only
     * AFTER the builder returns, so retirement can distinguish a usable
-    * value from an in-flight or failed build without forcing one.
+    * value from an in-flight or failed build without forcing one. The
+    * builder reference is RELEASED once the value exists: a by-name
+    * builder closes over its caller's scope (for IVF, a DataFrame and
+    * session), which must not stay reachable for the slot's whole cache
+    * residency.
     */
-  private final class Slot(build: () => V) {
+  private final class Slot(builder: () => V) {
+    @volatile private var build: () => V = builder
     @volatile private var built = false
-    lazy val value: V = { val v = build(); built = true; v }
+    lazy val value: V = { val v = build(); built = true; build = null; v }
     def isBuilt: Boolean = built
   }
 

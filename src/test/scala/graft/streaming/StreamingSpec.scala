@@ -65,7 +65,6 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream join: watermark slack recovers an out-of-order file replay") {
     import java.nio.file.Files
-    import java.nio.file.attribute.FileTime
     import spark.implicits._
     val H = 3600000000000L // 1 h in nanos (events.ts unit)
     // The hazard is PARTNER-STATE EVICTION, not a late-row drop (the join
@@ -81,19 +80,11 @@ class StreamingSpec extends SparkSpec {
     val dir = graft.util.TempDirs.create("graft_ooo_replay")
     val table = dir.resolve("events.parquet")
     Files.createDirectories(table)
-    Seq((f0, 1000000L), (f1, 2000000L), (f2, 3000000L)).zipWithIndex.foreach {
-      case ((rows, mtime), i) =>
-        val tmp = dir.resolve(s"tmp$i")
-        rows.toDF("event_id", "user_id", "event_type", "ts")
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        val part =
-          try listing.filter(_.getFileName.toString.endsWith(".parquet"))
-            .findFirst().orElseThrow()
-          finally listing.close()
-        val dest = table.resolve(s"f$i.parquet")
-        Files.move(part, dest)
-        Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
+    Seq(f0, f1, f2).zipWithIndex.foreach { case (rows, i) =>
+      StreamingOps.writeSingleFile(
+        rows.toDF("event_id", "user_id", "event_type", "ts"),
+        dir.resolve(s"tmp$i"), table.resolve(s"f$i.parquet"),
+        mtime = (i + 1) * 1000000L)
     }
     def joinRows(watermark: String) = StreamingOps
       .streamStreamJoinFrames(spark, dir.toString, watermark,
