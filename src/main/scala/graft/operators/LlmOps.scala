@@ -1004,17 +1004,22 @@ object LlmOps {
     * not-yet-collected query may legitimately read an already-evicted
     * index; deleting at eviction time (as before r10) raced such readers
     * into FileNotFoundException. An evicted index is retired (directory
-    * deleted) only after [[IvfCacheMax]] FURTHER evictions, so disk holds
-    * at most 2 × [[IvfCacheMax]] indexes at once — a real bound for a
-    * long-lived multi-tenant JVM, unlike exit-hook-only cleanup, which
-    * keeps one corpus-sized rewrite per distinct corpus ever seen. The
-    * residual race is generational and explicit: a query's plan stays
-    * readable until its index's EVICTION plus [[IvfCacheMax]] further
-    * evictions — at minimum [[IvfCacheMax]] + 1 subsequent
-    * distinct-corpus index builds, more while its corpus stays recently
-    * queried (LlmOpsSpec exercises both sides: a held query survives
-    * eviction, and a fully-retired index's directory really is deleted).
-    * Heap stays bounded at [[IvfCacheMax]] × O(nLists × dim).
+    * deleted) only after [[IvfCacheMax]] FURTHER evictions, bounding
+    * disk at 2 × [[IvfCacheMax]] RETIREMENT-MANAGED indexes (resident +
+    * queued) — versus exit-hook-only cleanup's one corpus-sized rewrite
+    * per distinct corpus ever seen. Outside that bound, per the
+    * [[graft.util.KeyedLazyCache]] caveats, an index whose slot was
+    * evicted mid-build (or whose deletion failed, logged to stderr) is
+    * never retired and survives to the [[graft.util.TempDirs]] exit
+    * hook — under sustained concurrent distinct-corpus churn those can
+    * accumulate. The residual read race is generational and explicit: a
+    * query's plan stays readable until its index's EVICTION plus
+    * [[IvfCacheMax]] further evictions — at minimum [[IvfCacheMax]] + 1
+    * subsequent distinct-corpus index builds, more while its corpus
+    * stays recently queried (LlmOpsSpec exercises both sides: a held
+    * query survives eviction, and a fully-retired index's directory
+    * really is deleted). Heap holds up to 2 × [[IvfCacheMax]] ×
+    * O(nLists × dim) centroid sets (resident + retirement queue).
     */
   private[operators] val IvfCacheMax = 4
   private[operators] val ivfIndexCache =

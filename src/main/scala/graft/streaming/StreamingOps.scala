@@ -237,7 +237,7 @@ object StreamingOps {
     * mtime, so the file-stream source discovers files in a deterministic
     * order. (Also the fixture-builder for replay-order tests.)
     */
-  private[streaming] def writeSingleFile(df: DataFrame, tmp: Path, dest: Path, mtime: Long): Unit = {
+  private[graft] def writeSingleFile(df: DataFrame, tmp: Path, dest: Path, mtime: Long): Unit = {
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val stream = Files.list(tmp)
     val part =

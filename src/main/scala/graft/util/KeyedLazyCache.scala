@@ -126,10 +126,16 @@ final class KeyedLazyCache[K, V](
     }
     // best-effort, per slot: one failed cleanup must neither abort the
     // rest of the drained batch nor fail this (unrelated) caller — the
-    // failed value's resources fall back to the owner's exit-time hook
+    // failed value's resources fall back to the owner's exit-time hook.
+    // Logged, not silent: an operator debugging resource growth past the
+    // documented bound needs the signal
     due.foreach { r =>
       try onRetire(r.value)
-      catch { case scala.util.control.NonFatal(_) => }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"KeyedLazyCache: onRetire failed (resource falls back to exit-time cleanup): $e")
+      }
     }
     slot.value
   }

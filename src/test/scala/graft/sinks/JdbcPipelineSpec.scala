@@ -1,7 +1,6 @@
 package graft.sinks
 
 import java.nio.file.{Files, Path}
-import java.nio.file.attribute.FileTime
 import java.sql.DriverManager
 
 import org.apache.spark.sql.DataFrame
@@ -22,16 +21,8 @@ class JdbcPipelineSpec extends SparkSpec {
 
   private val url = "jdbc:derby:memory:graftdb;create=true"
 
-  private def writeSingleFile(df: DataFrame, tmp: Path, dest: Path, mtime: Long): Unit = {
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val stream = Files.list(tmp)
-    val part =
-      try stream.filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst().orElseThrow(() => new IllegalStateException(s"no part in $tmp"))
-      finally stream.close()
-    Files.move(part, dest)
-    Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
-  }
+  private val writeSingleFile =
+    graft.streaming.StreamingOps.writeSingleFile(_: DataFrame, _: Path, _: Path, _: Long)
 
   test("streaming CDC op-log upserts into Derby; snapshot read-back matches golden") {
     import spark.implicits._
