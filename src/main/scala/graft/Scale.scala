@@ -49,11 +49,13 @@ object Scale {
     "fn_variant_json", "llm_cosine_topk", "llm_ann_lsh_topk",
     "llm_ann_ivf_topk", "llm_doc_chunking", "llm_pack_blocks",
     "llm_unigram_logprob", "llm_corpus_filter_decision", "ts_ohlc_bars",
-    "ts_gap_stats", "agg_histogram_fixed", "op_lateral_topn")
+    "ts_gap_stats", "agg_histogram_fixed", "op_lateral_topn",
+    "agg_heavy_hitters_mg", "ts_cusum_drift", "ts_ewma")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
-    "llm_substring_dedup", "graph_pagerank", "stream_stream_join")
+    "llm_substring_dedup", "graph_pagerank", "stream_stream_join",
+    "llm_edit_distance_dup", "graph_triangle_count")
 
   /** Rehearsal overrides for ops whose registered form assumes the
     * driver's single-file corpus. The k× events table is MANY parquet

@@ -347,9 +347,66 @@ object Aggregations {
             FROM lineitem GROUP BY l_returnflag
             ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** Heavy hitters (tokens with frequency > 2% of the stream) via a
+    * two-pass Misra–Gries prescreen — the bounded-memory alternative to
+    * `llm_vocab_build`'s full-cardinality groupBy. Pass 1 is a
+    * `treeAggregate` of [[graft.functions.MisraGries]] summaries: every
+    * executor holds O(capacity) counters no matter how many distinct
+    * tokens its partitions contain, and the mergeable-summary guarantee
+    * makes the surviving counter set a SUPERSET of every item with true
+    * frequency > n/(capacity+1). Pass 2 re-counts only those ≤ capacity
+    * candidates exactly and applies the exact threshold — so the output
+    * is deterministic (hence oracle-checkable against the plain
+    * GROUP BY/HAVING) while the shuffle only ever carries candidate
+    * tokens. At 100 TB this is the difference between shuffling a
+    * web-scale token distribution and shuffling 400 strings; capacity
+    * 400 ≫ support 50 keeps the guarantee with slack.
+    */
+  val aggHeavyHittersMg: Q = Q(
+    "agg_heavy_hitters_mg",
+    (s, d) => {
+      val toks = Tables.read(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      heavyHitters(toks, support = 50, capacity = 400)
+    },
+    Some("""WITH c AS (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+            t AS (SELECT count(*) AS n FROM c)
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM c GROUP BY token
+            HAVING count(*) * 50 > (SELECT n FROM t)
+            ORDER BY cnt DESC, token NULLS FIRST"""))
+
+  /** Engine (unit-test seam): items with frequency strictly above
+    * total/support, exact counts, from a single-string-column input.
+    */
+  private[operators] def heavyHitters(tokens: org.apache.spark.sql.DataFrame,
+                                      support: Int, capacity: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(capacity + 1 > support,
+      s"capacity $capacity cannot cover support 1/$support")
+    import graft.functions.MisraGries
+    import tokens.sparkSession.implicits._
+    val strings = tokens.select(col("token").cast(StringType)).as[String]
+    val summary = strings.rdd.treeAggregate(new MisraGries(capacity))(
+      (mg, s) => mg.add(s), (a, b) => a.merge(b), depth = 2)
+    val cand = summary.candidates.toSeq
+    if (cand.isEmpty) {
+      return strings.toDF("token")
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .filter(lit(false))
+    }
+    strings.toDF("token")
+      .filter(col("token").isin(cand: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * support > lit(summary.total))
+      .orderBy(desc("cnt"), asc_nulls_first("token"))
+  }
+
   val all: Seq[Q] = Seq(
     aggGlobal, aggHashGroupby, aggStringAggOrdered, aggCountDistinct,
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
     aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,
-    opUdafWeightedAvg, aggMode, aggApproxQuantile, aggBoolLogic)
+    opUdafWeightedAvg, aggMode, aggApproxQuantile, aggBoolLogic,
+    aggHeavyHittersMg)
 }

@@ -91,5 +91,63 @@ object GraphOps {
     ranks
   }
 
-  val all: Seq[Q] = Seq(graphDegreeDist, graphPagerank)
+  /** Triangle count of the similarity graph — the standard clustering /
+    * community-density probe over the near-dup pair set (a corpus whose
+    * near-dup graph is triangle-heavy has clone CLUSTERS, not just pairs
+    * — exactly what `llm_dedup_cluster_rep` then collapses). Node-
+    * iterator algorithm with DEGREE-ORDERED edge orientation (each edge
+    * points from its lower-(degree, id) endpoint to the higher): every
+    * wedge is enumerated exactly once at its lowest-ordered vertex, and
+    * a vertex's out-degree under this orientation is O(√m), which bounds
+    * the wedge blow-up — the textbook mitigation for the skew that id-
+    * ordered orientation suffers when a hub lands on a low id. Three
+    * equi-joins, no iteration. Simhash pairs are not SQL-portable →
+    * spec'd against a brute-force reference (GraphOpsSpec).
+    */
+  val graphTriangleCount: Q = Q(
+    "graph_triangle_count",
+    (s, d) => triangleCount(
+      LlmOps.simhashPairs(s, d).select(col("id1"), col("id2"))),
+    None)
+
+  /** Engine (unit-test seam): input is an undirected pair list (either
+    * column order, duplicates/self-loops tolerated); output is one row
+    * `n_triangles`.
+    */
+  private[operators] def triangleCount(pairs: DataFrame): DataFrame = {
+    val p = pairs.truncated
+    val und = p.select(least(col("id1"), col("id2")).as("a"),
+        greatest(col("id1"), col("id2")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .truncated
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient each edge from its lower-(deg, id) endpoint; carry the
+    // orientation key of the destination so wedge pairs order the same way
+    val dir = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            struct(col("db").as("kDeg"), col("b").as("kId")).as("dstKey")))
+          .otherwise(
+            struct(col("b").as("src"), col("a").as("dst"),
+              struct(col("da").as("kDeg"), col("a").as("kId")).as("dstKey")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dstKey").as("dstKey"))
+      .truncated
+    val wedges = dir.select(col("src"), col("dst").as("v"), col("dstKey").as("vKey"))
+      .join(dir.select(col("src"), col("dst").as("w"), col("dstKey").as("wKey")),
+        "src")
+      .filter(col("vKey") < col("wKey"))
+      .select(col("v"), col("w"))
+    wedges
+      .join(dir.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val all: Seq[Q] = Seq(graphDegreeDist, graphPagerank, graphTriangleCount)
 }

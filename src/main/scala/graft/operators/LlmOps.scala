@@ -1792,11 +1792,47 @@ object LlmOps {
             FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
             ORDER BY g.user_id NULLS FIRST, hour_ts_us"""))
 
+  /** Edit-distance (Levenshtein) near-dup pairs — the character-level
+    * complement to the token-level Jaccard/MinHash family: catches
+    * small-insertion / typo-level rewrites that token-set similarity
+    * misses. Quadratic all-pairs Levenshtein is infeasible at any scale,
+    * so the op is BLOCKED: docs equi-join on a 12-char text prefix (the
+    * standard blocking key for near-identical records), and the O(L²)
+    * distance runs only within blocks, on a 60-char head truncation that
+    * caps per-pair cost. At 100 TB the prefix join is one shuffle keyed
+    * by the block key, candidate pairs ≪ n²; for fuzzier blocking swap
+    * the prefix for a fingerprint from `llm_doc_fingerprint`. Both
+    * engines implement classic Levenshtein — integer output, exact
+    * oracle.
+    */
+  val llmEditDistanceDup: Q = Q(
+    "llm_edit_distance_dup",
+    (s, d) => {
+      val b = Tables.read(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 12).as("pfx"),
+          substring(col("text"), 1, 60).as("head"))
+      val left = b.select(col("pfx"), col("doc_id").as("id1"), col("head").as("h1"))
+      val right = b.select(col("pfx"), col("doc_id").as("id2"), col("head").as("h2"))
+      left.join(right, Seq("pfx"))
+        .filter(col("id1") < col("id2"))
+        .withColumn("dist", levenshtein(col("h1"), col("h2")).cast(LongType))
+        .filter(col("dist") <= 20)
+        .select(col("id1"), col("id2"), col("dist"))
+        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+    },
+    Some("""WITH b AS (SELECT doc_id, substr(text, 1, 12) AS pfx,
+                              substr(text, 1, 60) AS head FROM documents)
+            SELECT a.doc_id AS id1, c.doc_id AS id2,
+                   CAST(levenshtein(a.head, c.head) AS BIGINT) AS dist
+            FROM b a JOIN b c ON a.pfx = c.pfx AND a.doc_id < c.doc_id
+            WHERE levenshtein(a.head, c.head) <= 20
+            ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
     llmDedupSimhash, llmDedupClusterRep, llmSubstringDedup,
-    llmMinhashJaccardEst,
+    llmMinhashJaccardEst, llmEditDistanceDup,
     llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
     llmSemdedupCentroid,

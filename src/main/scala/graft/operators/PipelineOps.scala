@@ -882,10 +882,104 @@ object PipelineOps {
             FROM dau d LEFT JOIN nu n ON d.day = n.day
             ORDER BY d.day NULLS FIRST"""))
 
+  /** CUSUM drift statistic per user series — the classic change-point /
+    * drift detector over an event stream, kept EXACT cross-engine by
+    * clearing the denominators: instead of cusum_k = Σ_{i≤k}(v_i − S/n)
+    * (whose division makes float drift), emit the integer-scaled
+    * n·cusum_k = n·run_k − k·S where run_k is the running DECIMAL sum,
+    * S the user's total DECIMAL sum and n the user's row count — every
+    * term an exact decimal/integer product, same sign and zero crossings
+    * as the textbook statistic. One shuffle keyed by `user_id` (the
+    * shared event-stream partitioning); the full-partition S/n frame and
+    * the running frame reuse the same sort.
+    */
+  val tsCusumDrift: Q = Q(
+    "ts_cusum_drift",
+    (s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = Window.partitionBy(col("user_id"))
+      Tables.read(s, d, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .withColumn("rn", row_number().over(ord).cast(LongType))
+        .withColumn("runsum", sum(col("v")).over(run))
+        .withColumn("tot", sum(col("v")).over(full))
+        .withColumn("n", count(lit(1)).over(full))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          (col("runsum") * col("n") - col("rn") * col("tot"))
+            .cast(DoubleType).as("scaled_cusum"))
+        .orderBy(asc_nulls_first("user_id"), asc("ts_us"), asc("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                              CAST(value AS DECIMAL(18,2)) AS v
+                       FROM events),
+            f AS (SELECT user_id, event_id, ts_us,
+                         CAST(row_number() OVER w AS BIGINT) AS rn,
+                         sum(v) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS runsum,
+                         sum(v) OVER (PARTITION BY user_id) AS tot,
+                         count(*) OVER (PARTITION BY user_id) AS n
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+            SELECT user_id, event_id, ts_us,
+                   CAST(runsum * n - rn * tot AS DOUBLE) AS scaled_cusum
+            FROM f
+            ORDER BY user_id NULLS FIRST, ts_us, event_id"""))
+
+  /** Exponentially-weighted moving average (half-life = one event) over
+    * the trailing 8 events of each user series — the standard decayed
+    * feature next to the flat `ts_rolling_24h` window. The recursion is
+    * unrolled into a FIXED expression tree: 8 lag terms, each scaled by
+    * an exact power-of-two literal (multiplication by 2⁻ʲ only shifts
+    * the exponent — exact), summed left-associatively (both engines
+    * evaluate the written order), one final division by the exact weight
+    * total — every step correctly-rounded IEEE, so the doubles are
+    * bit-identical cross-engine with NO rounding fuzz. Rows before the
+    * 8th are zero-padded (documented semantics: the series is treated as
+    * 0 before its start). Same single `user_id` shuffle as the other
+    * per-user ops.
+    */
+  val tsEwma: Q = Q(
+    "ts_ewma",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val decayed = (0 to 7)
+        .map(j => coalesce(lag(col("value"), j).over(w), lit(0.0)) *
+          lit(math.pow(0.5, j)))
+        .reduce(_ + _)
+      Tables.read(s, d, "events")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+          col("value"))
+        .withColumn("ewma8", decayed / lit(1.9921875))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("ewma8"))
+        .orderBy(asc_nulls_first("user_id"), asc("ts_us"), asc("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+                       FROM events),
+            f AS (SELECT user_id, event_id, ts_us,
+                         (COALESCE(lag(value, 0) OVER w, 0.0) * 1.0
+                          + COALESCE(lag(value, 1) OVER w, 0.0) * 0.5
+                          + COALESCE(lag(value, 2) OVER w, 0.0) * 0.25
+                          + COALESCE(lag(value, 3) OVER w, 0.0) * 0.125
+                          + COALESCE(lag(value, 4) OVER w, 0.0) * 0.0625
+                          + COALESCE(lag(value, 5) OVER w, 0.0) * 0.03125
+                          + COALESCE(lag(value, 6) OVER w, 0.0) * 0.015625
+                          + COALESCE(lag(value, 7) OVER w, 0.0) * 0.0078125)
+                         / 1.9921875 AS ewma8
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+            SELECT user_id, event_id, ts_us, ewma8
+            FROM f
+            ORDER BY user_id NULLS FIRST, ts_us, event_id"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,
-    tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers)
+    tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
+    tsCusumDrift, tsEwma)
 }

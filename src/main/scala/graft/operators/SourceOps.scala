@@ -306,10 +306,42 @@ object SourceOps {
             FROM events WHERE event_type = 'click'
             GROUP BY user_id ORDER BY user_id NULLS FIRST"""))
 
+  /** ORC source/sink round-trip — the third columnar interchange format
+    * next to parquet and the text formats above (ORC is Spark-native; the
+    * warehouse-migration ingest path). Same fidelity contract as the
+    * CSV/JSONL ops: write, read back, aggregate; the oracle runs the same
+    * aggregate over the ORIGINAL parquet, so passing proves the ORC
+    * round-trip preserved every row and value. Columnar-to-columnar means
+    * predicate pushdown and column pruning survive on the read-back side
+    * exactly as on parquet.
+    */
+  val srcOrcRoundtrip: Q = Q(
+    "src_orc_roundtrip",
+    (s, d) => {
+      val dir = graft.util.TempDirs.create("graft_orc").toString
+      Tables.read(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy(asc_nulls_first("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+            FROM lineitem GROUP BY l_returnflag
+            ORDER BY l_returnflag NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
     sinkUpsertLatestByKey, sinkCdcApplyUpsertOnly, opSchemaDdlTypemap,
     opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals,
-    srcPartitionedRoundtrip)
+    srcPartitionedRoundtrip, srcOrcRoundtrip)
 }

@@ -72,4 +72,17 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
   }
+
+  test("llm_edit_distance_dup stays an equi-join on the block key, never nested-loop") {
+    val p = plan(LlmOps.llmEditDistanceDup.fn(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"prefix blocking must plan as an equi-join:\n${p.take(1200)}")
+  }
+
+  test("ts_cusum_drift's three window frames share one user_id shuffle") {
+    val p = plan(PipelineOps.tsCusumDrift.fn(spark, sf))
+    // one exchange for the user_id windows + one for the presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
 }

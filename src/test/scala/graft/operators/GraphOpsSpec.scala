@@ -136,4 +136,36 @@ class GraphOpsSpec extends SparkSpec {
       }
     }
   }
+
+  private def triangles(edges: Seq[(Long, Long)]): Long = {
+    import spark.implicits._
+    GraphOps.triangleCount(edges.toDF("id1", "id2")).collect()(0).getLong(0)
+  }
+
+  test("triangle count on fixture graphs") {
+    // one triangle + a pendant edge
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) == 1L)
+    // K4 has 4 triangles; input deliberately unordered + duplicated
+    assert(triangles(Seq((1L, 2L), (3L, 1L), (1L, 4L), (2L, 3L), (4L, 2L),
+      (3L, 4L), (2L, 1L))) == 4L)
+    // square without diagonals has none; with one diagonal, two
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(triangles(square) == 0L)
+    assert(triangles(square :+ (1L, 3L)) == 2L)
+    // self-loops must not create triangles
+    assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))) == 1L)
+  }
+
+  test("triangle count matches the brute-force reference on the real pair graph") {
+    val pairs = LlmOps.simhashPairs(spark, sf).select("id1", "id2")
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val undirected = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct.toSet
+    val adj = undirected.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = undirected.toSeq.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b): Long
+    }.sum
+    assert(triangles(edges.toSeq) == expected)
+  }
 }
