@@ -50,7 +50,7 @@ object Scale {
     "llm_ann_ivf_topk", "llm_doc_chunking", "llm_pack_blocks",
     "llm_unigram_logprob", "llm_corpus_filter_decision", "ts_ohlc_bars",
     "ts_gap_stats", "agg_histogram_fixed", "op_lateral_topn",
-    "agg_heavy_hitters_mg", "ts_cusum_drift", "ts_ewma")
+    "agg_heavy_hitters_mg", "ts_cusum_drift", "ts_ewma", "op_zorder_layout")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (157 keys, 129 oracles)") {
-    assert(SparkEntry.queries.size == 157,
+  test("registry matches the SURVEY §2 inventory size (158 keys, 130 oracles)") {
+    assert(SparkEntry.queries.size == 158,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 129,
+    assert(SparkEntry.oracleSql.size == 130,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
