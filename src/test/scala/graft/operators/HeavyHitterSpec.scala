@@ -75,6 +75,21 @@ class HeavyHitterSpec extends SparkSpec {
     assert(got.toSeq == expected && got.nonEmpty)
   }
 
+  test("heavyHitters output is invariant under repartitioning") {
+    import spark.implicits._
+    val stream = zipfStream(300, 3000)
+    val df = stream.toDF("token")
+    // pass 1's treeAggregate merge order (hence the candidate SET) depends
+    // on partitioning, but pass 2's exact re-count must erase that
+    val base = Aggregations.heavyHitters(df, 50, 60)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Seq(1, 7, 64).foreach { n =>
+      val got = Aggregations.heavyHitters(df.repartition(n), 50, 60)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == base, s"partitions=$n changed the answer")
+    }
+  }
+
   test("heavyHitters rejects a capacity that cannot cover the support") {
     import spark.implicits._
     val df = Seq("a").toDF("token")
