@@ -32,6 +32,10 @@ final class MisraGries(val capacity: Int) extends Serializable {
 
   def add(item: String, weight: Long = 1L): this.type = {
     require(weight >= 0, "negative weights unsupported")
+    // a zero-weight insert would plant a 0-valued counter that makes the
+    // eviction decrement (min of counter values) permanently 0, silently
+    // dropping every later new item — treat it as the no-op it is
+    if (weight == 0) return this
     total += weight
     counters.get(item) match {
       case Some(c) => counters(item) = c + weight

@@ -379,6 +379,9 @@ object Aggregations {
 
   /** Engine (unit-test seam): items with frequency strictly above
     * total/support, exact counts, from a single-string-column input.
+    * NULL items are ignored in both passes (they are excluded from the
+    * stream total too) — `isin` in pass 2 could never match them, so
+    * counting them in pass 1 would skew the threshold.
     */
   private[operators] def heavyHitters(tokens: org.apache.spark.sql.DataFrame,
                                       support: Int, capacity: Int)
@@ -387,7 +390,8 @@ object Aggregations {
       s"capacity $capacity cannot cover support 1/$support")
     import graft.functions.MisraGries
     import tokens.sparkSession.implicits._
-    val strings = tokens.select(col("token").cast(StringType)).as[String]
+    val strings = tokens.select(col("token").cast(StringType))
+      .filter(col("token").isNotNull).as[String]
     val summary = strings.rdd.treeAggregate(new MisraGries(capacity))(
       (mg, s) => mg.add(s), (a, b) => a.merge(b), depth = 2)
     val cand = summary.candidates.toSeq

@@ -403,6 +403,8 @@ object SourceOps {
       min(col(xCol)).cast(LongType), max(col(xCol)).cast(LongType),
       min(col(yCol)).cast(LongType), max(col(yCol)).cast(LongType))
       .collect()
+    require(!stats.isNullAt(0) && !stats.isNullAt(2),
+      s"cannot z-order an empty input — min($xCol)/min($yCol) is NULL")
     val (x0, x1, y0, y1) =
       (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
     val nb = 1L << bits

@@ -90,6 +90,28 @@ class HeavyHitterSpec extends SparkSpec {
     }
   }
 
+  test("MG weight-0 add is a no-op and cannot poison eviction") {
+    val mg = new MisraGries(2)
+    mg.add("a", 0) // must NOT plant a 0-valued counter
+    mg.add("b", 5)
+    (1 to 1000).foreach(_ => mg.add("c"))
+    assert(mg.total == 1005)
+    // c is ~99% of the stream — the guarantee requires it present
+    assert(mg.candidates.contains("c"))
+    intercept[IllegalArgumentException](mg.add("d", -1))
+  }
+
+  test("heavyHitters ignores null items in both passes") {
+    import spark.implicits._
+    // nulls are 60% of the raw column; the contract counts only non-null
+    // items, so "a" (3 of 4 non-null) is the lone >50% hitter
+    val df = Seq("a", null, "a", null, null, "a", "b", null, null, null)
+      .toDF("token")
+    val got = Aggregations.heavyHitters(df, support = 2, capacity = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 3L)))
+  }
+
   test("heavyHitters rejects a capacity that cannot cover the support") {
     import spark.implicits._
     val df = Seq("a").toDF("token")
