@@ -50,7 +50,8 @@ object Scale {
     "llm_ann_ivf_topk", "llm_doc_chunking", "llm_pack_blocks",
     "llm_unigram_logprob", "llm_corpus_filter_decision", "ts_ohlc_bars",
     "ts_gap_stats", "agg_histogram_fixed", "op_lateral_topn",
-    "agg_heavy_hitters_mg", "ts_cusum_drift", "ts_ewma", "op_zorder_layout")
+    "agg_heavy_hitters_mg", "ts_cusum_drift", "ts_ewma", "op_zorder_layout",
+    "agg_hll_sketch_union", "agg_ks_two_sample")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",

@@ -5,6 +5,7 @@ import org.apache.spark.sql.types._
 
 import graft.{Q, Tables}
 import graft.functions.WeightedAvg
+import graft.util.Checkpoints.Truncate
 
 /** SURVEY §2.4 — aggregation.
   *
@@ -407,10 +408,134 @@ object Aggregations {
       .orderBy(desc("cnt"), asc_nulls_first("token"))
   }
 
+  /** Mergeable HLL sketch tables — the incremental-aggregation pattern a
+    * 100 TB pipeline actually runs: per-day PARTIAL distinct-user
+    * sketches (each a few KB, persistable as a column), unioned later
+    * into the corpus estimate WITHOUT rescanning the raw data. DataSketches
+    * HLL union is register-wise max, so the union of partials equals the
+    * sketch of the whole input (set-dependent, order- and
+    * partition-independent — SketchDriftSpec pins both), unlike
+    * `agg_approx_distinct` which re-aggregates raw rows every time.
+    * Randomized estimator → no SQL oracle; accuracy + mergeability are
+    * spec'd.
+    */
+  val aggHllSketchUnion: Q = Q(
+    "agg_hll_sketch_union",
+    (s, d) => {
+      val partials = Tables.read(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy(col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count(lit(1)).as("n_rows"))
+      partials.agg(
+        count(lit(1)).as("n_days"),
+        sum(col("n_rows")).as("n_rows"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    },
+    None)
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the `click`
+    * and `view` value distributions — the standard train/eval
+    * distribution-drift probe. The statistic is computed with the
+    * denominators cleared (the `ts_cusum_drift` discipline):
+    * D·n1·n2 = max |r1·n2 − r2·n1| over the merged value order, every
+    * term an exact BIGINT, one final double division for the classical D.
+    * The running counts come from [[prefixScan2]] — a two-pass
+    * distributed prefix scan (range-partition by value, per-partition
+    * totals to the driver, offsets broadcast back) — NOT a
+    * single-partition global window, so the plan scales to any number of
+    * distinct values.
+    */
+  val aggKsTwoSample: Q = Q(
+    "agg_ks_two_sample",
+    (s, d) => {
+      val byVal = Tables.read(s, d, "events")
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("value"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("is1"))
+        .groupBy(col("value"))
+        .agg(sum(col("is1")).as("c1"), sum(lit(1L) - col("is1")).as("c2"))
+      val scanned = prefixScan2(byVal, "value", "c1", "c2")
+      val tot = scanned.agg(max(col("r1")).as("n1"), max(col("r2")).as("n2"))
+      scanned.crossJoin(broadcast(tot))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(abs(col("r1") * col("n2") - col("r2") * col("n1")))
+          .as("d_scaled"))
+        .select(col("n1"), col("n2"), col("d_scaled"),
+          (col("d_scaled").cast(DoubleType) /
+            (col("n1") * col("n2")).cast(DoubleType)).as("d"))
+    },
+    Some("""WITH e AS (SELECT value,
+                              CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
+                       FROM events WHERE event_type IN ('click', 'view')),
+            v AS (SELECT value, sum(is1) AS c1, sum(1 - is1) AS c2
+                  FROM e GROUP BY value),
+            r AS (SELECT value,
+                         sum(c1) OVER (ORDER BY value ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+                         sum(c2) OVER (ORDER BY value ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND CURRENT ROW) AS r2
+                  FROM v),
+            t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                         CAST(sum(c2) AS BIGINT) AS n2 FROM v)
+            SELECT t.n1, t.n2,
+                   CAST(max(abs(r1 * t.n2 - r2 * t.n1)) AS BIGINT) AS d_scaled,
+                   CAST(max(abs(r1 * t.n2 - r2 * t.n1)) AS DOUBLE)
+                     / (t.n1 * t.n2) AS d
+            FROM r, t GROUP BY t.n1, t.n2"""))
+
+  /** Two-pass distributed prefix scan (unit-test seam): exact global
+    * running sums `r1`, `r2` of `c1`, `c2` in ascending `orderCol` order.
+    * Pass 1 range-partitions + locally sorts and collects ONE tiny row of
+    * per-partition totals to the driver; pass 2 re-runs the same local
+    * scan adding each partition's broadcast offset. No single-partition
+    * window anywhere — the plan holds at any distinct-value cardinality.
+    * `orderCol` values must be distinct (callers pre-aggregate), so the
+    * order is total and the result partitioning-independent.
+    */
+  private[operators] def prefixScan2(df: org.apache.spark.sql.DataFrame,
+                                     orderCol: String, c1: String, c2: String)
+      : org.apache.spark.sql.DataFrame = {
+    val s = df.sparkSession
+    val parts = s.sessionState.conf.numShufflePartitions
+    // materialize the range partitioning ONCE (Checkpoints.truncate): both
+    // passes must see the identical partition layout — a lazy recompute
+    // could re-sample different range boundaries under pass 2 and the
+    // broadcast offsets would be wrong
+    val sorted = df
+      .select(col(orderCol), col(c1).cast(LongType).as(c1),
+        col(c2).cast(LongType).as(c2))
+      .repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .truncated
+    val totals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var a = 0L; var b = 0L
+      it.foreach { r => a += r.getLong(1); b += r.getLong(2) }
+      Iterator((i, a, b))
+    }.collect().sortBy(_._1)
+    val offsets = totals.scanLeft((0L, 0L)) {
+      case ((a, b), (_, x, y)) => (a + x, b + y)
+    }.init // offsets(i) = totals of partitions < i
+    val bc = s.sparkContext.broadcast(offsets)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("r1", LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("r2", LongType, nullable = false))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var (r1, r2) = bc.value(i)
+      it.map { r =>
+        r1 += r.getLong(1); r2 += r.getLong(2)
+        org.apache.spark.sql.Row(r.get(0), r.getLong(1), r.getLong(2), r1, r2)
+      }
+    }
+    s.createDataFrame(rows, schema)
+  }
+
   val all: Seq[Q] = Seq(
     aggGlobal, aggHashGroupby, aggStringAggOrdered, aggCountDistinct,
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
     aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,
     opUdafWeightedAvg, aggMode, aggApproxQuantile, aggBoolLogic,
-    aggHeavyHittersMg)
+    aggHeavyHittersMg, aggHllSketchUnion, aggKsTwoSample)
 }
