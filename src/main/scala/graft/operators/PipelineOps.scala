@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{Q, Tables}
+import graft.util.Checkpoints.Truncate
 
 /** SURVEY §2.8 extension — second wave of training-data-pipeline operators
   * (retrieval backbone, corpus filtering/mixing, event-stream features)
@@ -326,10 +327,13 @@ object PipelineOps {
   /** Tokenizer-vocabulary build: rank tokens by corpus frequency and
     * assign contiguous ids, with each token's cumulative corpus coverage
     * — the frequency-table step a BPE/unigram trainer starts from. One
-    * Generator + one hash agg + one GLOBAL window over |vocab| rows
-    * (vocab is orders of magnitude smaller than the corpus — the single
-    * partition holds ids, never documents; counts are exact, coverage is
-    * one double division per row).
+    * Generator + one hash agg + [[rankScan]]: a two-pass DISTRIBUTED
+    * rank/prefix-sum in (n desc, token asc) order — range-partition +
+    * local sort, one O(#partitions) row of per-partition totals to the
+    * driver, offsets broadcast back (the `prefixScan2` discipline from
+    * `agg_ks_two_sample`). No single-partition window anywhere, so the
+    * plan holds at any vocabulary cardinality; counts are exact, coverage
+    * is one double division per row.
     */
   val llmVocabBuild: Q = Q(
     "llm_vocab_build",
@@ -337,14 +341,9 @@ object PipelineOps {
       val counts = Tables.read(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(desc("n"), asc("token"))
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      counts
-        .withColumn("token_id", row_number().over(w).cast(LongType) - 1)
-        .withColumn("cum_n", sum(col("n")).over(run))
+      rankScan(counts)
         .withColumn("coverage",
-          round(col("cum_n").cast(DoubleType) /
-            sum(col("n")).over(Window.partitionBy()), 6))
+          round(col("cum_n").cast(DoubleType) / col("total_n"), 6))
         .select(col("token_id"), col("token"), col("n"), col("coverage"))
         .orderBy(asc("token_id"))
     },
@@ -360,6 +359,58 @@ object PipelineOps {
             SELECT token_id, token, n,
                    round(CAST(cum_n AS DOUBLE) / total, 6) AS coverage
             FROM r ORDER BY token_id"""))
+
+  /** Two-pass distributed rank + prefix sum (unit-test seam): in exact
+    * global (n desc, token asc) order, assigns `token_id` (0-based dense
+    * row index), `cum_n` (running sum of `n`), and `total_n` (the grand
+    * total, same on every row). Pass 1 range-partitions + locally sorts
+    * and collects ONE O(#partitions) row of per-partition (row, sum)
+    * totals to the driver; pass 2 re-runs the same local scan adding each
+    * partition's broadcast offsets. No single-partition exchange anywhere
+    * — the plan holds at any vocabulary cardinality. (token, n) pairs are
+    * distinct by construction (post-groupBy), so the order is total and
+    * the result partitioning-independent.
+    */
+  private[operators] def rankScan(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    val s = counts.sparkSession
+    val parts = s.sessionState.conf.numShufflePartitions
+    // materialize the range partitioning ONCE: both passes must see the
+    // identical partition layout (a lazy recompute could re-sample
+    // different range boundaries under pass 2)
+    val sorted = counts
+      .select(col("token"), col("n").cast(LongType).as("n"))
+      .repartitionByRange(parts, desc("n"), asc("token"))
+      .sortWithinPartitions(desc("n"), asc("token"))
+      .truncated
+    val totals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var rows = 0L; var sumN = 0L
+      it.foreach { r => rows += 1L; sumN += r.getLong(1) }
+      Iterator((i, rows, sumN))
+    }.collect().sortBy(_._1)
+    val grand = totals.map(_._3).sum
+    val offsets = totals.scanLeft((0L, 0L)) {
+      case ((a, b), (_, x, y)) => (a + x, b + y)
+    }.init // offsets(i) = (rows, sum) of partitions < i
+    val bc = s.sparkContext.broadcast(offsets)
+    val schema = StructType(Seq(
+      StructField("token_id", LongType, nullable = false),
+      StructField("token", sorted.schema("token").dataType, nullable = true),
+      StructField("n", LongType, nullable = true),
+      StructField("cum_n", LongType, nullable = false),
+      StructField("total_n", LongType, nullable = false)))
+    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var (id, cum) = bc.value(i)
+      it.map { r =>
+        val n = r.getLong(1)
+        cum += n
+        val out = Row(id, r.get(0), n, cum, grand)
+        id += 1L
+        out
+      }
+    }
+    s.createDataFrame(rows, schema)
+  }
 
   /** Rolling 24 h window features per user: for every event, the count
     * and value-sum of that user's events in the trailing 24 h — the
@@ -439,27 +490,29 @@ object PipelineOps {
     * transcendental — empirically cross-engine exact on this corpus, but
     * rounded anyway) and CARRIED AS DECIMAL so the per-doc sum is
     * merge-order independent; the final average is one double division.
-    * Two hash aggs + a vocab-sized broadcast join — the same skeleton as
-    * TF-IDF.
+    * Two hash aggs + an AQE-sized vocab join — the same skeleton as
+    * TF-IDF; no part of the vocabulary ever lands on the driver.
     */
   val llmUnigramLogprob: Q = Q(
     "llm_unigram_logprob",
     (s, d) => {
       val toks = Tables.read(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      // collect the |vocab|-row count table ONCE (same pattern as the mix
-      // rebalancer): the total scalar and the broadcast log-prob side both
-      // rebuild from it, so the corpus explodes exactly once in the final
-      // plan instead of three times
-      val vocabRows = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val total = vocabRows.map(_._2).sum
-      import s.implicits._
-      val lnp = vocabRows.toSeq.toDF("token", "n")
-        .withColumn("lnp",
-          round(expr(s"ln(CAST(n AS DOUBLE) / $total)"), 6)
-            .cast(DecimalType(20, 6)))
-      toks.join(broadcast(lnp.select(col("token"), col("lnp"))), "token")
+      // the |vocab|-row count table stays DISTRIBUTED — a web-scale corpus
+      // has a 1e8+-token vocabulary that must never land on the driver. The
+      // corpus total is a one-row scalar agg broadcast into every vocab row
+      // (the agg_ks_two_sample idiom); the lnp side is materialized once
+      // (truncated) so the corpus explodes exactly twice (count pass +
+      // score pass), and AQE sizes the lnp join (broadcast here, shuffle
+      // if the vocab outgrows the threshold) from its actual byte size.
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val tot = vocab.agg(sum(col("n")).as("total"))
+      val lnp = vocab.crossJoin(broadcast(tot))
+        .select(col("token"),
+          round(expr("ln(CAST(n AS DOUBLE) / total)"), 6)
+            .cast(DecimalType(20, 6)).as("lnp"))
+        .truncated
+      toks.join(lnp, "token")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"), sum(col("lnp")).as("sum_lnp"))
         .select(col("doc_id"), col("n_tokens"),

@@ -85,4 +85,19 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).size
     assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
   }
+
+  test("llm_unigram_logprob keeps the vocabulary distributed (no driver collect)") {
+    val p = plan(PipelineOps.llmUnigramLogprob.fn(spark, sf))
+    // a driver-collected vocab would re-enter the plan as a LocalTableScan
+    // (local relation built from collected rows); the distributed form has
+    // only parquet scans and the materialized lnp side
+    assert(!p.contains("LocalTableScan"),
+      s"vocabulary must never be materialized on the driver:\n${p.take(1200)}")
+  }
+
+  test("llm_vocab_build ranks with no single-partition exchange") {
+    val p = plan(PipelineOps.llmVocabBuild.fn(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      s"vocab ranking must not funnel through one partition:\n${p.take(1200)}")
+  }
 }

@@ -184,4 +184,24 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getLong(1) >= r.getLong(2), "cf >= df")
     }
   }
+
+  test("rankScan equals the sequential rank/prefix-sum, at any partitioning") {
+    import spark.implicits._
+    val data = (1 to 400).map(i => (s"tok_$i", (i * 13 % 37).toLong + 1))
+    val grand = data.map(_._2).sum
+    val expected = data.sortBy { case (t, n) => (-n, t) }
+      .scanLeft(("", 0L, -1L, 0L)) { case ((_, _, id, cum), (t, n)) =>
+        (t, n, id + 1, cum + n)
+      }.tail
+      .map { case (t, n, id, cum) => (id, t, n, cum, grand) }
+    Seq(1, 5, 17).foreach { p =>
+      val got = PipelineOps.rankScan(
+        data.toDF("token", "n").repartition(p))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+      assert(got.toSeq == expected, s"input partitions=$p")
+    }
+  }
 }
