@@ -148,6 +148,36 @@ object SourceOps {
     },
     None)
 
+  /** CDC op-log apply WITH delete propagation — the semantic the reference
+    * observably never provides (`setup.sh:192-197` deletes a row and probes
+    * the sink, but `drop.tombstones` means the delete can never arrive): a
+    * key whose LATEST op is a delete is absent from the final state; a
+    * delete overtaken by a newer upsert is resurrected. Same synthesized
+    * op-log as `sink_cdc_apply_upsert_only` (event_type='error' ⇒ op='d'),
+    * same one key-window shuffle; µs timestamps (`ts div 1000` ↔ DuckDB
+    * `epoch_us`) so the version order is oracle-portable.
+    */
+  val sinkCdcApplyWithDeletes: Q = Q(
+    "sink_cdc_apply_with_deletes",
+    (s, d) => {
+      val opLog = Tables.read(s, d, "events").select(
+        col("user_id"), col("event_id"), col("value"),
+        expr("ts div 1000").as("ts_us"),
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("op"))
+      Upsert.applyCdcWithDeletes(opLog, col("op"), Seq(col("user_id")),
+          Seq(col("ts_us"), col("event_id")))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH log AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                                CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+                         FROM events),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+                       FROM log)
+            SELECT user_id, event_id, value, ts_us, op
+            FROM ranked WHERE rn = 1 AND op <> 'd'
+            ORDER BY user_id NULLS FIRST"""))
+
   /** Schema introspection + PG→CH DDL synthesis (reference `setup.sh:36-66`),
     * swept over EVERY table like the reference's for-loop over
     * `information_schema.tables` (`setup.sh:29-34`): one DDL row per corpus
@@ -424,7 +454,8 @@ object SourceOps {
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
-    sinkUpsertLatestByKey, sinkCdcApplyUpsertOnly, opSchemaDdlTypemap,
+    sinkUpsertLatestByKey, sinkCdcApplyUpsertOnly, sinkCdcApplyWithDeletes,
+    opSchemaDdlTypemap,
     opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals,
     srcPartitionedRoundtrip, srcOrcRoundtrip, opZorderLayout)
 }

@@ -34,4 +34,17 @@ object Upsert {
   def applyCdc(opLog: DataFrame, opCol: Column, key: Seq[Column],
                version: Seq[Column]): DataFrame =
     latestByKey(opLog.filter(opCol =!= lit("d")), key, version)
+
+  /** Apply a CDC op-log WITH delete propagation — the semantics the
+    * reference demonstrably lacks (its `setup.sh:192-197` probes a delete
+    * but never asserts it reached the sink; `drop.tombstones` guarantees
+    * it cannot): the key's state is its latest row version, and if that
+    * latest op is a delete the key is absent from the sink. Same single
+    * key-partitioned window shuffle as [[applyCdc]] — the delete filter
+    * is applied AFTER picking the latest version, so a delete followed by
+    * a re-insert (higher version) correctly resurrects the key.
+    */
+  def applyCdcWithDeletes(opLog: DataFrame, opCol: Column, key: Seq[Column],
+                          version: Seq[Column]): DataFrame =
+    latestByKey(opLog, key, version).filter(opCol =!= lit("d"))
 }

@@ -377,8 +377,88 @@ object StreamingOps {
               AND g.t BETWEEN c.t - 3600000000 AND c.t + 3600000000
             ORDER BY click_id NULLS FIRST, signup_id"""))
 
+  /** Stream-stream LEFT OUTER join — the other half of the standard
+    * streaming-join surface: matched pairs emit immediately (inner path),
+    * while an UNMATCHED click emits with null signup columns only when
+    * the watermark passes the end of its ±1 h join window and its state
+    * is evicted — outer results are produced by STATE EVICTION, not by
+    * scan-time non-match as in batch. Two consequences shape the op:
+    * (1) eviction needs a watermark update after the last data batch —
+    * Spark's no-data micro-batch (run by AvailableNow when the watermark
+    * advances) provides it; (2) a MATCHED row is definitive the moment
+    * it emits, but an UNMATCHED claim is only decided once the final
+    * watermark passes the click's window end — so the op keeps every
+    * matched row and restricts NULL rows to RESOLVED clicks: c_time <
+    * min(max click time, max signup time) − watermark − window − margin.
+    * The batch oracle applies the identical predicate to a batch LEFT
+    * JOIN, making the batch-equivalence exact. The cutoff scalar is a
+    * 2-value stats agg (the z-order discipline), never a data collect.
+    * The watermark is the same replay-disorder slack parameter as the
+    * inner join's — with the sharper failure shape that an evicted
+    * partner doesn't just LOSE the pair, it emits a FALSE unmatched row
+    * (StreamingSpec pins both the hazard and the slack recovery).
+    */
+  private[graft] def streamStreamLeftOuterFrames(
+      s: SparkSession, d: String, watermarkHours: Int = 2,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val watermark = s"$watermarkHours hours"
+    val clicks = streamedEvents(s, d, maxFilesPerTrigger)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        expr("timestamp_micros(ts div 1000)").as("c_time"))
+      .withWatermark("c_time", watermark)
+    val signups = streamedEvents(s, d, maxFilesPerTrigger)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        expr("timestamp_micros(ts div 1000)").as("s_time"))
+      .withWatermark("s_time", watermark)
+    val joined = clicks.join(signups,
+      col("c_user") === col("s_user") &&
+        col("s_time") >= col("c_time") - expr("INTERVAL 1 HOUR") &&
+        col("s_time") <= col("c_time") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    // final global watermark = min over both sides of (side max − delay);
+    // an unmatched claim is resolved ⟺ c_time + 1 h window end < that,
+    // with 1 s margin for the watermark's ms truncation
+    val maxUs = Tables.read(s, d, "events")
+      .agg(least(
+        max(when(col("event_type") === "click", expr("ts div 1000"))),
+        max(when(col("event_type") === "signup", expr("ts div 1000"))))
+        .as("m"))
+      .head().getLong(0)
+    val cutoffUs = maxUs - (watermarkHours + 1) * 3600000000L - 1000000L
+    StreamRunner.runToTable(joined, "append")
+      .filter(col("signup_id").isNotNull ||
+        unix_micros(col("c_time")) < cutoffUs)
+      .select(col("click_id"), col("signup_id"),
+        col("c_user").as("user_id"),
+        (unix_micros(col("s_time")) - unix_micros(col("c_time"))).as("delta_us"),
+        col("signup_id").isNull.as("unmatched"))
+      .orderBy(asc_nulls_first("click_id"), asc_nulls_first("signup_id"))
+  }
+
+  val streamStreamLeftOuter: Q = Q(
+    "stream_stream_left_outer",
+    (s, d) => streamStreamLeftOuterFrames(s, d),
+    Some("""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS t
+                       FROM events WHERE event_type = 'click'),
+            g AS (SELECT event_id AS signup_id, user_id, epoch_us(ts) AS t
+                  FROM events WHERE event_type = 'signup'),
+            m AS (SELECT least(
+                    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+                    max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END))
+                    AS max_t FROM events)
+            SELECT c.click_id, g.signup_id, c.user_id, g.t - c.t AS delta_us,
+                   g.signup_id IS NULL AS unmatched
+            FROM c LEFT JOIN g ON c.user_id = g.user_id
+              AND g.t BETWEEN c.t - 3600000000 AND c.t + 3600000000
+            CROSS JOIN m
+            WHERE g.signup_id IS NOT NULL OR c.t < m.max_t - 10801000000
+            ORDER BY click_id NULLS FIRST, signup_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     streamTumblingCount, streamSlidingSum, streamSessionWindow,
     streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert,
-    streamStatefulRunningMax, streamFlatmapTypeCounts, streamStreamJoin)
+    streamStatefulRunningMax, streamFlatmapTypeCounts, streamStreamJoin,
+    streamStreamLeftOuter)
 }

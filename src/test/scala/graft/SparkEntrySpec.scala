@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (160 keys, 131 oracles)") {
-    assert(SparkEntry.queries.size == 160,
+  test("registry matches the SURVEY §2 inventory size (162 keys, 133 oracles)") {
+    assert(SparkEntry.queries.size == 162,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 131,
+    assert(SparkEntry.oracleSql.size == 133,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

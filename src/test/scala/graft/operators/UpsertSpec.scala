@@ -42,6 +42,29 @@ class UpsertSpec extends SparkSpec {
     assert(finalState(opLog.unionAll(opLog)) == expected)
   }
 
+  private def finalStateWithDeletes(df: org.apache.spark.sql.DataFrame) =
+    Upsert.applyCdcWithDeletes(df, col("op"), Seq(col("user_id")), Seq(col("version")))
+      .select("user_id", "username", "account_type")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSet
+
+  test("golden replay with deletes: deleted key absent, later upserts survive") {
+    // same setup.sh:155-207 scenario, delete-propagating semantics: user 1's
+    // latest op is the delete, so the key vanishes from the sink
+    assert(finalStateWithDeletes(opLog) == expected - ((1, "user1", "Bronze")))
+  }
+
+  test("delete-then-reinsert resurrects the key (latest version wins)") {
+    import spark.implicits._
+    val log = Seq(
+      ("u", 7, "first", "A", 1L),
+      ("d", 7, null, null, 2L),
+      ("u", 7, "reborn", "B", 3L)
+    ).toDF("op", "user_id", "username", "account_type", "version")
+    assert(finalStateWithDeletes(log) == Set((7, "reborn", "B")))
+    assert(finalStateWithDeletes(log.unionAll(log)) == Set((7, "reborn", "B")),
+      "idempotent under full-log replay")
+  }
+
   test("latestByKey keeps exactly one row per key with deterministic tiebreak") {
     import spark.implicits._
     val df = Seq((1, "a", 1L, 10L), (1, "b", 2L, 20L), (1, "c", 2L, 15L))

@@ -99,4 +99,71 @@ class StreamingSpec extends SparkSpec {
     val slack = joinRows("745 hours")
     assert(slack == Set(101L -> 201L, 103L -> 203L), s"got $slack")
   }
+
+  test("left outer: unmatched click emits via eviction; matched beyond cutoff kept") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val H = 3600000000000L
+    // one batch: u1 matched pair @10h, u2 click @20h with NO signup, u3
+    // matched pair @200h (pushes the final watermark to ~198h so u2's
+    // unmatched claim resolves; its own null row needs the no-data batch)
+    val rows = Seq(
+      (101L, 1L, "click", 10L * H), (201L, 1L, "signup", 10L * H + H / 2),
+      (102L, 2L, "click", 20L * H),
+      (103L, 3L, "click", 200L * H), (203L, 3L, "signup", 200L * H + H / 2))
+    val dir = graft.util.TempDirs.create("graft_louter")
+    val table = dir.resolve("events.parquet")
+    Files.createDirectories(table)
+    StreamingOps.writeSingleFile(
+      rows.toDF("event_id", "user_id", "event_type", "ts"),
+      dir.resolve("tmp0"), table.resolve("f0.parquet"), mtime = 1000000L)
+    val got = StreamingOps.streamStreamLeftOuterFrames(spark, dir.toString)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(4))).toSet
+    // u3's matched pair sits beyond the resolution cutoff but matched rows
+    // are definitive; u2 resolves to a genuine unmatched null row
+    assert(got == Set((101L, 201L, false), (102L, -1L, true),
+      (103L, 203L, false)), s"got $got")
+  }
+
+  test("left outer replay disorder: evicted partner emits a FALSE unmatched row; slack recovers") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val H = 3600000000000L
+    // f0 (20h pair) replays FIRST and advances the live watermark past f1's
+    // older click; f3's 300h pair pushes the final cutoff beyond everything
+    val files = Seq(
+      Seq((111L, 1L, "click", 20L * H), (211L, 1L, "signup", 20L * H + H / 2)),
+      Seq((112L, 2L, "click", 10L * H)),
+      Seq((212L, 2L, "signup", 10L * H + H / 2)),
+      Seq((113L, 3L, "click", 300L * H), (213L, 3L, "signup", 300L * H + H / 2)))
+    val dir = graft.util.TempDirs.create("graft_louter_ooo")
+    val table = dir.resolve("events.parquet")
+    Files.createDirectories(table)
+    files.zipWithIndex.foreach { case (rows, i) =>
+      StreamingOps.writeSingleFile(
+        rows.toDF("event_id", "user_id", "event_type", "ts"),
+        dir.resolve(s"tmp$i"), table.resolve(s"f$i.parquet"),
+        mtime = (i + 1) * 1000000L)
+    }
+    def outer(wmHours: Int) = StreamingOps
+      .streamStreamLeftOuterFrames(spark, dir.toString, wmHours,
+        maxFilesPerTrigger = Some(1))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        r.getBoolean(4))).toSet
+    // live slack: batch 1's 20h watermark evicts u2's click before its
+    // signup replays — the outer join doesn't just lose the pair, it
+    // asserts a false negative
+    val live = outer(2)
+    assert(live == Set((111L, 211L, false), (112L, -1L, true),
+      (113L, 213L, false)), s"got $live")
+    // slack ≥ the replay disorder: the pair matches; no null row survives
+    // (with this much slack no unmatched claim is resolvable — matched
+    // rows, being definitive, all emit)
+    val slack = outer(745)
+    assert(slack == Set((111L, 211L, false), (112L, 212L, false),
+      (113L, 213L, false)), s"got $slack")
+  }
 }
