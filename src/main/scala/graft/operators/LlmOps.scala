@@ -1371,7 +1371,13 @@ object LlmOps {
     * set is tiny and broadcasts — the scan side is ONE Generator +
     * left-broadcast-join + hash-agg pass (`count(*)` vs `count(hit)`
     * yields total and overlapping shingles together); no corpus×corpus
-    * join ever exists.
+    * join ever exists. Shingles collapse to xxhash64 longs BEFORE the
+    * corpus-wide distinct (the `llm_ngram_jaccard`/`llm_substring_dedup`
+    * discipline — the op's dominant shuffle carries 8-byte keys, not
+    * ~60-char strings), and the shared shingle plan is materialized ONCE
+    * so the eval side and the probe side don't each re-explode the
+    * corpus. The oracle joins on the raw strings — agreement also
+    * certifies the hash path collision-free on this corpus.
     */
   val llmContaminationNgram: Q = Q(
     "llm_contamination_ngram",
@@ -1380,9 +1386,11 @@ object LlmOps {
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(t) >= 5
-               THEN transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))
-               ELSE CAST(array() AS array<string>) END""")).as("sh"))
+               THEN transform(sequence(1, size(t) - 4),
+                              i -> xxhash64(concat_ws(' ', slice(t, i, 5))))
+               ELSE CAST(array() AS array<bigint>) END""")).as("sh"))
         .distinct()
+        .truncated
       val evalSh = sh.filter(col("doc_id") % 50 === 0)
         .select(col("sh")).distinct().withColumn("hit", lit(1))
       sh.filter(col("doc_id") % 50 =!= 0)
