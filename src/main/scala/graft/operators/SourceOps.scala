@@ -368,15 +368,26 @@ object SourceOps {
             FROM lineitem GROUP BY l_returnflag
             ORDER BY l_returnflag NULLS FIRST"""))
 
-  /** Bit-interleave (Morton / Z-order) of two bucketed dimensions:
-    * x's bit i lands at position 2i, y's at 2i+1. Input columns must be
-    * non-negative and fit in `bits` bits.
+  /** Bit-interleave (Morton / Z-order) of k bucketed dimensions: column
+    * j's bit i lands at position i·k + j. Input columns must be
+    * non-negative and fit in `bits` bits; the interleaved value needs
+    * k·`bits` ≤ 62 bits to stay a positive long.
+    */
+  private[operators] def zInterleaveK(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.length
+    require(k * bits <= 62, s"z-value needs $k*$bits bits — over a signed long")
+    (0 until bits).flatMap { i =>
+      cols.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** 2-D special case (x even bits, y odd) — kept as the named seam the
+    * 2-D op and spec use.
     */
   private[operators] def zInterleave(xb: Column, yb: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(xb, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(yb, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    zInterleaveK(Seq(xb, yb), bits)
 
   /** Z-order (Morton-curve) data layout + 2-D-pruned read-back — the
     * multi-dimensional generalization of `src_partitioned_roundtrip`'s
@@ -422,33 +433,186 @@ object SourceOps {
             GROUP BY l_returnflag
             ORDER BY l_returnflag NULLS FIRST"""))
 
-  /** Layout engine (unit-test seam): z-orders `df` on two integer
-    * columns into `numFiles` range-partitioned, internally-sorted
-    * parquet files under `dir`.
+  /** 3-D Z-order layout + explicit z-RANGE pruning — the k-dimensional
+    * generalization of `op_zorder_layout`, with the pruning contract made
+    * first-class: the layout keeps its `_z` column, and the reader turns
+    * the 3-D box into z-interval predicates ([[zBoxPredicate]] over
+    * [[zIntervals]]'s z-prefix decomposition) conjoined with the exact
+    * natural-column residuals. Row-group skipping is then driven by the
+    * SORTED `_z` column's own min/max footers — exact by construction —
+    * instead of relying on the natural columns' min/max happening to stay
+    * tight under interleaving; the z intervals may over-approximate (gap
+    * bridging), the residuals keep the answer exact. The oracle
+    * aggregates the ORIGINAL table under the same box, proving the
+    * re-layout + two-stage predicate preserved every row.
     */
-  private[operators] def zorderWrite(df: DataFrame, xCol: String, yCol: String,
-                                     dir: String, bits: Int = 12,
-                                     numFiles: Int = 16): Unit = {
-    val Array(stats) = df.agg(
-      min(col(xCol)).cast(LongType), max(col(xCol)).cast(LongType),
-      min(col(yCol)).cast(LongType), max(col(yCol)).cast(LongType))
-      .collect()
-    require(!stats.isNullAt(0) && !stats.isNullAt(2),
-      s"cannot z-order an empty input — min($xCol)/min($yCol) is NULL")
-    val (x0, x1, y0, y1) =
-      (stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
-    val nb = 1L << bits
-    def bucket(c: Column, lo: Long, hi: Long): Column =
-      // integer floor-division (all values non-negative; Column./ is
-      // true division and would hand zInterleave a double)
-      floor((c.cast(LongType) - lit(lo)) * lit(nb) / lit(hi - lo + 1))
-        .cast(LongType)
-    df.withColumn("_z", zInterleave(
-        bucket(col(xCol), x0, x1), bucket(col(yCol), y0, y1), bits))
+  val opZorder3Layout: Q = Q(
+    "op_zorder3_layout",
+    (s, d) => {
+      val dir = graft.util.TempDirs.create("graft_zorder3").toString
+      val bits = 7
+      val zCols = Seq("l_partkey", "l_suppkey", "l_linenumber")
+      val ranges = zorderWriteK(Tables.read(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_linenumber"), col("l_quantity"), col("l_returnflag")),
+        zCols, dir, bits, keepZ = true)
+      val box = Seq((10L, 50L), (2L, 8L), (1L, 3L))
+      s.read.parquet(dir)
+        .filter(zBoxPredicate(box, ranges, bits) &&
+          col("l_partkey").between(10, 50) &&
+          col("l_suppkey").between(2, 8) &&
+          col("l_linenumber").between(1, 3))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_qty"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
+        .orderBy(asc_nulls_first("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+            FROM lineitem
+            WHERE l_partkey BETWEEN 10 AND 50 AND l_suppkey BETWEEN 2 AND 8
+              AND l_linenumber BETWEEN 1 AND 3
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag NULLS FIRST"""))
+
+  /** Layout engine (unit-test seam): z-orders `df` on k integer columns
+    * into `numFiles` range-partitioned, internally-sorted parquet files
+    * under `dir`. Returns the per-dimension exact (min, max) from the
+    * stats pass — the normalization contract a reader needs to build
+    * z-interval predicates ([[zBoxPredicate]]). `keepZ` keeps the `_z`
+    * column in the files so z-range pruning works off `_z`'s own
+    * row-group min/max footers (the written data is `_z`-sorted, so those
+    * footers bracket each row group's z range EXACTLY — pruning no longer
+    * relies on incidental min/max correlation of the natural columns).
+    * Bucketing is exact integer arithmetic (`div`, not double `/`+floor)
+    * clamped to the top bucket, so a value at the dimension max can never
+    * overflow into bit `bits` and alias near z=0.
+    */
+  private[operators] def zorderWriteK(df: DataFrame, zCols: Seq[String],
+                                      dir: String, bits: Int = 12,
+                                      numFiles: Int = 16,
+                                      keepZ: Boolean = false): Seq[(Long, Long)] = {
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast(LongType), max(col(c)).cast(LongType)))
+    val Array(stats) = df.agg(aggs.head, aggs.tail: _*).collect()
+    zCols.indices.foreach(j => require(!stats.isNullAt(2 * j),
+      s"cannot z-order an empty input — min(${zCols(j)}) is NULL"))
+    val ranges = zCols.indices.map(j => (stats.getLong(2 * j), stats.getLong(2 * j + 1)))
+    val withZ = df.withColumn("_z", zInterleaveK(
+        zCols.zip(ranges).map { case (c, (lo, hi)) => bucketCol(c, lo, hi, bits) },
+        bits))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
-      .drop("_z")
+    (if (keepZ) withZ else withZ.drop("_z"))
       .write.mode("overwrite").parquet(dir)
+    ranges
+  }
+
+  /** 2-D seam kept for the existing op/spec call sites. */
+  private[operators] def zorderWrite(df: DataFrame, xCol: String, yCol: String,
+                                     dir: String, bits: Int = 12,
+                                     numFiles: Int = 16): Unit =
+    zorderWriteK(df, Seq(xCol, yCol), dir, bits, numFiles)
+
+  /** Exact integer bucket of `name` into [0, 2^bits): (v − lo)·2^bits div
+    * (hi − lo + 1), clamped to the top bucket.
+    */
+  private def bucketCol(name: String, lo: Long, hi: Long, bits: Int): Column = {
+    val nb = 1L << bits
+    least(
+      expr(s"((cast(`$name` as bigint) - ${lo}L) * ${nb}L) div ${hi - lo + 1}L"),
+      lit(nb - 1))
+  }
+
+  /** Driver-side mirror of [[bucketCol]] (exact same integer arithmetic,
+    * so reader-built predicates land in the writer's buckets).
+    */
+  private def bucketOf(v: Long, lo: Long, hi: Long, bits: Int): Long = {
+    val nb = 1L << bits
+    math.min((math.max(v, lo) - lo) * nb / (hi - lo + 1), nb - 1)
+  }
+
+  /** Decompose a k-D box in BUCKET space into z-value intervals: a
+    * recursive z-prefix (2^k-ary) descent that emits a region's exact z
+    * range when the region is fully inside the box, prunes it when
+    * disjoint, and otherwise splits on the next z bit. Exactness is
+    * bounded two ways — a budget guard over-approximates once the raw
+    * decomposition outgrows 8× the interval budget, and the final merge
+    * bridges the narrowest gaps down to `maxIntervals` — both SAFE
+    * (supersets of the box), because callers conjoin the exact natural-
+    * column residual predicates; the z intervals only decide which row
+    * groups are read. Pure driver arithmetic over O(k·bits · boundary)
+    * nodes — never touches data.
+    */
+  private[operators] def zIntervals(box: Seq[(Long, Long)], bits: Int,
+                                    maxIntervals: Int = 64): Seq[(Long, Long)] = {
+    val k = box.length
+    require(box.forall { case (lo, hi) => lo <= hi },
+      s"empty box dimension in $box")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def recurse(q: Int, zlo: Long, dims: Array[(Long, Long)]): Unit = {
+      if (dims.indices.exists(j =>
+        dims(j)._2 < box(j)._1 || dims(j)._1 > box(j)._2)) return
+      val contained = dims.indices.forall(j =>
+        dims(j)._1 >= box(j)._1 && dims(j)._2 <= box(j)._2)
+      if (contained || q == 0 || acc.length >= 8 * maxIntervals) {
+        acc += ((zlo, zlo + (1L << q) - 1L)); return
+      }
+      val qq = q - 1
+      val j = qq % k // descending z bits cycle dims k-1, k-2, …, 0, k-1, …
+      val (lo, hi) = dims(j)
+      val mid = lo + (hi - lo) / 2
+      val d0 = dims.clone(); d0(j) = (lo, mid)
+      recurse(qq, zlo, d0)
+      val d1 = dims.clone(); d1(j) = (mid + 1, hi)
+      recurse(qq, zlo + (1L << qq), d1)
+    }
+    recurse(k * bits, 0L, Array.fill(k)((0L, (1L << bits) - 1L)))
+    val sorted = acc.sortBy(_._1).toList
+    val merged = sorted.tail.foldLeft(List(sorted.head)) {
+      case ((alo, ahi) :: rest, (lo, hi)) =>
+        if (lo <= ahi + 1) (alo, math.max(ahi, hi)) :: rest
+        else (lo, hi) :: (alo, ahi) :: rest
+      case (Nil, iv) => List(iv)
+    }.reverse
+    if (merged.lengthCompare(maxIntervals) <= 0) merged
+    else {
+      // keep the maxIntervals-1 widest gaps, bridge the rest (superset)
+      val keep = merged.sliding(2).collect {
+        case List((_, ahi), (blo, _)) => (blo - ahi, ahi, blo)
+      }.toSeq.sortBy(-_._1).take(maxIntervals - 1)
+        .map(g => (g._2, g._3)).toSet
+      merged.tail.foldLeft(List(merged.head)) {
+        case ((alo, ahi) :: rest, (blo, bhi)) =>
+          if (keep((ahi, blo))) (blo, bhi) :: (alo, ahi) :: rest
+          else (alo, bhi) :: rest
+        case (Nil, iv) => List(iv)
+      }.reverse
+    }
+  }
+
+  /** Turn a k-D NATURAL-value box into a z-interval predicate on the
+    * written `_z` column, given the writer's per-dimension (min, max)
+    * normalization stats ([[zorderWriteK]]'s return). The box is clamped
+    * to the data range, mapped to bucket space with the writer's exact
+    * integer arithmetic, decomposed by [[zIntervals]], and emitted as an
+    * OR-chain of BETWEENs — a pushable parquet filter whose row-group
+    * skipping is driven by `_z`'s own sorted min/max footers.
+    */
+  private[operators] def zBoxPredicate(naturalBox: Seq[(Long, Long)],
+                                       ranges: Seq[(Long, Long)], bits: Int,
+                                       zCol: Column = col("_z")): Column = {
+    val bucketBox = naturalBox.zip(ranges).map { case ((a, b), (lo, hi)) =>
+      (bucketOf(math.max(a, lo), lo, hi, bits),
+        bucketOf(math.min(b, hi), lo, hi, bits))
+    }
+    zIntervals(bucketBox, bits)
+      .map { case (zlo, zhi) => zCol.between(zlo, zhi) }
+      .reduce(_ || _)
   }
 
   val all: Seq[Q] = Seq(
@@ -457,5 +621,5 @@ object SourceOps {
     sinkUpsertLatestByKey, sinkCdcApplyUpsertOnly, sinkCdcApplyWithDeletes,
     opSchemaDdlTypemap,
     opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals,
-    srcPartitionedRoundtrip, srcOrcRoundtrip, opZorderLayout)
+    srcPartitionedRoundtrip, srcOrcRoundtrip, opZorderLayout, opZorder3Layout)
 }

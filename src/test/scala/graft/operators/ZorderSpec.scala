@@ -71,6 +71,94 @@ class ZorderSpec extends SparkSpec {
     assert(box(spark.read.parquet(zDir)).count() == matching)
   }
 
+  /** Driver-side reference interleave: bit i of dim j at position i·k+j
+    * (disjoint bit positions, so sum == bitwise OR).
+    */
+  private def zRef(cells: Seq[Long], bits: Int): Long = {
+    val k = cells.length
+    (0 until bits).flatMap(i => cells.zipWithIndex.map { case (v, j) =>
+      ((v >> i) & 1L) << (i * k + j)
+    }).sum
+  }
+
+  test("zInterleaveK places dim j's bit i at position i*k + j") {
+    def zk(cells: Seq[Long], bits: Int): Long =
+      spark.range(1).select(
+        SourceOps.zInterleaveK(cells.map(lit(_)), bits).as("z"))
+        .head().getLong(0)
+    assert(zk(Seq(1L, 0L, 0L), 1) == 1L)
+    assert(zk(Seq(0L, 1L, 0L), 1) == 2L)
+    assert(zk(Seq(0L, 0L, 1L), 1) == 4L)
+    assert(zk(Seq(3L, 0L, 0L), 2) == 9L)   // bits 0 and 3
+    assert(zk(Seq(0L, 3L, 0L), 2) == 18L)  // bits 1 and 4
+    assert(zk(Seq(0L, 0L, 3L), 2) == 36L)  // bits 2 and 5
+    assert(zk(Seq(3L, 3L, 3L), 2) == 63L)
+    // agrees with the driver-side reference on arbitrary cells
+    assert(zk(Seq(5L, 9L, 14L), 4) == zRef(Seq(5L, 9L, 14L), 4))
+  }
+
+  test("zIntervals covers a 3-D box exactly (unbounded), superset under a budget") {
+    val bits = 4
+    val box = Seq((3L, 9L), (2L, 5L), (0L, 11L))
+    def inBox(c: Seq[Long]) = c.zip(box).forall { case (v, (lo, hi)) =>
+      v >= lo && v <= hi }
+    val cells = for {
+      x <- 0L until 16L; y <- 0L until 16L; w <- 0L until 16L
+      if inBox(Seq(x, y, w))
+    } yield zRef(Seq(x, y, w), bits)
+    val want = cells.toSet
+    val exact = SourceOps.zIntervals(box, bits, maxIntervals = 10000)
+    // sorted, disjoint, non-adjacent (maximally merged)
+    exact.sliding(2).foreach {
+      case Seq((_, ahi), (blo, _)) => assert(blo > ahi + 1)
+      case _ =>
+    }
+    val covered = exact.flatMap { case (lo, hi) => lo to hi }.toSet
+    assert(covered == want,
+      s"exact decomposition must cover the box cells precisely " +
+        s"(covered ${covered.size}, box ${want.size})")
+    // gap-bridged form: few intervals, still a superset
+    val budget = SourceOps.zIntervals(box, bits, maxIntervals = 4)
+    assert(budget.lengthCompare(4) <= 0)
+    val bCovered = budget.flatMap { case (lo, hi) => lo to hi }.toSet
+    assert(want.subsetOf(bCovered), "budgeted intervals must stay a superset")
+  }
+
+  test("3-D z-range pruning beats both 1-D sorted controls, and stays exact") {
+    val li = graft.Tables.read(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"))
+    val total = li.count()
+    val bits = 7
+    val natBox = Seq((10L, 50L), (2L, 3L), (1L, 2L))
+    def box(df: DataFrame): DataFrame =
+      df.filter(col("l_partkey").between(10, 50) &&
+        col("l_suppkey").between(2, 3) && col("l_linenumber").between(1, 2))
+    val matching = box(li).count()
+
+    val zDir = graft.util.TempDirs.create("zspec_z3").toString
+    val ranges = SourceOps.zorderWriteK(li,
+      Seq("l_partkey", "l_suppkey", "l_linenumber"), zDir, bits, keepZ = true)
+    val zPred = SourceOps.zBoxPredicate(natBox, ranges, bits)
+    // the z scan is measured on the z-interval predicate ALONE — no help
+    // from natural-column footer correlation
+    val zRows = scanRows(spark.read.parquet(zDir).filter(zPred))
+
+    val controlRows = Seq("l_partkey", "l_suppkey").map { c =>
+      val dir = graft.util.TempDirs.create(s"zspec_c_$c").toString
+      li.repartitionByRange(16, col(c)).sortWithinPartitions(c)
+        .write.mode("overwrite").parquet(dir)
+      c -> scanRows(box(spark.read.parquet(dir)))
+    }
+    assert(zRows < total, s"z-range predicate skipped nothing ($zRows of $total)")
+    controlRows.foreach { case (c, rows) =>
+      assert(zRows <= rows,
+        s"3-D z-range pruning ($zRows rows) worse than 1-D $c sort ($rows)")
+    }
+    // exactness: z intervals (superset) + natural residuals == the box
+    assert(box(spark.read.parquet(zDir).filter(zPred)).count() == matching)
+  }
+
   test("registry op matches the direct aggregate over the original table") {
     val got = SourceOps.opZorderLayout.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
