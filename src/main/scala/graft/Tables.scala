@@ -22,17 +22,27 @@ object Tables {
   /** DataFrame (= analyzed plan) cache per (session, dir, table): building
     * a parquet DataFrame lists the directory and reads footers for schema
     * inference — ~0.1-0.3 s per call that Verify/Bench would otherwise pay
-    * ~200× across the registry. Plans are immutable, so reuse is safe; the
-    * identity-hash key drops stale entries with their session.
+    * ~200× across the registry. Plans are immutable, so reuse is safe. The
+    * session key is a random UUID minted per session (weak-keyed, so it
+    * dies with its session; the String value holds no back-reference and
+    * cannot pin the key) — unlike an identity hash, it can never alias
+    * between a collected session and a new one in a long-lived JVM.
     */
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()
+
+  private val sessionIds: java.util.Map[SparkSession, String] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  private def sessionKey(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     planCache.computeIfAbsent(
-      (System.identityHashCode(spark), sfDir, name),
+      (sessionKey(spark), sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 

@@ -463,8 +463,11 @@ object Aggregations {
         .agg(max(abs(col("r1") * col("n2") - col("r2") * col("n1")))
           .as("d_scaled"))
         .select(col("n1"), col("n2"), col("d_scaled"),
-          (col("d_scaled").cast(DoubleType) /
-            (col("n1") * col("n2")).cast(DoubleType)).as("d"))
+          // degenerate guard: an empty sample makes D undefined — NULL,
+          // not an engine-dependent division-by-zero rendering
+          when(col("n1") * col("n2") === 0, lit(null).cast(DoubleType))
+            .otherwise(col("d_scaled").cast(DoubleType) /
+              (col("n1") * col("n2")).cast(DoubleType)).as("d"))
     },
     Some("""WITH e AS (SELECT value,
                               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is1
@@ -481,8 +484,9 @@ object Aggregations {
                          CAST(sum(c2) AS BIGINT) AS n2 FROM v)
             SELECT t.n1, t.n2,
                    CAST(max(abs(r1 * t.n2 - r2 * t.n1)) AS BIGINT) AS d_scaled,
-                   CAST(max(abs(r1 * t.n2 - r2 * t.n1)) AS DOUBLE)
-                     / (t.n1 * t.n2) AS d
+                   CASE WHEN t.n1 * t.n2 = 0 THEN NULL
+                        ELSE CAST(max(abs(r1 * t.n2 - r2 * t.n1)) AS DOUBLE)
+                             / (t.n1 * t.n2) END AS d
             FROM r, t GROUP BY t.n1, t.n2"""))
 
   /** Two-pass distributed prefix scan (unit-test seam): exact global
@@ -506,6 +510,9 @@ object Aggregations {
     val sorted = df
       .select(col(orderCol), col(c1).cast(LongType).as(c1),
         col(c2).cast(LongType).as(c2))
+      // null counts would surface as an opaque executor NPE in the
+      // Row.getLong scans below; treat them as 0 (absent) instead
+      .na.fill(0L, Seq(c1, c2))
       .repartitionByRange(parts, col(orderCol))
       .sortWithinPartitions(orderCol)
       .truncated

@@ -23,6 +23,16 @@ class SparkEntrySpec extends SparkSpec {
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
+  test("Tables.planCache keys by session UUID: per-session reuse, no cross-session sharing") {
+    val a = Tables.read(spark, sf, "nation")
+    assert(Tables.read(spark, sf, "nation") eq a, "same session must reuse the plan")
+    val sibling = spark.newSession()
+    val b = Tables.read(sibling, sf, "nation")
+    assert(!(b eq a), "a different session must build its own plan")
+    assert(Tables.read(sibling, sf, "nation") eq b)
+    assert(b.sparkSession eq sibling, "cached plan must belong to its own session")
+  }
+
   test("Scale.keyOffset names the table when it is empty; max+1 otherwise") {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val empty = spark.createDataFrame(
