@@ -489,6 +489,45 @@ object Aggregations {
                              / (t.n1 * t.n2) END AS d
             FROM r, t GROUP BY t.n1, t.n2"""))
 
+  /** Per-user Shannon entropy of the event-type distribution — the
+    * class-balance / behavioral-diversity metric a training-data mix
+    * audit runs per source or per user. Determinism follows the
+    * `llm_unigram_logprob` ln discipline: p = n/N is one exact double
+    * division, the transcendental −p·ln p is rounded to 6 decimals and
+    * CARRIED AS DECIMAL so the per-user sum is merge-order independent;
+    * the per-user total comes from a window over the SAME user shuffle
+    * the groupBy creates (no second shuffle, no scalar collect).
+    */
+  val aggEntropy: Q = Q(
+    "agg_entropy",
+    (s, d) => {
+      val c = Tables.read(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      c.withColumn("p", col("n").cast(DoubleType) / col("tot").cast(DoubleType))
+        .withColumn("term",
+          round(-col("p") * log(col("p")), 6).cast(DecimalType(20, 6)))
+        .groupBy(col("user_id"), col("tot"))
+        .agg(count(lit(1)).as("n_types"), sum(col("term")).as("h"))
+        .select(col("user_id"), col("tot").cast(LongType).as("n_events"),
+          col("n_types"), col("h").cast(DoubleType).as("entropy"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT c.user_id, CAST(t.tot AS BIGINT) AS n_events,
+                   count(*) AS n_types,
+                   CAST(sum(CAST(round(
+                       -(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) *
+                        ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)), 6)
+                     AS DECIMAL(20,6))) AS DOUBLE) AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id, t.tot
+            ORDER BY c.user_id NULLS FIRST"""))
+
   /** Two-pass distributed prefix scan (unit-test seam): exact global
     * running sums `r1`, `r2` of `c1`, `c2` in ascending `orderCol` order.
     * Pass 1 range-partitions + locally sorts and collects ONE tiny row of
@@ -544,5 +583,5 @@ object Aggregations {
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
     aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,
     opUdafWeightedAvg, aggMode, aggApproxQuantile, aggBoolLogic,
-    aggHeavyHittersMg, aggHllSketchUnion, aggKsTwoSample)
+    aggHeavyHittersMg, aggHllSketchUnion, aggKsTwoSample, aggEntropy)
 }

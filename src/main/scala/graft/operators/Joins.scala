@@ -247,6 +247,77 @@ object Joins {
               ON c.user_id = s.user_id AND c.ts_us <= s.ts_us
             ORDER BY c.event_id NULLS FIRST"""))
 
+  /** Nearest as-of join — completes the as-of family: each click matched
+    * to the temporally NEAREST signup of the same user in either
+    * direction, ties preferring the backward (earlier) side, then max
+    * signup_id within a timestamp (the family's dedup contract). BOTH
+    * directional candidates come from one union-tag frame and ONE
+    * user-keyed window shuffle (two frames over the same sort — the
+    * `ts_cusum_drift` shared-shuffle discipline), then a per-row
+    * comparison picks the nearer side. At equal click/signup timestamps
+    * the backward frame captures the signup with delta 0, which wins any
+    * comparison, so the forward frame needing strictly-later rows is
+    * harmless. The oracle enumerates candidates per click and ranks by
+    * (|Δ|, side, signup_id) — quadratic per user, fine at oracle scale;
+    * the engine plan is the linear window form.
+    */
+  val joinAsofNearest: Q = Q(
+    "join_asof_nearest",
+    (s, d) => {
+      val ev = Tables.read(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"),
+          lit(null).cast("bigint").as("signup_ts"),
+          lit(null).cast("bigint").as("signup_id"), lit(1).as("kind"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("signup_id"))
+        .select(col("user_id"), col("ts_us"),
+          lit(null).cast("bigint").as("click_id"),
+          col("ts_us").as("signup_ts"), col("signup_id"), lit(0).as("kind"))
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("click_id"))
+      val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      signups.unionByName(clicks)
+        .withColumn("back_ts", last(col("signup_ts"), ignoreNulls = true).over(back))
+        .withColumn("back_id", last(col("signup_id"), ignoreNulls = true).over(back))
+        .withColumn("fwd_ts", first(col("signup_ts"), ignoreNulls = true).over(fwd))
+        .withColumn("fwd_id", first(col("signup_id"), ignoreNulls = true).over(fwd))
+        .filter(col("kind") === 1)
+        .withColumn("use_back", col("back_ts").isNotNull &&
+          (col("fwd_ts").isNull ||
+            col("ts_us") - col("back_ts") <= col("fwd_ts") - col("ts_us")))
+        .select(col("click_id").as("event_id"), col("user_id"), col("ts_us"),
+          when(col("use_back"), col("back_ts")).otherwise(col("fwd_ts")).as("signup_ts"),
+          when(col("use_back"), col("back_id")).otherwise(col("fwd_id")).as("signup_id"))
+        .withColumn("delta_us", col("signup_ts") - col("ts_us"))
+        .orderBy(asc_nulls_first("event_id"))
+    },
+    Some("""WITH clicks AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'click'),
+            signups AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS signup_id
+              FROM events WHERE event_type = 'signup'
+              GROUP BY user_id, epoch_us(ts)),
+            cand AS (
+              SELECT c.event_id, s.ts_us AS signup_ts, s.signup_id,
+                     abs(s.ts_us - c.ts_us) AS adist,
+                     CASE WHEN s.ts_us <= c.ts_us THEN 0 ELSE 1 END AS side
+              FROM clicks c JOIN signups s ON c.user_id = s.user_id),
+            best AS (
+              SELECT *, row_number() OVER (PARTITION BY event_id
+                          ORDER BY adist, side, signup_id DESC) AS rn
+              FROM cand)
+            SELECT c.event_id, c.user_id, c.ts_us, b.signup_ts, b.signup_id,
+                   b.signup_ts - c.ts_us AS delta_us
+            FROM clicks c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              USING (event_id)
+            ORDER BY c.event_id NULLS FIRST"""))
+
   /** Interval join: event pairs of the same user within 1 hour of each
     * other. The user_id equality keeps this a hash join (range predicate is
     * a post-join filter) — the only join shape that survives at fact-table
@@ -310,7 +381,7 @@ object Joins {
   val all: Seq[Q] = Seq(
     joinInnerHash, joinBroadcast, joinLeftOuter, joinRightOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
-    joinAsofBackward, joinAsofForward, joinIntervalOverlap,
+    joinAsofBackward, joinAsofForward, joinAsofNearest, joinIntervalOverlap,
     joinIntervalBucketed, joinHintShuffleHash)
 
   /** Join-strategy hint surface: the same orders⋈customer join FORCED to
