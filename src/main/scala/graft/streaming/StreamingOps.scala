@@ -400,7 +400,19 @@ object StreamingOps {
     */
   private[graft] def streamStreamLeftOuterFrames(
       s: SparkSession, d: String, watermarkHours: Int = 2,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    streamStreamOuterFrames(s, d, "left_outer", watermarkHours, maxFilesPerTrigger)
+
+  /** Shared engine for the outer stream-stream joins: `joinType` is
+    * "left_outer" or "full_outer". The resolution filter is written for
+    * the general case — matched rows always kept; a null-signup row needs
+    * the CLICK resolved, a null-click row (full outer only) needs the
+    * SIGNUP resolved — and degenerates correctly for left outer, which
+    * never produces null-click rows.
+    */
+  private[graft] def streamStreamOuterFrames(
+      s: SparkSession, d: String, joinType: String, watermarkHours: Int,
+      maxFilesPerTrigger: Option[Int]): DataFrame = {
     val watermark = s"$watermarkHours hours"
     val clicks = streamedEvents(s, d, maxFilesPerTrigger)
       .filter(col("event_type") === "click")
@@ -416,9 +428,9 @@ object StreamingOps {
       col("c_user") === col("s_user") &&
         col("s_time") >= col("c_time") - expr("INTERVAL 1 HOUR") &&
         col("s_time") <= col("c_time") + expr("INTERVAL 1 HOUR"),
-      "left_outer")
+      joinType)
     // final global watermark = min over both sides of (side max − delay);
-    // an unmatched claim is resolved ⟺ c_time + 1 h window end < that,
+    // an unmatched claim is resolved ⟺ the row's 1 h window end < that,
     // with 1 s margin for the watermark's ms truncation
     val maxUs = Tables.read(s, d, "events")
       .agg(least(
@@ -428,12 +440,13 @@ object StreamingOps {
       .head().getLong(0)
     val cutoffUs = maxUs - (watermarkHours + 1) * 3600000000L - 1000000L
     StreamRunner.runToTable(joined, "append")
-      .filter(col("signup_id").isNotNull ||
-        unix_micros(col("c_time")) < cutoffUs)
+      .filter((col("click_id").isNotNull && col("signup_id").isNotNull) ||
+        (col("signup_id").isNull && unix_micros(col("c_time")) < cutoffUs) ||
+        (col("click_id").isNull && unix_micros(col("s_time")) < cutoffUs))
       .select(col("click_id"), col("signup_id"),
-        col("c_user").as("user_id"),
+        coalesce(col("c_user"), col("s_user")).as("user_id"),
         (unix_micros(col("s_time")) - unix_micros(col("c_time"))).as("delta_us"),
-        col("signup_id").isNull.as("unmatched"))
+        (col("click_id").isNull || col("signup_id").isNull).as("unmatched"))
       .orderBy(asc_nulls_first("click_id"), asc_nulls_first("signup_id"))
   }
 
@@ -456,9 +469,39 @@ object StreamingOps {
             WHERE g.signup_id IS NOT NULL OR c.t < m.max_t - 10801000000
             ORDER BY click_id NULLS FIRST, signup_id NULLS FIRST"""))
 
+  /** Stream-stream FULL OUTER join — the symmetric completion: unmatched
+    * rows of BOTH sides emit null counterparts on state eviction. Same
+    * engine as the left outer ([[streamStreamOuterFrames]]); the
+    * resolution cutoff applies per side — a null-signup row needs the
+    * click's window resolved, a null-click row the signup's — and the
+    * batch FULL JOIN oracle applies the identical two-sided predicate.
+    */
+  val streamStreamFullOuter: Q = Q(
+    "stream_stream_full_outer",
+    (s, d) => streamStreamOuterFrames(s, d, "full_outer", 2, None),
+    Some("""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS t
+                       FROM events WHERE event_type = 'click'),
+            g AS (SELECT event_id AS signup_id, user_id, epoch_us(ts) AS t
+                  FROM events WHERE event_type = 'signup'),
+            m AS (SELECT least(
+                    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+                    max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END))
+                    AS max_t FROM events)
+            SELECT c.click_id, g.signup_id,
+                   coalesce(c.user_id, g.user_id) AS user_id,
+                   g.t - c.t AS delta_us,
+                   (c.click_id IS NULL OR g.signup_id IS NULL) AS unmatched
+            FROM c FULL JOIN g ON c.user_id = g.user_id
+              AND g.t BETWEEN c.t - 3600000000 AND c.t + 3600000000
+            CROSS JOIN m
+            WHERE (c.click_id IS NOT NULL AND g.signup_id IS NOT NULL)
+               OR (g.signup_id IS NULL AND c.t < m.max_t - 10801000000)
+               OR (c.click_id IS NULL AND g.t < m.max_t - 10801000000)
+            ORDER BY click_id NULLS FIRST, signup_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     streamTumblingCount, streamSlidingSum, streamSessionWindow,
     streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert,
     streamStatefulRunningMax, streamFlatmapTypeCounts, streamStreamJoin,
-    streamStreamLeftOuter)
+    streamStreamLeftOuter, streamStreamFullOuter)
 }

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Edge-case specs for the round-12 surface additions, on a synthetic
+  * events corpus (the oracle certifies corpus-scale agreement; these pin
+  * the semantic corners a dense corpus may never hit).
+  */
+class AsofEntropySpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = graft.util.TempDirs.create("asof_entropy")
+    def ns(sec: Long) = sec * 1000000000L
+    val rows = Seq(
+      // user 1: signups 10 s before and 5 s after the click — forward wins
+      (100L, 1L, "click", ns(100)),
+      (1L, 1L, "signup", ns(90)), (2L, 1L, "signup", ns(105)),
+      // user 2: exactly equidistant — tie prefers the backward side
+      (200L, 2L, "click", ns(100)),
+      (3L, 2L, "signup", ns(95)), (4L, 2L, "signup", ns(105)),
+      // user 3: only a (much) later signup
+      (300L, 3L, "click", ns(100)), (5L, 3L, "signup", ns(250)),
+      // user 4: no signup at all — null match
+      (400L, 4L, "click", ns(100)),
+      // user 5: signup exactly at the click — delta 0 via the backward frame
+      (500L, 5L, "click", ns(100)), (6L, 5L, "signup", ns(100)))
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.parquet(d.resolve("events.parquet").toString)
+    d.toString
+  }
+
+  test("join_asof_nearest: direction, tie→backward, one-sided, empty, equal-ts") {
+    val got = Joins.joinAsofNearest.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) Long.MinValue else r.getLong(5)))).toMap
+    val us = 1000000L
+    assert(got(100L) == ((2L, 5L * us)), s"forward nearer must win: ${got(100L)}")
+    assert(got(200L) == ((3L, -5L * us)), s"tie must prefer backward: ${got(200L)}")
+    assert(got(300L) == ((5L, 150L * us)))
+    assert(got(400L) == ((-1L, Long.MinValue)), "no signup → null match")
+    assert(got(500L) == ((6L, 0L)), "equal timestamp matches with delta 0")
+  }
+
+  test("agg_entropy: term-rounded decimal sums — skewed, uniform, degenerate") {
+    val got = Aggregations.aggEntropy.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    // 1 click + 2 signups: round(-(1/3)ln(1/3),6) + round(-(2/3)ln(2/3),6)
+    assert(got(1L)._1 == 3 && got(1L)._2 == 2 && near(got(1L)._3, 0.636514))
+    assert(near(got(2L)._3, 0.636514))
+    // 1+1 uniform: 2 · round((1/2)ln 2, 6)
+    assert(near(got(3L)._3, 0.693148) && near(got(5L)._3, 0.693148))
+    // single event type: entropy exactly 0
+    assert(got(4L) == ((1L, 1L, 0.0)))
+  }
+}

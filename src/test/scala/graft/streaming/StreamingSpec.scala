@@ -110,21 +110,28 @@ class StreamingSpec extends SparkSpec {
     val rows = Seq(
       (101L, 1L, "click", 10L * H), (201L, 1L, "signup", 10L * H + H / 2),
       (102L, 2L, "click", 20L * H),
-      (103L, 3L, "click", 200L * H), (203L, 3L, "signup", 200L * H + H / 2))
+      (103L, 3L, "click", 200L * H), (203L, 3L, "signup", 200L * H + H / 2),
+      (204L, 4L, "signup", 30L * H)) // signup with no click at all
     val dir = graft.util.TempDirs.create("graft_louter")
     val table = dir.resolve("events.parquet")
     Files.createDirectories(table)
     StreamingOps.writeSingleFile(
       rows.toDF("event_id", "user_id", "event_type", "ts"),
       dir.resolve("tmp0"), table.resolve("f0.parquet"), mtime = 1000000L)
-    val got = StreamingOps.streamStreamLeftOuterFrames(spark, dir.toString)
-      .collect()
-      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
-        r.getBoolean(4))).toSet
+    def shape(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getBoolean(4))).toSet
     // u3's matched pair sits beyond the resolution cutoff but matched rows
-    // are definitive; u2 resolves to a genuine unmatched null row
-    assert(got == Set((101L, 201L, false), (102L, -1L, true),
-      (103L, 203L, false)), s"got $got")
+    // are definitive; u2 resolves to a genuine unmatched null row; u4's
+    // orphan signup is invisible to the LEFT outer…
+    val left = shape(StreamingOps.streamStreamLeftOuterFrames(spark, dir.toString))
+    assert(left == Set((101L, 201L, false), (102L, -1L, true),
+      (103L, 203L, false)), s"got $left")
+    // …and emits as a null-click row from the FULL outer's signup side
+    val full = shape(StreamingOps.streamStreamOuterFrames(
+      spark, dir.toString, "full_outer", 2, None))
+    assert(full == Set((101L, 201L, false), (102L, -1L, true),
+      (103L, 203L, false), (-1L, 204L, true)), s"got $full")
   }
 
   test("left outer replay disorder: evicted partner emits a FALSE unmatched row; slack recovers") {
