@@ -100,4 +100,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"vocab ranking must not funnel through one partition:\n${p.take(1200)}")
   }
+
+  test("join_asof_nearest computes both directions in one window pass") {
+    val p = plan(Joins.joinAsofNearest.fn(spark, sf))
+    // one Window operator evaluates all four frame columns — the backward
+    // and forward frames share the user sort, never a second shuffle
+    assert("Window".r.findAllIn(p).size == 1, s"frames must share one window:\n$p")
+    // signup-dedup groupBy + window partition + presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+  }
+
+  test("agg_entropy: per-user total rides the groupBy output, bounded exchanges") {
+    val p = plan(Aggregations.aggEntropy.fn(spark, sf))
+    // (user,type) groupBy + user window + (user,tot) re-agg + final sort;
+    // anything beyond means a plan regression (e.g. a scalar collect join)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 4, s"$exchanges exchanges:\n$p")
+    assert(!p.contains("LocalTableScan"), "no driver materialization")
+  }
 }
