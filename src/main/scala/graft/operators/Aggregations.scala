@@ -489,6 +489,46 @@ object Aggregations {
                              / (t.n1 * t.n2) END AS d
             FROM r, t GROUP BY t.n1, t.n2"""))
 
+  /** `max_by` / `min_by` with a deterministic composite order — the
+    * AGGREGATE path to "row with the extreme value per group". The
+    * ordering key is `struct(value, event_id)` (lexicographic), so ties
+    * on value resolve by event_id instead of Spark's documented
+    * nondeterminism. Scale note: unlike the `row_number` window behind
+    * `sink_upsert_latest_by_key`, `max_by` is a hash aggregate with a
+    * MAP-SIDE PARTIAL — each input partition contributes one candidate
+    * per group before the shuffle, so the exchange carries |groups| rows
+    * instead of every row, no per-key sort anywhere. At 100 TB this is
+    * the plan you want for latest-by-key whenever the full row isn't
+    * needed downstream of the combine.
+    */
+  val aggMaxBy: Q = Q(
+    "agg_max_by",
+    (s, d) => {
+      val e = Tables.read(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+      e.groupBy(col("event_type")).agg(
+          max_by(col("event_id"), struct(col("value"), col("event_id")))
+            .as("max_event_id"),
+          max(col("value")).as("max_value"),
+          min_by(col("event_id"), struct(col("value"), col("event_id")))
+            .as("min_event_id"),
+          min(col("value")).as("min_value"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    Some("""WITH r AS (SELECT event_type, event_id, value,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY value DESC, event_id DESC) AS rx,
+                   row_number() OVER (PARTITION BY event_type
+                     ORDER BY value ASC, event_id ASC) AS rn
+                 FROM events)
+            SELECT event_type,
+                   max(CASE WHEN rx = 1 THEN event_id END) AS max_event_id,
+                   max(CASE WHEN rx = 1 THEN value END) AS max_value,
+                   max(CASE WHEN rn = 1 THEN event_id END) AS min_event_id,
+                   max(CASE WHEN rn = 1 THEN value END) AS min_value
+            FROM r GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   /** Per-user Shannon entropy of the event-type distribution — the
     * class-balance / behavioral-diversity metric a training-data mix
     * audit runs per source or per user. Determinism follows the
@@ -583,5 +623,6 @@ object Aggregations {
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
     aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,
     opUdafWeightedAvg, aggMode, aggApproxQuantile, aggBoolLogic,
-    aggHeavyHittersMg, aggHllSketchUnion, aggKsTwoSample, aggEntropy)
+    aggHeavyHittersMg, aggHllSketchUnion, aggKsTwoSample, aggEntropy,
+    aggMaxBy)
 }

@@ -111,6 +111,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
   }
 
+  test("agg_max_by combines map-side: partial max_by before the exchange") {
+    val p = plan(Aggregations.aggMaxBy.fn(spark, sf))
+    // THE claim of the op: the exchange carries one candidate per
+    // (partition, group), i.e. a partial aggregate precedes it — the
+    // window-based latest-by-key alternative has no partial at all
+    assert(p.contains("partial_max_by"), p.take(1200))
+    assert(!p.contains("Window"), "must be an aggregate, not a window sort")
+  }
+
   test("agg_entropy: per-user total rides the groupBy output, bounded exchanges") {
     val p = plan(Aggregations.aggEntropy.fn(spark, sf))
     // (user,type) groupBy + user window + (user,tot) re-agg + final sort;
