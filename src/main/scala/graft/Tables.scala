@@ -23,10 +23,14 @@ object Tables {
     * a parquet DataFrame lists the directory and reads footers for schema
     * inference — ~0.1-0.3 s per call that Verify/Bench would otherwise pay
     * ~200× across the registry. Plans are immutable, so reuse is safe. The
-    * session key is a random UUID minted per session (weak-keyed, so it
-    * dies with its session; the String value holds no back-reference and
-    * cannot pin the key) — unlike an identity hash, it can never alias
-    * between a collected session and a new one in a long-lived JVM.
+    * session key is a random UUID minted per session — unlike an identity
+    * hash, it can never ALIAS between a collected session and a new one in
+    * a long-lived JVM (the r11 correctness hazard this fixes: hash reuse
+    * after GC handing session B a plan bound to dead session A). Retention
+    * is deliberate and unchanged from the identity-hash version: cached
+    * DataFrames reference their session, so entries live for the JVM —
+    * bounded by (sessions ever created × tables), a few KB of plan each in
+    * this harness's 1-2-session processes.
     */
   private val planCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]()

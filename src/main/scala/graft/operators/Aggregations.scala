@@ -5,7 +5,6 @@ import org.apache.spark.sql.types._
 
 import graft.{Q, Tables}
 import graft.functions.WeightedAvg
-import graft.util.Checkpoints.Truncate
 
 /** SURVEY §2.4 — aggregation.
   *
@@ -499,13 +498,17 @@ object Aggregations {
     * per group before the shuffle, so the exchange carries |groups| rows
     * instead of every row, no per-key sort anywhere. At 100 TB this is
     * the plan you want for latest-by-key whenever the full row isn't
-    * needed downstream of the combine.
+    * needed downstream of the combine. NULL values are excluded up front
+    * in both engines: Spark's struct ordering is nulls-FIRST while SQL
+    * ranking defaults nulls-LAST, so extreme-by is only portable over
+    * non-null ordering values.
     */
   val aggMaxBy: Q = Q(
     "agg_max_by",
     (s, d) => {
       val e = Tables.read(s, d, "events")
         .select(col("event_type"), col("event_id"), col("value"))
+        .filter(col("value").isNotNull)
       e.groupBy(col("event_type")).agg(
           max_by(col("event_id"), struct(col("value"), col("event_id")))
             .as("max_event_id"),
@@ -520,7 +523,7 @@ object Aggregations {
                      ORDER BY value DESC, event_id DESC) AS rx,
                    row_number() OVER (PARTITION BY event_type
                      ORDER BY value ASC, event_id ASC) AS rn
-                 FROM events)
+                 FROM events WHERE value IS NOT NULL)
             SELECT event_type,
                    max(CASE WHEN rx = 1 THEN event_id END) AS max_event_id,
                    max(CASE WHEN rx = 1 THEN value END) AS max_value,
@@ -570,52 +573,32 @@ object Aggregations {
 
   /** Two-pass distributed prefix scan (unit-test seam): exact global
     * running sums `r1`, `r2` of `c1`, `c2` in ascending `orderCol` order.
-    * Pass 1 range-partitions + locally sorts and collects ONE tiny row of
-    * per-partition totals to the driver; pass 2 re-runs the same local
-    * scan adding each partition's broadcast offset. No single-partition
-    * window anywhere — the plan holds at any distinct-value cardinality.
+    * One [[TwoPassScan]] instantiation (see there for the machinery);
     * `orderCol` values must be distinct (callers pre-aggregate), so the
     * order is total and the result partitioning-independent.
     */
   private[operators] def prefixScan2(df: org.apache.spark.sql.DataFrame,
                                      orderCol: String, c1: String, c2: String)
       : org.apache.spark.sql.DataFrame = {
-    val s = df.sparkSession
-    val parts = s.sessionState.conf.numShufflePartitions
-    // materialize the range partitioning ONCE (Checkpoints.truncate): both
-    // passes must see the identical partition layout — a lazy recompute
-    // could re-sample different range boundaries under pass 2 and the
-    // broadcast offsets would be wrong
-    val sorted = df
+    val prepared = df
       .select(col(orderCol), col(c1).cast(LongType).as(c1),
         col(c2).cast(LongType).as(c2))
       // null counts would surface as an opaque executor NPE in the
-      // Row.getLong scans below; treat them as 0 (absent) instead
+      // Row.getLong scans; treat them as 0 (absent) instead
       .na.fill(0L, Seq(c1, c2))
-      .repartitionByRange(parts, col(orderCol))
-      .sortWithinPartitions(orderCol)
-      .truncated
-    val totals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var a = 0L; var b = 0L
-      it.foreach { r => a += r.getLong(1); b += r.getLong(2) }
-      Iterator((i, a, b))
-    }.collect().sortBy(_._1)
-    val offsets = totals.scanLeft((0L, 0L)) {
-      case ((a, b), (_, x, y)) => (a + x, b + y)
-    }.init // offsets(i) = totals of partitions < i
-    val bc = s.sparkContext.broadcast(offsets)
     val schema = org.apache.spark.sql.types.StructType(
-      sorted.schema.fields :+
+      prepared.schema.fields :+
         org.apache.spark.sql.types.StructField("r1", LongType, nullable = false) :+
         org.apache.spark.sql.types.StructField("r2", LongType, nullable = false))
-    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var (r1, r2) = bc.value(i)
-      it.map { r =>
-        r1 += r.getLong(1); r2 += r.getLong(2)
-        org.apache.spark.sql.Row(r.get(0), r.getLong(1), r.getLong(2), r1, r2)
-      }
-    }
-    s.createDataFrame(rows, schema)
+    TwoPassScan[(Long, Long)](prepared, Seq(col(orderCol)), schema, (0L, 0L),
+      add = { case ((a, b), r) => (a + r.getLong(1), b + r.getLong(2)) },
+      combine = { case ((a, b), (x, y)) => (a + x, b + y) },
+      emit = { case (_, (a, b), r) =>
+        val r1 = a + r.getLong(1)
+        val r2 = b + r.getLong(2)
+        (org.apache.spark.sql.Row(r.get(0), r.getLong(1), r.getLong(2), r1, r2),
+          (r1, r2))
+      })
   }
 
   val all: Seq[Q] = Seq(

@@ -363,53 +363,30 @@ object PipelineOps {
   /** Two-pass distributed rank + prefix sum (unit-test seam): in exact
     * global (n desc, token asc) order, assigns `token_id` (0-based dense
     * row index), `cum_n` (running sum of `n`), and `total_n` (the grand
-    * total, same on every row). Pass 1 range-partitions + locally sorts
-    * and collects ONE O(#partitions) row of per-partition (row, sum)
-    * totals to the driver; pass 2 re-runs the same local scan adding each
-    * partition's broadcast offsets. No single-partition exchange anywhere
-    * — the plan holds at any vocabulary cardinality. (token, n) pairs are
-    * distinct by construction (post-groupBy), so the order is total and
-    * the result partitioning-independent.
+    * total, same on every row). One [[TwoPassScan]] instantiation with
+    * state (rows so far, sum so far) — see there for the machinery; no
+    * single-partition exchange anywhere, so the plan holds at any
+    * vocabulary cardinality. (token, n) pairs are distinct by
+    * construction (post-groupBy), so the order is total and the result
+    * partitioning-independent.
     */
   private[operators] def rankScan(counts: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
-    val s = counts.sparkSession
-    val parts = s.sessionState.conf.numShufflePartitions
-    // materialize the range partitioning ONCE: both passes must see the
-    // identical partition layout (a lazy recompute could re-sample
-    // different range boundaries under pass 2)
-    val sorted = counts
-      .select(col("token"), col("n").cast(LongType).as("n"))
-      .repartitionByRange(parts, desc("n"), asc("token"))
-      .sortWithinPartitions(desc("n"), asc("token"))
-      .truncated
-    val totals = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var rows = 0L; var sumN = 0L
-      it.foreach { r => rows += 1L; sumN += r.getLong(1) }
-      Iterator((i, rows, sumN))
-    }.collect().sortBy(_._1)
-    val grand = totals.map(_._3).sum
-    val offsets = totals.scanLeft((0L, 0L)) {
-      case ((a, b), (_, x, y)) => (a + x, b + y)
-    }.init // offsets(i) = (rows, sum) of partitions < i
-    val bc = s.sparkContext.broadcast(offsets)
+    val prepared = counts.select(col("token"), col("n").cast(LongType).as("n"))
     val schema = StructType(Seq(
       StructField("token_id", LongType, nullable = false),
-      StructField("token", sorted.schema("token").dataType, nullable = true),
+      StructField("token", prepared.schema("token").dataType, nullable = true),
       StructField("n", LongType, nullable = true),
       StructField("cum_n", LongType, nullable = false),
       StructField("total_n", LongType, nullable = false)))
-    val rows = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-      var (id, cum) = bc.value(i)
-      it.map { r =>
+    TwoPassScan[(Long, Long)](prepared, Seq(desc("n"), asc("token")), schema,
+      (0L, 0L),
+      add = { case ((rows, sum), r) => (rows + 1L, sum + r.getLong(1)) },
+      combine = { case ((a, b), (x, y)) => (a + x, b + y) },
+      emit = { case ((_, grand), (id, cum), r) =>
         val n = r.getLong(1)
-        cum += n
-        val out = Row(id, r.get(0), n, cum, grand)
-        id += 1L
-        out
-      }
-    }
-    s.createDataFrame(rows, schema)
+        (Row(id, r.get(0), n, cum + n, grand), (id + 1L, cum + n))
+      })
   }
 
   /** Rolling 24 h window features per user: for every event, the count

@@ -572,6 +572,7 @@ object SourceOps {
       recurse(qq, zlo + (1L << qq), d1)
     }
     recurse(k * bits, 0L, Array.fill(k)((0L, (1L << bits) - 1L)))
+    if (acc.isEmpty) return Seq.empty // box disjoint from the bucket space
     val sorted = acc.sortBy(_._1).toList
     val merged = sorted.tail.foldLeft(List(sorted.head)) {
       case ((alo, ahi) :: rest, (lo, hi)) =>
@@ -606,6 +607,11 @@ object SourceOps {
   private[operators] def zBoxPredicate(naturalBox: Seq[(Long, Long)],
                                        ranges: Seq[(Long, Long)], bits: Int,
                                        zCol: Column = col("_z")): Column = {
+    // a box dimension entirely outside the data range clamps to an empty
+    // bucket interval — the correct predicate is FALSE (no rows), not a
+    // decomposition crash
+    if (naturalBox.zip(ranges).exists { case ((a, b), (lo, hi)) =>
+      b < lo || a > hi || a > b }) return lit(false)
     val bucketBox = naturalBox.zip(ranges).map { case ((a, b), (lo, hi)) =>
       (bucketOf(math.max(a, lo), lo, hi, bits),
         bucketOf(math.min(b, hi), lo, hi, bits))

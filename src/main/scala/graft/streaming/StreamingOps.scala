@@ -432,13 +432,19 @@ object StreamingOps {
     // final global watermark = min over both sides of (side max − delay);
     // an unmatched claim is resolved ⟺ the row's 1 h window end < that,
     // with 1 s margin for the watermark's ms truncation
-    val maxUs = Tables.read(s, d, "events")
+    val maxRow = Tables.read(s, d, "events")
       .agg(least(
         max(when(col("event_type") === "click", expr("ts div 1000"))),
         max(when(col("event_type") === "signup", expr("ts div 1000"))))
         .as("m"))
-      .head().getLong(0)
-    val cutoffUs = maxUs - (watermarkHours + 1) * 3600000000L - 1000000L
+      .head()
+    // a corpus missing one side entirely never advances that side's
+    // watermark, so NO unmatched claim is ever resolvable (and no match
+    // can exist): cutoff = MinValue keeps only matched rows, i.e. none —
+    // the batch oracle agrees (NULL cutoff ⇒ comparison false)
+    val cutoffUs =
+      if (maxRow.isNullAt(0)) Long.MinValue
+      else maxRow.getLong(0) - (watermarkHours + 1) * 3600000000L - 1000000L
     StreamRunner.runToTable(joined, "append")
       .filter((col("click_id").isNotNull && col("signup_id").isNotNull) ||
         (col("signup_id").isNull && unix_micros(col("c_time")) < cutoffUs) ||

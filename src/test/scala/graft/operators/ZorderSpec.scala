@@ -159,6 +159,18 @@ class ZorderSpec extends SparkSpec {
     assert(box(spark.read.parquet(zDir).filter(zPred)).count() == matching)
   }
 
+  test("zBoxPredicate on a box outside the data range is FALSE, not a crash") {
+    val ranges = Seq((0L, 50L), (0L, 50L))
+    // dim 0 entirely above the data range
+    val p = SourceOps.zBoxPredicate(Seq((60L, 70L), (10L, 20L)), ranges, 7)
+    val rows = spark.range(5).selectExpr("id as _z").filter(p).count()
+    assert(rows == 0, "disjoint box must match nothing")
+    // inverted / empty boxes likewise
+    assert(spark.range(5).selectExpr("id as _z")
+      .filter(SourceOps.zBoxPredicate(Seq((20L, 10L), (0L, 5L)), ranges, 7))
+      .count() == 0)
+  }
+
   test("registry op matches the direct aggregate over the original table") {
     val got = SourceOps.opZorderLayout.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
