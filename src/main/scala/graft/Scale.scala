@@ -52,12 +52,13 @@ object Scale {
     "ts_gap_stats", "agg_histogram_fixed", "op_lateral_topn",
     "agg_heavy_hitters_mg", "ts_cusum_drift", "ts_ewma", "op_zorder_layout",
     "agg_hll_sketch_union", "agg_ks_two_sample", "sink_cdc_apply_with_deletes",
-    "op_zorder3_layout")
+    "op_zorder3_layout", "join_asof_nearest", "agg_entropy", "agg_max_by")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
     "llm_substring_dedup", "graph_pagerank", "stream_stream_join",
-    "llm_edit_distance_dup", "graph_triangle_count", "stream_stream_left_outer")
+    "llm_edit_distance_dup", "graph_triangle_count", "stream_stream_left_outer",
+    "stream_stream_full_outer")
 
   /** Rehearsal overrides for ops whose registered form assumes the
     * driver's single-file corpus. The k× events table is MANY parquet
@@ -74,7 +75,10 @@ object Scale {
     // watermark never passes any window), so the k× rehearsal measures the
     // matched path — rows = k× the inner join, nulls by design absent
     "stream_stream_left_outer" -> ((s, dir) =>
-      graft.streaming.StreamingOps.streamStreamLeftOuterFrames(s, dir, watermarkHours = 745)))
+      graft.streaming.StreamingOps.streamStreamLeftOuterFrames(s, dir, watermarkHours = 745)),
+    "stream_stream_full_outer" -> ((s, dir) =>
+      graft.streaming.StreamingOps.streamStreamOuterFrames(
+        s, dir, "full_outer", 745, None)))
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse(
