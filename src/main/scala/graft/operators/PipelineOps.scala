@@ -1005,11 +1005,74 @@ object PipelineOps {
             FROM f
             ORDER BY user_id NULLS FIRST, ts_us, event_id"""))
 
+  /** Interval union (gaps-and-islands, general form): per user, merge
+    * VARIABLE-width event intervals into their connected components. Each
+    * event opens [ts, ts + dur] with dur = (event_id mod 120 + 1) minutes
+    * (integer-exact, portable); a new island starts exactly when an
+    * event's start exceeds the running MAX of all previous interval ends
+    * — the case sessionization's consecutive-gap test cannot express,
+    * because an earlier LONG interval can swallow several later short
+    * ones. One user-keyed shuffle: the running-max window, the island-id
+    * running sum, and the per-island groupBy all ride the same hash
+    * partitioning (the `ts_sessionize` discipline).
+    */
+  val tsIntervalUnion: Q = Q(
+    "ts_interval_union",
+    (s, d) => {
+      val e = Tables.read(s, d, "events")
+        .select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("start_us"),
+          (expr("ts div 1000") +
+            (col("event_id") % 120 + 1) * 60000000L).as("end_us"))
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("start_us"), col("event_id"))
+      val prevMaxEnd = max(col("end_us"))
+        .over(order.rowsBetween(Window.unboundedPreceding, -1))
+      val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("new_island",
+          when(col("start_us") > prevMaxEnd || prevMaxEnd.isNull, 1L)
+            .otherwise(0L))
+        .withColumn("island", sum(col("new_island")).over(run))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("start_us")).as("iv_start"),
+          max(col("end_us")).as("iv_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("iv_start"), col("iv_end"),
+          (col("iv_end") - col("iv_start")).as("span_us"), col("n_events"))
+        .orderBy(asc_nulls_first("user_id"), asc("iv_start"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+                              epoch_us(ts) + (event_id % 120 + 1) * 60000000
+                                AS end_us
+                       FROM events),
+            f AS (SELECT *,
+                         max(end_us) OVER (PARTITION BY user_id
+                           ORDER BY start_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                           AS prev_max_end
+                  FROM e),
+            g AS (SELECT *,
+                         CASE WHEN prev_max_end IS NULL
+                                OR start_us > prev_max_end
+                              THEN 1 ELSE 0 END AS new_island
+                  FROM f),
+            h AS (SELECT *,
+                         sum(new_island) OVER (PARTITION BY user_id
+                           ORDER BY start_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS island
+                  FROM g)
+            SELECT user_id, min(start_us) AS iv_start, max(end_us) AS iv_end,
+                   max(end_us) - min(start_us) AS span_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM h GROUP BY user_id, island
+            ORDER BY user_id NULLS FIRST, iv_start"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,
     tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
-    tsCusumDrift, tsEwma)
+    tsCusumDrift, tsEwma, tsIntervalUnion)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (167 keys, 138 oracles)") {
-    assert(SparkEntry.queries.size == 167,
+  test("registry matches the SURVEY §2 inventory size (168 keys, 139 oracles)") {
+    assert(SparkEntry.queries.size == 168,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 138,
+    assert(SparkEntry.oracleSql.size == 139,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
