@@ -488,6 +488,74 @@ object Aggregations {
                              / (t.n1 * t.n2) END AS d
             FROM r, t GROUP BY t.n1, t.n2"""))
 
+  /** Skewness and excess kurtosis per group, cross-engine deterministic —
+    * the `agg_corr_manual` discipline extended to 3rd/4th moments: each
+    * power x·x·x(·x) is a left-associated chain of correctly-rounded
+    * double multiplies (bit-identical in both engines), the power SUMS
+    * are DECIMAL (exact, merge-order independent), and the final
+    * skew/kurtosis formulas are one fixed double expression tree per
+    * column, rounded at 6 dp. Bounds: value⁴ ≤ ~1e8 here and
+    * DECIMAL(30,10) holds 1e20 integer digits, so the sums cannot
+    * overflow below ~1e12 rows per group.
+    */
+  val aggSkewKurtManual: Q = Q(
+    "agg_skew_kurt_manual",
+    (s, d) => {
+      val v = col("value")
+      val m = Tables.read(s, d, "events")
+        .groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(v.cast(DecimalType(30, 10))).as("s1"),
+          sum((v * v).cast(DecimalType(30, 10))).as("s2"),
+          sum((v * v * v).cast(DecimalType(30, 10))).as("s3"),
+          sum((v * v * v * v).cast(DecimalType(30, 10))).as("s4"))
+        .withColumn("mean", col("s1").cast(DoubleType) / col("n"))
+        .withColumn("m2", col("s2").cast(DoubleType) / col("n") -
+          col("mean") * col("mean"))
+        .withColumn("m3", col("s3").cast(DoubleType) / col("n") -
+          lit(3.0) * col("mean") * (col("s2").cast(DoubleType) / col("n")) +
+          lit(2.0) * col("mean") * col("mean") * col("mean"))
+        .withColumn("m4", col("s4").cast(DoubleType) / col("n") -
+          lit(4.0) * col("mean") * (col("s3").cast(DoubleType) / col("n")) +
+          lit(6.0) * col("mean") * col("mean") *
+            (col("s2").cast(DoubleType) / col("n")) -
+          lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      m.select(col("event_type"), col("n"),
+          round(col("mean"), 6).as("mean"),
+          // m2^1.5 as m2·sqrt(m2): sqrt is IEEE correctly rounded, pow is
+          // not guaranteed to be — the only cross-engine-exact spelling
+          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
+          round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+            .as("excess_kurtosis"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    Some("""WITH m AS (
+              SELECT event_type, count(*) AS n,
+                     sum(CAST(value AS DECIMAL(30,10))) AS s1,
+                     sum(CAST(value * value AS DECIMAL(30,10))) AS s2,
+                     sum(CAST(value * value * value AS DECIMAL(30,10))) AS s3,
+                     sum(CAST(value * value * value * value AS DECIMAL(30,10))) AS s4
+              FROM events GROUP BY event_type),
+            c AS (
+              SELECT event_type, n,
+                     CAST(s1 AS DOUBLE) / n AS mean,
+                     CAST(s2 AS DOUBLE) / n AS p2,
+                     CAST(s3 AS DOUBLE) / n AS p3,
+                     CAST(s4 AS DOUBLE) / n AS p4
+              FROM m),
+            k AS (
+              SELECT event_type, n, mean,
+                     p2 - mean * mean AS m2,
+                     p3 - 3.0 * mean * p2 + 2.0 * mean * mean * mean AS m3,
+                     p4 - 4.0 * mean * p3 + 6.0 * mean * mean * p2
+                        - 3.0 * mean * mean * mean * mean AS m4
+              FROM c)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(mean, 6) AS mean,
+                   round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+                   round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+            FROM k ORDER BY event_type NULLS FIRST"""))
+
   /** `max_by` / `min_by` with a deterministic composite order — the
     * AGGREGATE path to "row with the extreme value per group". The
     * ordering key is `struct(value, event_id)` (lexicographic), so ties
@@ -607,5 +675,5 @@ object Aggregations {
     aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,
     opUdafWeightedAvg, aggMode, aggApproxQuantile, aggBoolLogic,
     aggHeavyHittersMg, aggHllSketchUnion, aggKsTwoSample, aggEntropy,
-    aggMaxBy)
+    aggMaxBy, aggSkewKurtManual)
 }

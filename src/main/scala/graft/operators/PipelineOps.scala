@@ -509,6 +509,59 @@ object PipelineOps {
             FROM t JOIN l USING (token)
             GROUP BY t.doc_id ORDER BY t.doc_id NULLS FIRST"""))
 
+  /** Bigram language-model scoring — the conditional upgrade of
+    * `llm_unigram_logprob` (one step toward the KenLM-style fluency
+    * scorers CCNet uses): per-doc average ln P(w₂|w₁) under the corpus'
+    * own bigram model, P = count(w₁w₂)/count(w₁·). No smoothing needed —
+    * every document bigram exists in the corpus counts by construction.
+    * Same determinism discipline (round(ln,6) carried as DECIMAL) and the
+    * same distributed shape: one Generator pass for the bigram stream,
+    * two hash aggs for the numerator/denominator tables, AQE-sized joins
+    * — the bigram vocabulary (potentially ≫ unigram's) never approaches
+    * the driver. Docs with <2 tokens have no bigrams and are absent, in
+    * both engines.
+    */
+  val llmBigramLogprob: Q = Q(
+    "llm_bigram_logprob",
+    (s, d) => {
+      val bg = Tables.read(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(t) >= 2
+               THEN transform(sequence(1, size(t) - 1),
+                              i -> struct(element_at(t, i) AS w1,
+                                          element_at(t, i + 1) AS w2))
+               ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"""))
+          .as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .truncated
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+      val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("nu"))
+      val lnp = cb.join(cu, "w1")
+        .select(col("w1"), col("w2"),
+          round(expr("ln(CAST(nb AS DOUBLE) / nu)"), 6)
+            .cast(DecimalType(20, 6)).as("lnp"))
+      bg.join(lnp, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lnp")).as("sum_lnp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sum_lnp").cast(DoubleType) / col("n_bigrams")).as("avg_logprob"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+            bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos),
+            cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2),
+            cu AS (SELECT w1, count(*) AS nu FROM bg GROUP BY 1),
+            l AS (SELECT w1, w2,
+                         CAST(round(ln(CAST(nb AS DOUBLE) / nu), 6)
+                              AS DECIMAL(20,6)) AS lnp
+                  FROM cb JOIN cu USING (w1))
+            SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(l.lnp) AS DOUBLE) / count(*) AS avg_logprob
+            FROM bg b JOIN l ON b.w1 = l.w1 AND b.w2 = l.w2
+            GROUP BY b.doc_id ORDER BY b.doc_id NULLS FIRST"""))
+
   /** Sliding-window document chunking (the RAG / long-doc-pretraining
     * splitter): 50-token chunks on a 40-token stride (10-token overlap),
     * every token covered, trailing chunk may be short. One Generator per
@@ -1074,5 +1127,5 @@ object PipelineOps {
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,
     tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
-    tsCusumDrift, tsEwma, tsIntervalUnion)
+    tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (168 keys, 139 oracles)") {
-    assert(SparkEntry.queries.size == 168,
+  test("registry matches the SURVEY §2 inventory size (170 keys, 141 oracles)") {
+    assert(SparkEntry.queries.size == 170,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 139,
+    assert(SparkEntry.oracleSql.size == 141,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
