@@ -120,6 +120,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "must be an aggregate, not a window sort")
   }
 
+  test("ts_interval_union: window, island sum and per-island agg share the user shuffle") {
+    val p = plan(PipelineOps.tsIntervalUnion.fn(spark, sf))
+    // HashPartitioning(user) satisfies ClusteredDistribution(user, island),
+    // so the groupBy must NOT add a third exchange — one for the user
+    // window, one for the presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
+
+  test("agg_skew_kurt_manual: one partial+final agg pass carries all four moments") {
+    val p = plan(Aggregations.aggSkewKurtManual.fn(spark, sf))
+    assert(p.contains("partial_sum"), p.take(900))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
+
+  test("llm_bigram_logprob keeps the bigram vocabulary distributed") {
+    val p = plan(PipelineOps.llmBigramLogprob.fn(spark, sf))
+    assert(!p.contains("LocalTableScan"),
+      s"bigram model must never be materialized on the driver:\n${p.take(900)}")
+  }
+
   test("agg_entropy: per-user total rides the groupBy output, bounded exchanges") {
     val p = plan(Aggregations.aggEntropy.fn(spark, sf))
     // (user,type) groupBy + user window + (user,tot) re-agg + final sort;
