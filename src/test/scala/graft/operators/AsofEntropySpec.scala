@@ -43,6 +43,30 @@ class AsofEntropySpec extends SparkSpec {
     assert(got(500L) == ((6L, 0L)), "equal timestamp matches with delta 0")
   }
 
+  test("ts_interval_union: a long interval swallows non-consecutive short ones") {
+    import spark.implicits._
+    val d = graft.util.TempDirs.create("iv_union")
+    def minNs(m: Long) = m * 60000000000L
+    // dur_minutes = event_id % 120 + 1. User 1: A opens [0, 60m); B sits
+    // inside A; C starts at 50m — AFTER B has ended (a consecutive-gap
+    // sessionizer with any threshold < 35m would split here) but still
+    // under A's umbrella, so the running-max merge keeps one island.
+    // E at 120m starts past every end → second island.
+    val rows = Seq(
+      (59L, 1L, "click", minNs(0)),   // A: [0, 60m)
+      (4L, 1L, "click", minNs(10)),   // B: [10m, 15m) ⊂ A
+      (9L, 1L, "click", minNs(50)),   // C: [50m, 60m) — gap from B, inside A
+      (2L, 1L, "click", minNs(120)))  // E: [120m, 123m) — new island
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.parquet(d.resolve("events.parquet").toString)
+    val got = PipelineOps.tsIntervalUnion.fn(spark, d.toString).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4))) // start, end, n
+    assert(got.toSeq == Seq(
+      (0L, 3600000000L, 3L),            // [0, 60m] with A, B, C
+      (7200000000L, 7380000000L, 1L)),  // [120m, 123m]
+      s"got ${got.toSeq}")
+  }
+
   test("agg_entropy: term-rounded decimal sums — skewed, uniform, degenerate") {
     val got = Aggregations.aggEntropy.fn(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
