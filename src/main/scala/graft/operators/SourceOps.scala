@@ -433,6 +433,43 @@ object SourceOps {
             GROUP BY l_returnflag
             ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** Schema-merge-on-read round-trip: two partitions written with DRIFTED
+    * schemas (the newer one adds a column — the exact shape a CDC
+    * auto-evolve pipeline leaves on disk, `sources/SchemaEvolution`'s
+    * write-side counterpart), read back with `mergeSchema` so the old
+    * partition surfaces the new column as NULL. The oracle aggregates the
+    * ORIGINAL table emulating the null pattern, so a pass proves the
+    * merged read preserved every row and nulled exactly the missing
+    * column. Scale note: mergeSchema reconciles FOOTERS (one metadata
+    * task per file), not data — the scan itself stays one pass with
+    * pushdown intact.
+    */
+  val srcSchemaMergeRoundtrip: Q = Q(
+    "src_schema_merge_roundtrip",
+    (s, d) => {
+      val dir = graft.util.TempDirs.create("graft_schema_merge").toString
+      val c = Tables.read(s, d, "customer")
+      c.filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      c.filter(col("c_custkey") > 500)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          count(col("c_nationkey")).as("n_with_nation"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+        .orderBy(asc_nulls_first("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+                   count(CASE WHEN c_custkey > 500 THEN c_nationkey END)
+                     AS n_with_nation,
+                   min(c_custkey) AS min_key, max(c_custkey) AS max_key
+            FROM customer GROUP BY c_mktsegment
+            ORDER BY c_mktsegment NULLS FIRST"""))
+
   /** 3-D Z-order layout + explicit z-RANGE pruning — the k-dimensional
     * generalization of `op_zorder_layout`, with the pruning contract made
     * first-class: the layout keeps its `_z` column, and the reader turns
@@ -627,5 +664,6 @@ object SourceOps {
     sinkUpsertLatestByKey, sinkCdcApplyUpsertOnly, sinkCdcApplyWithDeletes,
     opSchemaDdlTypemap,
     opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals,
-    srcPartitionedRoundtrip, srcOrcRoundtrip, opZorderLayout, opZorder3Layout)
+    srcPartitionedRoundtrip, srcOrcRoundtrip, srcSchemaMergeRoundtrip,
+    opZorderLayout, opZorder3Layout)
 }
