@@ -494,9 +494,14 @@ object Aggregations {
     * double multiplies (bit-identical in both engines), the power SUMS
     * are DECIMAL (exact, merge-order independent), and the final
     * skew/kurtosis formulas are one fixed double expression tree per
-    * column, rounded at 6 dp. Bounds: value⁴ ≤ ~1e8 here and
-    * DECIMAL(30,10) holds 1e20 integer digits, so the sums cannot
-    * overflow below ~1e12 rows per group.
+    * column, rounded at 6 dp, with a degenerate guard: a zero-variance
+    * group (constant value, or fp cancellation landing m2 at/below 0)
+    * yields NULL in both engines — Spark would render 0/0 as NaN while
+    * DuckDB renders NULL, and DuckDB's sqrt of a cancellation-negative m2
+    * is a hard error that would fail the whole oracle query. Bounds:
+    * value⁴ ≈ 6e10 on this corpus and DECIMAL(30,10) holds 1e20 integer
+    * digits, so the power sums overflow only past ~1.7e9 rows per group —
+    * scale the decimal precision with the corpus beyond that.
     */
   val aggSkewKurtManual: Q = Q(
     "agg_skew_kurt_manual",
@@ -524,8 +529,11 @@ object Aggregations {
           round(col("mean"), 6).as("mean"),
           // m2^1.5 as m2·sqrt(m2): sqrt is IEEE correctly rounded, pow is
           // not guaranteed to be — the only cross-engine-exact spelling
-          round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
-          round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+          when(col("m2") <= 0, lit(null).cast(DoubleType))
+            .otherwise(round(col("m3") / (col("m2") * sqrt(col("m2"))), 6))
+            .as("skewness"),
+          when(col("m2") <= 0, lit(null).cast(DoubleType))
+            .otherwise(round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6))
             .as("excess_kurtosis"))
         .orderBy(asc_nulls_first("event_type"))
     },
@@ -552,8 +560,11 @@ object Aggregations {
               FROM c)
             SELECT event_type, CAST(n AS BIGINT) AS n,
                    round(mean, 6) AS mean,
-                   round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
-                   round(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+                   CASE WHEN m2 <= 0 THEN NULL
+                        ELSE round(m3 / (m2 * sqrt(m2)), 6) END AS skewness,
+                   CASE WHEN m2 <= 0 THEN NULL
+                        ELSE round(m4 / (m2 * m2) - 3.0, 6) END
+                     AS excess_kurtosis
             FROM k ORDER BY event_type NULLS FIRST"""))
 
   /** `max_by` / `min_by` with a deterministic composite order — the

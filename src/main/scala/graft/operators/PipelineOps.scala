@@ -536,7 +536,9 @@ object PipelineOps {
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .truncated
       val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
-      val cu = bg.groupBy(col("w1")).agg(count(lit(1)).as("nu"))
+      // the denominator rolls up from cb's |bigram-vocab| rows — never a
+      // second full pass over the N-row corpus bigram stream
+      val cu = cb.groupBy(col("w1")).agg(sum(col("nb")).as("nu"))
       val lnp = cb.join(cu, "w1")
         .select(col("w1"), col("w2"),
           round(expr("ln(CAST(nb AS DOUBLE) / nu)"), 6)
@@ -552,7 +554,7 @@ object PipelineOps {
             pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
             bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos),
             cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2),
-            cu AS (SELECT w1, count(*) AS nu FROM bg GROUP BY 1),
+            cu AS (SELECT w1, sum(nb) AS nu FROM cb GROUP BY 1),
             l AS (SELECT w1, w2,
                          CAST(round(ln(CAST(nb AS DOUBLE) / nu), 6)
                               AS DECIMAL(20,6)) AS lnp

@@ -67,6 +67,23 @@ class AsofEntropySpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("agg_skew_kurt_manual: zero-variance group yields NULL, not NaN") {
+    import spark.implicits._
+    val d = graft.util.TempDirs.create("skew_degenerate")
+    Seq(
+      (1L, 1L, "flat", 1000000000L, 5.0), (2L, 1L, "flat", 2000000000L, 5.0),
+      (3L, 1L, "var", 3000000000L, 1.0), (4L, 1L, "var", 4000000000L, 3.0),
+      (5L, 2L, "var", 5000000000L, 8.0))
+      .toDF("event_id", "user_id", "event_type", "ts", "value")
+      .write.parquet(d.resolve("events.parquet").toString)
+    val got = Aggregations.aggSkewKurtManual.fn(spark, d.toString).collect()
+      .map(r => r.getString(0) -> ((r.isNullAt(3), r.isNullAt(4)))).toMap
+    // Spark would render 0/0 as NaN while DuckDB renders NULL (and errors
+    // on sqrt of a cancellation-negative m2) — the guard makes both NULL
+    assert(got("flat") == ((true, true)), s"constant group: $got")
+    assert(got("var") == ((false, false)))
+  }
+
   test("agg_entropy: term-rounded decimal sums — skewed, uniform, degenerate") {
     val got = Aggregations.aggEntropy.fn(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
