@@ -1123,11 +1123,51 @@ object PipelineOps {
             FROM h GROUP BY user_id, island
             ORDER BY user_id NULLS FIRST, iv_start"""))
 
+  /** Day-over-day retention — the sibling of `ts_daily_active_users`:
+    * per day, how many active users were also active the PREVIOUS day,
+    * and the resulting retention rate. The distinct (user, day) set is
+    * built once and self-joined with the day shifted by one — an
+    * equi-join on (user_id, day), so at fact scale it is one hash
+    * shuffle of the deduplicated activity set, never of raw events;
+    * day-1 (no predecessor) reports 0 returning by construction.
+    */
+  val tsDailyRetention: Q = Q(
+    "ts_daily_retention",
+    (s, d) => {
+      val days = Tables.read(s, d, "events")
+        .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+        .distinct()
+        .truncated
+      val dau = days.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val ret = days
+        .join(days.select(col("user_id"), (col("day") + 1).as("day")),
+          Seq("user_id", "day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("returning"))
+      dau.join(ret, Seq("day"), "left")
+        .na.fill(0L, Seq("returning"))
+        .select(col("day"), col("dau"), col("returning"),
+          round(col("returning").cast(DoubleType) / col("dau"), 6)
+            .as("retention_rate"))
+        .orderBy(asc("day"))
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                          FROM events),
+            dau AS (SELECT day, count(*) AS dau FROM days GROUP BY day),
+            ret AS (SELECT a.day, count(*) AS returning
+                    FROM days a JOIN days b
+                      ON a.user_id = b.user_id AND b.day = a.day - 1
+                    GROUP BY a.day)
+            SELECT d.day, d.dau, coalesce(r.returning, 0) AS returning,
+                   round(CAST(coalesce(r.returning, 0) AS DOUBLE) / d.dau, 6)
+                     AS retention_rate
+            FROM dau d LEFT JOIN ret r ON d.day = r.day
+            ORDER BY d.day"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,
     tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
-    tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob)
+    tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention)
 }

@@ -219,8 +219,52 @@ object Windows {
                      AS second_cheapest
             FROM orders ORDER BY o_orderkey NULLS FIRST"""))
 
+  /** Running DISTINCT count per key — `count(DISTINCT x) OVER (...)` is
+    * unsupported in both engines, so this is the standard two-window
+    * rewrite: flag each (user, event_type)'s FIRST occurrence by sorting
+    * the user's rows by (type, time) and comparing to `lag`, then
+    * running-sum the flags in TIME order. Both windows partition by
+    * `user_id` alone, so the whole op is ONE shuffle with two in-
+    * partition sorts — the trick's entire point (the naive flag via a
+    * (user, type)-partitioned row_number would force a second exchange).
+    */
+  val winCumulativeDistinct: Q = Q(
+    "win_cumulative_distinct",
+    (s, d) => {
+      val e = Tables.read(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+      val byType = Window.partitionBy(col("user_id"))
+        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+      val byTime = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("first_seen",
+          when(lag(col("event_type"), 1).over(byType).isNull ||
+            lag(col("event_type"), 1).over(byType) =!= col("event_type"), 1L)
+            .otherwise(0L))
+        .withColumn("n_distinct_types", sum(col("first_seen")).over(byTime))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"), col("n_distinct_types"))
+        .orderBy(asc_nulls_first("event_id"))
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+                       FROM events),
+            f AS (SELECT *,
+                         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                ORDER BY event_type, ts_us, event_id)
+                              IS DISTINCT FROM event_type
+                              THEN 1 ELSE 0 END AS first_seen
+                  FROM e)
+            SELECT event_id, user_id, ts_us, event_type,
+                   CAST(sum(first_seen) OVER (PARTITION BY user_id
+                     ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS n_distinct_types
+            FROM f ORDER BY event_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     winRowNumber, winRankDense, winLagLead, winRunningSum, winSlidingFrame,
     winRangeFrame, winFirstLast, winNtile, winPercentCume, aggTopkPerGroup,
-    winNthValue)
+    winNthValue, winCumulativeDistinct)
 }
