@@ -240,9 +240,11 @@ object Windows {
         .orderBy(col("ts_us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       e.withColumn("first_seen",
-          when(lag(col("event_type"), 1).over(byType).isNull ||
-            lag(col("event_type"), 1).over(byType) =!= col("event_type"), 1L)
-            .otherwise(0L))
+          // null-safe: `!(lag <=> type)` ≡ SQL IS DISTINCT FROM, so a NULL
+          // type group is counted ONCE like any other (a plain
+          // isNull-or-=!= test would flag every row of a NULL run)
+          when(!lag(col("event_type"), 1).over(byType)
+            .eqNullSafe(col("event_type")), 1L).otherwise(0L))
         .withColumn("n_distinct_types", sum(col("first_seen")).over(byTime))
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("event_type"), col("n_distinct_types"))
