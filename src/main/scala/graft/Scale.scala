@@ -53,7 +53,9 @@ object Scale {
     "agg_heavy_hitters_mg", "ts_cusum_drift", "ts_ewma", "op_zorder_layout",
     "agg_hll_sketch_union", "agg_ks_two_sample", "sink_cdc_apply_with_deletes",
     "op_zorder3_layout", "join_asof_nearest", "agg_entropy", "agg_max_by",
-    "agg_skew_kurt_manual", "llm_bigram_logprob", "ts_interval_union")
+    "agg_skew_kurt_manual", "llm_bigram_logprob", "ts_interval_union",
+    "src_schema_merge_roundtrip", "win_cumulative_distinct",
+    "ts_daily_retention")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
