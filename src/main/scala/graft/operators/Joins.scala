@@ -165,7 +165,12 @@ object Joins {
   val joinAsofBackward: Q = Q(
     "join_asof_backward",
     (s, d) => {
+      // NULL user_ids excluded up front (mirrored in the oracle): the
+      // window's partitionBy groups NULL keys together, which would match
+      // NULL-user clicks to NULL-user signups while a SQL equi-join never
+      // matches NULLs — the asof family's contract is non-null keys
       val ev = Tables.read(s, d, "events")
+        .filter(col("user_id").isNotNull)
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("ts div 1000").as("ts_us"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -190,10 +195,10 @@ object Joins {
     },
     Some("""WITH clicks AS (
               SELECT event_id, user_id, epoch_us(ts) AS ts_us
-              FROM events WHERE event_type = 'click'),
+              FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
             signups AS (
               SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS signup_id
-              FROM events WHERE event_type = 'signup'
+              FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL
               GROUP BY user_id, epoch_us(ts))
             SELECT c.event_id, c.user_id, c.ts_us,
                    s.ts_us AS signup_ts, s.signup_id
@@ -211,7 +216,12 @@ object Joins {
   val joinAsofForward: Q = Q(
     "join_asof_forward",
     (s, d) => {
+      // NULL user_ids excluded up front (mirrored in the oracle): the
+      // window's partitionBy groups NULL keys together, which would match
+      // NULL-user clicks to NULL-user signups while a SQL equi-join never
+      // matches NULLs — the asof family's contract is non-null keys
       val ev = Tables.read(s, d, "events")
+        .filter(col("user_id").isNotNull)
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("ts div 1000").as("ts_us"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -236,10 +246,10 @@ object Joins {
     },
     Some("""WITH clicks AS (
               SELECT event_id, user_id, epoch_us(ts) AS ts_us
-              FROM events WHERE event_type = 'click'),
+              FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
             signups AS (
               SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS signup_id
-              FROM events WHERE event_type = 'signup'
+              FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL
               GROUP BY user_id, epoch_us(ts))
             SELECT c.event_id, c.user_id, c.ts_us,
                    s.ts_us AS signup_ts, s.signup_id
@@ -264,7 +274,12 @@ object Joins {
   val joinAsofNearest: Q = Q(
     "join_asof_nearest",
     (s, d) => {
+      // NULL user_ids excluded up front (mirrored in the oracle): the
+      // window's partitionBy groups NULL keys together, which would match
+      // NULL-user clicks to NULL-user signups while a SQL equi-join never
+      // matches NULLs — the asof family's contract is non-null keys
       val ev = Tables.read(s, d, "events")
+        .filter(col("user_id").isNotNull)
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("ts div 1000").as("ts_us"))
       val clicks = ev.filter(col("event_type") === "click")
@@ -298,10 +313,10 @@ object Joins {
     },
     Some("""WITH clicks AS (
               SELECT event_id, user_id, epoch_us(ts) AS ts_us
-              FROM events WHERE event_type = 'click'),
+              FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
             signups AS (
               SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS signup_id
-              FROM events WHERE event_type = 'signup'
+              FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL
               GROUP BY user_id, epoch_us(ts)),
             cand AS (
               SELECT c.event_id, s.ts_us AS signup_ts, s.signup_id,

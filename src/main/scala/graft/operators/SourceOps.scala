@@ -539,6 +539,14 @@ object SourceOps {
     zCols.indices.foreach(j => require(!stats.isNullAt(2 * j),
       s"cannot z-order an empty input — min(${zCols(j)}) is NULL"))
     val ranges = zCols.indices.map(j => (stats.getLong(2 * j), stats.getLong(2 * j + 1)))
+    // bucketCol/bucketOf compute (v − lo)·2^bits in Long: a dimension
+    // span ≥ 2^(63−bits) would overflow and silently scramble the layout
+    // (the k·bits ≤ 62 require below guards the INTERLEAVED output, not
+    // this input arithmetic) — fail fast instead
+    ranges.zip(zCols).foreach { case ((lo, hi), c) =>
+      require(hi - lo >= 0 && hi - lo < (1L << (63 - bits)),
+        s"z-order dimension `$c` span ${hi}−${lo} exceeds 2^${63 - bits}−1; " +
+          s"pre-scale the column or lower bits=$bits") }
     val withZ = df.withColumn("_z", zInterleaveK(
         zCols.zip(ranges).map { case (c, (lo, hi)) => bucketCol(c, lo, hi, bits) },
         bits))

@@ -235,14 +235,20 @@ object Windows {
         .select(col("event_id"), col("user_id"), col("event_type"),
           expr("ts div 1000").as("ts_us"))
       val byType = Window.partitionBy(col("user_id"))
-        .orderBy(col("event_type"), col("ts_us"), col("event_id"))
+        // NULLS LAST explicitly (Spark's ASC default is NULLS FIRST,
+        // DuckDB's is NULLS LAST): a NULL-type run must FOLLOW a non-null
+        // type in both engines so its first row sees a non-null lag and
+        // is flagged exactly once on both sides
+        .orderBy(asc_nulls_last("event_type"), col("ts_us"), col("event_id"))
       val byTime = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       e.withColumn("first_seen",
           // null-safe: `!(lag <=> type)` ≡ SQL IS DISTINCT FROM, so a NULL
-          // type group is counted ONCE like any other (a plain
-          // isNull-or-=!= test would flag every row of a NULL run)
+          // type run is not re-flagged row-by-row; with NULLS LAST above
+          // it is counted ONCE when any non-null type precedes it (an
+          // all-NULL partition counts 0 in both engines — matching
+          // count(DISTINCT)'s null-exclusion at the limit)
           when(!lag(col("event_type"), 1).over(byType)
             .eqNullSafe(col("event_type")), 1L).otherwise(0L))
         .withColumn("n_distinct_types", sum(col("first_seen")).over(byTime))
@@ -254,7 +260,7 @@ object Windows {
                        FROM events),
             f AS (SELECT *,
                          CASE WHEN lag(event_type) OVER (PARTITION BY user_id
-                                ORDER BY event_type, ts_us, event_id)
+                                ORDER BY event_type NULLS LAST, ts_us, event_id)
                               IS DISTINCT FROM event_type
                               THEN 1 ELSE 0 END AS first_seen
                   FROM e)

@@ -431,20 +431,22 @@ object StreamingOps {
       joinType)
     // final global watermark = min over both sides of (side max − delay);
     // an unmatched claim is resolved ⟺ the row's 1 h window end < that,
-    // with 1 s margin for the watermark's ms truncation
+    // with 1 s margin for the watermark's ms truncation. The two maxes
+    // are computed SEPARATELY (not via least, which SKIPS nulls): a
+    // corpus missing one side entirely never advances that side's
+    // watermark, so NO unmatched claim is ever resolvable — cutoff =
+    // MinValue keeps only matched rows (none can exist). The batch
+    // oracle mirrors this with a CASE that yields NULL max_t when
+    // EITHER side is absent (NULL cutoff ⇒ comparison false).
     val maxRow = Tables.read(s, d, "events")
-      .agg(least(
-        max(when(col("event_type") === "click", expr("ts div 1000"))),
-        max(when(col("event_type") === "signup", expr("ts div 1000"))))
-        .as("m"))
+      .agg(
+        max(when(col("event_type") === "click", expr("ts div 1000"))).as("mc"),
+        max(when(col("event_type") === "signup", expr("ts div 1000"))).as("ms"))
       .head()
-    // a corpus missing one side entirely never advances that side's
-    // watermark, so NO unmatched claim is ever resolvable (and no match
-    // can exist): cutoff = MinValue keeps only matched rows, i.e. none —
-    // the batch oracle agrees (NULL cutoff ⇒ comparison false)
     val cutoffUs =
-      if (maxRow.isNullAt(0)) Long.MinValue
-      else maxRow.getLong(0) - (watermarkHours + 1) * 3600000000L - 1000000L
+      if (maxRow.isNullAt(0) || maxRow.isNullAt(1)) Long.MinValue
+      else math.min(maxRow.getLong(0), maxRow.getLong(1)) -
+        (watermarkHours + 1) * 3600000000L - 1000000L
     StreamRunner.runToTable(joined, "append")
       .filter((col("click_id").isNotNull && col("signup_id").isNotNull) ||
         (col("signup_id").isNull && unix_micros(col("c_time")) < cutoffUs) ||
@@ -463,10 +465,12 @@ object StreamingOps {
                        FROM events WHERE event_type = 'click'),
             g AS (SELECT event_id AS signup_id, user_id, epoch_us(ts) AS t
                   FROM events WHERE event_type = 'signup'),
-            m AS (SELECT least(
-                    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
-                    max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END))
-                    AS max_t FROM events)
+            m AS (SELECT CASE WHEN max_c IS NULL OR max_g IS NULL THEN NULL
+                              ELSE least(max_c, max_g) END AS max_t
+                  FROM (SELECT
+                    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS max_c,
+                    max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS max_g
+                    FROM events))
             SELECT c.click_id, g.signup_id, c.user_id, g.t - c.t AS delta_us,
                    g.signup_id IS NULL AS unmatched
             FROM c LEFT JOIN g ON c.user_id = g.user_id
@@ -489,10 +493,12 @@ object StreamingOps {
                        FROM events WHERE event_type = 'click'),
             g AS (SELECT event_id AS signup_id, user_id, epoch_us(ts) AS t
                   FROM events WHERE event_type = 'signup'),
-            m AS (SELECT least(
-                    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
-                    max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END))
-                    AS max_t FROM events)
+            m AS (SELECT CASE WHEN max_c IS NULL OR max_g IS NULL THEN NULL
+                              ELSE least(max_c, max_g) END AS max_t
+                  FROM (SELECT
+                    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS max_c,
+                    max(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS max_g
+                    FROM events))
             SELECT c.click_id, g.signup_id,
                    coalesce(c.user_id, g.user_id) AS user_id,
                    g.t - c.t AS delta_us,

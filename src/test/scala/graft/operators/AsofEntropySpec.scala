@@ -43,6 +43,27 @@ class AsofEntropySpec extends SparkSpec {
     assert(got(500L) == ((6L, 0L)), "equal timestamp matches with delta 0")
   }
 
+  test("asof family: NULL user_id rows are excluded, never matched to each other") {
+    import spark.implicits._
+    // Window.partitionBy groups NULL keys into one partition, which would
+    // match a NULL-user click to a NULL-user signup — a SQL equi-join
+    // never matches NULLs, so the family filters NULL keys up front
+    // (mirrored in the oracles). NULL-user rows must not appear AT ALL.
+    def ns(sec: Long) = sec * 1000000000L
+    val rows = Seq[(Long, Option[Long], String, Long)](
+      (100L, None, "click", ns(100)), (1L, None, "signup", ns(95)),
+      (200L, Some(2L), "click", ns(100)), (2L, Some(2L), "signup", ns(90)))
+    val d = graft.util.TempDirs.create("asof_nulluser")
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .write.parquet(d.resolve("events.parquet").toString)
+    Seq(Joins.joinAsofBackward, Joins.joinAsofForward, Joins.joinAsofNearest)
+      .foreach { q =>
+        val got = q.fn(spark, d.toString).select("event_id").collect()
+          .map(_.getLong(0)).toSet
+        assert(got == Set(200L), s"${q.name}: got $got")
+      }
+  }
+
   test("ts_interval_union: a long interval swallows non-consecutive short ones") {
     import spark.implicits._
     val d = graft.util.TempDirs.create("iv_union")

@@ -159,6 +159,27 @@ class ZorderSpec extends SparkSpec {
     assert(box(spark.read.parquet(zDir).filter(zPred)).count() == matching)
   }
 
+  test("zorderWriteK fails fast on a dimension span that would overflow the bucket math") {
+    import spark.implicits._
+    // bucketCol computes (v − lo)·2^bits in Long — a span ≥ 2^(63−bits)
+    // overflows and would silently scramble the z layout; the writer must
+    // reject it instead (the k·bits ≤ 62 guard covers only the interleave)
+    val bits = 12
+    val wide = Seq(0L, 1L << (63 - bits)).toDF("x")
+      .withColumn("y", col("x"))
+    val dir = graft.util.TempDirs.create("zspec_overflow").toString
+    val e = intercept[IllegalArgumentException] {
+      SourceOps.zorderWriteK(wide, Seq("x", "y"), dir, bits)
+    }
+    assert(e.getMessage.contains("span"), s"unexpected message: ${e.getMessage}")
+    // a span just inside the bound still writes fine
+    val ok = Seq(0L, (1L << (63 - bits)) - 1L).toDF("x").withColumn("y", col("x"))
+    val ranges = SourceOps.zorderWriteK(ok, Seq("x", "y"),
+      graft.util.TempDirs.create("zspec_okwide").toString, bits)
+    assert(ranges == Seq((0L, (1L << (63 - bits)) - 1L),
+      (0L, (1L << (63 - bits)) - 1L)))
+  }
+
   test("zBoxPredicate on a box outside the data range is FALSE, not a crash") {
     val ranges = Seq((0L, 50L), (0L, 50L))
     // dim 0 entirely above the data range

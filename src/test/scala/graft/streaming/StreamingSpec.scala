@@ -134,6 +134,36 @@ class StreamingSpec extends SparkSpec {
       (103L, 203L, false), (-1L, 204L, true)), s"got $full")
   }
 
+  test("one-sided corpus: outer joins emit nothing (no side ever resolves)") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val H = 3600000000000L
+    // A corpus missing one side entirely never advances that side's
+    // watermark, so the stream evicts nothing and emits nothing. The
+    // cutoff must therefore be MinValue when EITHER side is absent —
+    // computing it with least(max_c, max_g) would be wrong because least
+    // SKIPS nulls: with clicks spanning 100 h the old cutoff resolved
+    // clicks older than ~97 h into unmatched rows the stream never emits
+    // (the batch oracle mirrors this via its CASE-wrapped max_t).
+    def oneSided(kind: String): (Set[Any], Set[Any]) = {
+      val rows = Seq((101L, 1L, kind, 10L * H), (102L, 2L, kind, 100L * H))
+      val dir = graft.util.TempDirs.create(s"graft_onesided_$kind")
+      val table = dir.resolve("events.parquet")
+      Files.createDirectories(table)
+      StreamingOps.writeSingleFile(
+        rows.toDF("event_id", "user_id", "event_type", "ts"),
+        dir.resolve("tmp0"), table.resolve("f0.parquet"), mtime = 1000000L)
+      (StreamingOps.streamStreamLeftOuterFrames(spark, dir.toString)
+        .collect().toSet,
+        StreamingOps.streamStreamOuterFrames(spark, dir.toString,
+          "full_outer", 2, None).collect().toSet)
+    }
+    val (lc, fc) = oneSided("click")
+    assert(lc.isEmpty && fc.isEmpty, s"clicks-only: got left=$lc full=$fc")
+    val (ls, fs) = oneSided("signup")
+    assert(ls.isEmpty && fs.isEmpty, s"signups-only: got left=$ls full=$fs")
+  }
+
   test("left outer replay disorder: evicted partner emits a FALSE unmatched row; slack recovers") {
     import java.nio.file.Files
     import spark.implicits._
