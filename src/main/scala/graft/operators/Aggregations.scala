@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -680,11 +681,126 @@ object Aggregations {
       })
   }
 
+  /** Exact weighted median (lower-median convention) per group — the
+    * robust-center statistic a quality-weighted corpus pipeline uses
+    * where a plain median ignores document importance. Aggregate-FIRST
+    * discipline: the corpus collapses to one (group, value) weight table
+    * via a map-combinable hash agg, and the running-weight windows scan
+    * only those ~|groups|·|distinct values| rows — never corpus rows (the
+    * same shape that keeps [[tsMadAnomaly]]'s medians off a corpus-sized
+    * sort at 100 TB). Both windows share one partitioning, so the whole
+    * op is two shuffles end-to-end. Weights are summed as DECIMAL(18,2)
+    * (exact, merge-order independent) and the `cum·2 ≥ tot` pick is pure
+    * integer/decimal comparison — no float in the decision path.
+    */
+  val aggWeightedMedian: Q = Q(
+    "agg_weighted_median",
+    (s, d) => {
+      val g = Tables.read(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("w"))
+      val byFlag = Window.partitionBy(col("l_returnflag"))
+      val cumW = byFlag.orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("cum", sum(col("w")).over(cumW))
+        .withColumn("tot", sum(col("w")).over(byFlag))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("weighted_median"))
+        .orderBy(asc_nulls_first("l_returnflag"))
+    },
+    Some("""WITH g AS (SELECT l_returnflag, l_quantity,
+                              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+                       FROM lineitem GROUP BY 1, 2),
+            c AS (SELECT *,
+                         sum(w) OVER (PARTITION BY l_returnflag
+                           ORDER BY l_quantity
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum,
+                         sum(w) OVER (PARTITION BY l_returnflag) AS tot
+                  FROM g)
+            SELECT l_returnflag, min(l_quantity) AS weighted_median
+            FROM c WHERE cum * 2 >= tot
+            GROUP BY 1 ORDER BY l_returnflag NULLS FIRST"""))
+
+  /** Algebraic re-aggregation of persisted partials — THE 100 TB
+    * materialized-view pattern: per-(type, day) partials (sum, count)
+    * roll up to per-type totals and averages WITHOUT rescanning raw rows,
+    * exactly (sum/count are algebraic; averages come from merged sums,
+    * never from averaging averages). The oracle computes the same
+    * two-level rollup, certifying partial-merge == direct aggregation.
+    * Values are summed as DECIMAL(18,2) so the merge is order
+    * independent; the final average is one double division.
+    */
+  val aggReaggregatePartials: Q = Q(
+    "agg_reaggregate_partials",
+    (s, d) => {
+      val daily = Tables.read(s, d, "events")
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_rows"),
+          sum(col("s")).cast(DoubleType).as("total_value"))
+        .select(col("event_type"), col("n_days"), col("n_rows"),
+          col("total_value"),
+          (col("total_value") / col("n_rows")).as("avg_value"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    Some("""WITH p AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                              sum(CAST(value AS DECIMAL(18,2))) AS s,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT event_type, count(*) AS n_days,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(sum(s) AS DOUBLE) AS total_value,
+                   CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS avg_value
+            FROM p GROUP BY 1 ORDER BY event_type NULLS FIRST"""))
+
+  /** Count-Min sketch frequency estimation from MERGEABLE per-day
+    * partials — the bounded-memory companion to [[aggHllSketchUnion]]
+    * for point-frequency (not distinct) queries: each day folds into a
+    * fixed d×w counter matrix via Spark's native `count_min_sketch`
+    * aggregate (codegen'd, deterministic under the fixed seed), partials
+    * merge by cell-wise addition, and the merged sketch answers
+    * frequency queries for ANY key without rescanning raw data. Driver
+    * state is O(#days) few-KB sketches (budget-gated like
+    * `llm_mix_rebalance`'s O(#cells) collect — a retention window is
+    * thousands of days, never corpus-sized). The output joins the
+    * estimate against the exact per-type counts, so the CMS guarantee
+    * (exact ≤ est ≤ exact + ε·N w.h.p.) is visible in the result;
+    * SketchDriftSpec-style assertions pin mergeability (partials union
+    * == whole-corpus sketch, byte-identical) and the bound. Randomized
+    * estimator family → no SQL oracle; rows-checked + spec'd.
+    */
+  val aggCountminSketch: Q = Q(
+    "agg_countmin_sketch",
+    (s, d) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val ev = Tables.read(s, d, "events")
+        .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+      val partials = ev.groupBy(col("day"))
+        .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+        .collect()
+      require(partials.length <= 10000,
+        s"${partials.length} day-partials exceed the driver sketch budget")
+      val merged = partials.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val est = udf((t: String) => merged.estimateCount(t))
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_count"))
+        .withColumn("est_count", est(col("event_type")))
+        .withColumn("overcount", col("est_count") - col("exact_count"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     aggGlobal, aggHashGroupby, aggStringAggOrdered, aggCountDistinct,
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
     aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,
     opUdafWeightedAvg, aggMode, aggApproxQuantile, aggBoolLogic,
     aggHeavyHittersMg, aggHllSketchUnion, aggKsTwoSample, aggEntropy,
-    aggMaxBy, aggSkewKurtManual)
+    aggMaxBy, aggSkewKurtManual, aggWeightedMedian, aggReaggregatePartials,
+    aggCountminSketch)
 }

@@ -397,7 +397,49 @@ object Joins {
     joinInnerHash, joinBroadcast, joinLeftOuter, joinRightOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
     joinAsofBackward, joinAsofForward, joinAsofNearest, joinIntervalOverlap,
-    joinIntervalBucketed, joinHintShuffleHash)
+    joinIntervalBucketed, joinHintShuffleHash, joinSkewSalted)
+
+  /** Skew-salted shuffle join — the manual cure for a hot key when the
+    * build side is too big to broadcast and AQE's skew split can't help
+    * (e.g. a pre-AQE engine, or a skewed AGGREGATION downstream).
+    * `event_type` has ~5 values over the whole corpus, so a plain
+    * shuffle join lands 1/5 of 100 TB on five tasks; salting rewrites
+    * the key to (event_type, salt) with a DETERMINISTIC per-row salt
+    * (pmod(xxhash64(event_id), S) — reproducible across retries, unlike
+    * rand()) and replicates each build row S times, spreading every hot
+    * key over S tasks at the cost of an S× build side. Results are
+    * salt-invariant, so the plain-join SQL is the oracle; the SHUFFLE_HASH
+    * hint pins the plan the technique exists for (PlanSpec asserts no
+    * broadcast). S=8 here; at 1000 executors you size S ≈ hot-key rows /
+    * healthy-partition rows.
+    */
+  lazy val joinSkewSalted: Q = Q(
+    "join_skew_salted",
+    (s, d) => {
+      val S = 8
+      val ev = Tables.read(s, d, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(S)).cast("int"))
+      val dim = Tables.read(s, d, "events")
+        .select(col("event_type")).distinct()
+        .withColumn("type_label", upper(col("event_type")))
+        .withColumn("salt", explode(expr(s"sequence(0, ${S - 1})")))
+        .hint("SHUFFLE_HASH")
+      ev.join(dim, Seq("event_type", "salt"))
+        .groupBy(col("type_label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_value"))
+        .orderBy(asc_nulls_first("type_label"))
+    },
+    Some("""WITH dim AS (SELECT DISTINCT event_type,
+                                upper(event_type) AS type_label
+                         FROM events)
+            SELECT type_label, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value
+            FROM events JOIN dim USING (event_type)
+            GROUP BY type_label ORDER BY type_label NULLS FIRST"""))
 
   /** Join-strategy hint surface: the same orders⋈customer join FORCED to
     * a shuffled hash join via `hint("SHUFFLE_HASH")` — the strategy you

@@ -1836,7 +1836,68 @@ object LlmOps {
             WHERE levenshtein(a.head, c.head) <= 20
             ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
 
+  /** Containment near-dup detection — the ASYMMETRIC measure Jaccard
+    * misses: a short document wholly embedded in a long one has tiny
+    * Jaccard (union is dominated by the long doc) but containment
+    * |A∩B|/min(|A|,|B|) ≈ 1, which is exactly the quote/boilerplate/
+    * excerpt duplication a pretraining corpus needs caught. Same
+    * 3-gram-shingle engine as [[llmNgramJaccard]] (shingles collapse to
+    * xxhash64 longs before the distinct and the inverted-index self-join,
+    * so the corpus-wide shuffle carries fixed 8-byte keys; the oracle
+    * computes on raw strings — a cross-shingle collision perturbs one
+    * count with probability ~2⁻⁶⁴); only the denominator changes. The
+    * shared shingle plan materializes once via cache, the candidate set
+    * is bounded by shared-shingle density, and the threshold test is one
+    * IEEE division on identical operands in both engines.
+    */
+  val llmDedupContainment: Q = Q(
+    "llm_dedup_containment",
+    (s, d) => {
+      val sh = Tables.read(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', t[i-1], t[i], t[i+1]))"))
+          .as("sh_raw"))
+        .select(col("doc_id"), xxhash64(col("sh_raw")).as("sh"))
+        .distinct()
+        .cache()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.select(col("doc_id").as("id1"), col("sh"))
+        .join(sh.select(col("doc_id").as("id2"), col("sh")), "sh")
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
+        .withColumn("containment",
+          col("inter").cast(DoubleType) / least(col("n1"), col("n2")))
+        .filter(col("containment") >= 0.08)
+        .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"),
+          col("containment"))
+        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+    },
+    Some("""WITH sh AS (
+              SELECT DISTINCT doc_id, unnest(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> concat_ws(' ', string_split(text, ' ')[i],
+                                           string_split(text, ' ')[i+1],
+                                           string_split(text, ' ')[i+2]))) AS sh
+              FROM documents),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id)
+            SELECT id1, id2, inter,
+                   s1.sz AS n1, s2.sz AS n2,
+                   CAST(inter AS DOUBLE) / least(s1.sz, s2.sz) AS containment
+            FROM inter JOIN sizes s1 ON id1 = s1.doc_id
+                       JOIN sizes s2 ON id2 = s2.doc_id
+            WHERE CAST(inter AS DOUBLE) / least(s1.sz, s2.sz) >= 0.08
+            ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
+    llmDedupContainment,
     llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
     llmDedupSimhash, llmDedupClusterRep, llmSubstringDedup,

@@ -1163,11 +1163,134 @@ object PipelineOps {
             FROM dau d LEFT JOIN ret r ON d.day = r.day
             ORDER BY d.day"""))
 
+  /** MAD-based robust anomaly detection — the outlier gate `ts_zscore_
+    * anomaly`'s mean/stddev version breaks on: one huge outlier inflates
+    * a stddev but barely moves a median, so MAD keeps flagging what z
+    * misses. Exact LOWER medians (no interpolation — a float-free
+    * cross-engine decision) via the aggregate-first discipline: the
+    * corpus collapses to a (type, value) count table (map-combinable
+    * hash agg), running-count windows rank only those ~|distinct values|
+    * rows, and the 5-row median/MAD table broadcasts back for the final
+    * streaming count — corpus rows are never sorted or shuffled beyond
+    * the two count aggs. `dev = |value − med|` and the `> 3·MAD` test
+    * are single IEEE ops on identical operands in both engines.
+    */
+  val tsMadAnomaly: Q = Q(
+    "ts_mad_anomaly",
+    (s, d) => {
+      val ev = Tables.read(s, d, "events").select(col("event_type"), col("value"))
+      def lowerMedian(df: DataFrame, valCol: String, outCol: String): DataFrame = {
+        val g = df.groupBy(col("event_type"), col(valCol))
+          .agg(count(lit(1)).as("n"))
+        val byType = Window.partitionBy(col("event_type"))
+        val cum = byType.orderBy(col(valCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        g.withColumn("cum", sum(col("n")).over(cum))
+          .withColumn("tot", sum(col("n")).over(byType))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy(col("event_type")).agg(min(col(valCol)).as(outCol))
+      }
+      val med = lowerMedian(ev, "value", "med")
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
+      val mad = lowerMedian(dev, "dev", "mad")
+      ev.join(broadcast(med.join(mad, "event_type")), "event_type")
+        .groupBy(col("event_type"))
+        .agg(max(col("med")).as("median_value"), max(col("mad")).as("mad"),
+          expr("count_if(abs(value - med) > 3 * mad)").as("n_anomalies"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    Some("""WITH ev AS (SELECT event_type, value FROM events),
+            g1 AS (SELECT event_type, value, count(*) AS n
+                   FROM ev GROUP BY 1, 2),
+            c1 AS (SELECT *,
+                          sum(n) OVER (PARTITION BY event_type ORDER BY value
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS cum,
+                          sum(n) OVER (PARTITION BY event_type) AS tot
+                   FROM g1),
+            med AS (SELECT event_type, min(value) AS med
+                    FROM c1 WHERE cum * 2 >= tot GROUP BY 1),
+            dv AS (SELECT ev.event_type, abs(value - med) AS dev
+                   FROM ev JOIN med USING (event_type)),
+            g2 AS (SELECT event_type, dev, count(*) AS n
+                   FROM dv GROUP BY 1, 2),
+            c2 AS (SELECT *,
+                          sum(n) OVER (PARTITION BY event_type ORDER BY dev
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS cum,
+                          sum(n) OVER (PARTITION BY event_type) AS tot
+                   FROM g2),
+            mad AS (SELECT event_type, min(dev) AS mad
+                    FROM c2 WHERE cum * 2 >= tot GROUP BY 1)
+            SELECT ev.event_type, max(med) AS median_value, max(mad) AS mad,
+                   CAST(count_if(abs(value - med) > 3 * mad) AS BIGINT)
+                     AS n_anomalies,
+                   count(*) AS n_rows
+            FROM ev JOIN med USING (event_type) JOIN mad USING (event_type)
+            GROUP BY ev.event_type ORDER BY ev.event_type NULLS FIRST"""))
+
+  /** PMI collocation mining — the phrase/multi-word-expression extractor
+    * a tokenizer-training pipeline runs before merging frequent pairs:
+    * top bigrams by pointwise mutual information ln(P(w₁w₂)/(P(w₁·)P(·w₂)))
+    * with a min-count support filter against PMI's rare-pair bias. All
+    * probabilities derive from ONE corpus bigram pass ([[llmBigramLogprob]]'s
+    * Generator): marginals and the grand total are rollups of the
+    * |bigram-vocab| count table, the scalar total broadcasts in (the
+    * `agg_ks_two_sample` idiom), and AQE sizes the marginal joins. The
+    * counts are < 2⁵³ so the single double division is exact-operand
+    * IEEE, and `round(ln, 6)` is the repo's cross-engine transcendental
+    * discipline; top-50 via orderBy+limit = TakeOrderedAndProject (no
+    * global sort), deterministic because the (pmi, w1, w2) sort key is
+    * unique.
+    */
+  val llmNgramPmi: Q = Q(
+    "llm_ngram_pmi",
+    (s, d) => {
+      val bg = Tables.read(s, d, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .select(explode(expr(
+          """CASE WHEN size(t) >= 2
+               THEN transform(sequence(1, size(t) - 1),
+                              i -> struct(element_at(t, i) AS w1,
+                                          element_at(t, i + 1) AS w2))
+               ELSE CAST(array() AS array<struct<w1: string, w2: string>>) END"""))
+          .as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb")).truncated
+      val rs = cb.groupBy(col("w1")).agg(sum(col("nb")).as("n1"))
+      val cs = cb.groupBy(col("w2")).agg(sum(col("nb")).as("n2"))
+      val tot = cb.agg(sum(col("nb")).as("total"))
+      cb.filter(col("nb") >= 5)
+        .join(rs, "w1").join(cs, "w2").crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("nb"), col("n1"), col("n2"),
+          round(expr(
+            "ln((CAST(nb AS DOUBLE) * total) / (CAST(n1 AS DOUBLE) * n2))"), 6)
+            .as("pmi"))
+        .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+        .limit(50)
+    },
+    Some("""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT t, unnest(range(1, len(t))) AS i FROM toks),
+            bg AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM pos),
+            cb AS (SELECT w1, w2, count(*) AS nb FROM bg GROUP BY 1, 2),
+            rs AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS n1 FROM cb GROUP BY 1),
+            cs AS (SELECT w2, CAST(sum(nb) AS BIGINT) AS n2 FROM cb GROUP BY 1),
+            tot AS (SELECT CAST(sum(nb) AS BIGINT) AS total FROM cb)
+            SELECT w1, w2, nb, n1, n2,
+                   round(ln((CAST(nb AS DOUBLE) * total) /
+                            (CAST(n1 AS DOUBLE) * n2)), 6) AS pmi
+            FROM cb JOIN rs USING (w1) JOIN cs USING (w2) CROSS JOIN tot
+            WHERE nb >= 5
+            ORDER BY pmi DESC, w1, w2 LIMIT 50"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,
     tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
-    tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention)
+    tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
+    tsMadAnomaly, llmNgramPmi)
 }

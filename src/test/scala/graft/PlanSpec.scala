@@ -142,6 +142,46 @@ class PlanSpec extends SparkSpec {
       s"bigram model must never be materialized on the driver:\n${p.take(900)}")
   }
 
+  test("join_skew_salted plans a shuffled hash join on the salted key, never broadcast") {
+    val p = plan(Joins.joinSkewSalted.fn(spark, sf))
+    // the op exists for the can't-broadcast case: a broadcast plan would
+    // make the salting dead weight and hide the skew behavior under test
+    assert(p.contains("ShuffledHashJoin"), p.take(1200))
+    assert(!p.contains("BroadcastHashJoin"),
+      s"salted join must not revert to broadcast:\n${p.take(1200)}")
+  }
+
+  test("llm_ngram_pmi: top-50 is TakeOrderedAndProject; model tables stay distributed") {
+    val p = plan(PipelineOps.llmNgramPmi.fn(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n${p.take(1200)}")
+    assert(!p.contains("LocalTableScan"),
+      s"marginal tables must never be materialized on the driver:\n${p.take(1200)}")
+  }
+
+  test("agg_weighted_median: both windows and the final agg share the group shuffle") {
+    val p = plan(Aggregations.aggWeightedMedian.fn(spark, sf))
+    // (flag, qty) groupBy exchange + flag window exchange + presentation
+    // sort; the running and total windows share one partitioning, and
+    // HashPartitioning(flag) satisfies the final groupBy — nothing else
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+  }
+
+  test("ts_mad_anomaly: median windows run over aggregated counts, not corpus rows") {
+    val p = plan(PipelineOps.tsMadAnomaly.fn(spark, sf))
+    // every Window node must sit above a HashAggregate (the (type, value)
+    // count table) — a window whose child scans raw events would be the
+    // corpus-sort plan this op exists to avoid; med/MAD join back via
+    // broadcast
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    val winOverScan = p.linesIterator.sliding(6).exists(w =>
+      w.head.trim.startsWith("Window") &&
+        w.tail.exists(_.contains("FileScan")) &&
+        !w.tail.exists(_.contains("HashAggregate")))
+    assert(!winOverScan, s"a median window scans raw rows:\n${p.take(1500)}")
+  }
+
   test("agg_entropy: per-user total rides the groupBy output, bounded exchanges") {
     val p = plan(Aggregations.aggEntropy.fn(spark, sf))
     // (user,type) groupBy + user window + (user,tot) re-agg + final sort;
