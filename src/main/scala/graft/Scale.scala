@@ -55,13 +55,15 @@ object Scale {
     "op_zorder3_layout", "join_asof_nearest", "agg_entropy", "agg_max_by",
     "agg_skew_kurt_manual", "llm_bigram_logprob", "ts_interval_union",
     "src_schema_merge_roundtrip", "win_cumulative_distinct",
-    "ts_daily_retention")
+    "ts_daily_retention", "agg_weighted_median", "agg_reaggregate_partials",
+    "ts_mad_anomaly", "llm_ngram_pmi", "join_skew_salted",
+    "agg_countmin_sketch")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
     "llm_substring_dedup", "graph_pagerank", "stream_stream_join",
     "llm_edit_distance_dup", "graph_triangle_count", "stream_stream_left_outer",
-    "stream_stream_full_outer")
+    "stream_stream_full_outer", "llm_dedup_containment")
 
   /** Rehearsal overrides for ops whose registered form assumes the
     * driver's single-file corpus. The k× events table is MANY parquet

@@ -1285,6 +1285,67 @@ object PipelineOps {
             WHERE nb >= 5
             ORDER BY pmi DESC, w1, w2 LIMIT 50"""))
 
+  /** Deterministic global corpus shuffle — the training-data-loader
+    * problem: every document gets a REPRODUCIBLE global position, so any
+    * worker can compute its slice without coordination and a re-run
+    * yields the identical order. The shuffle key is md5(doc_id ‖ epoch
+    * tag) — a portable keyed hash both engines compute identically — and
+    * the global ordinal comes from [[TwoPassScan]]: range-partition by
+    * key, per-partition counts prefix-combined on the driver
+    * (O(#partitions), never data), positions emitted in pass 2. No
+    * single-partition window anywhere — the exact plan `llm_vocab_build`
+    * uses for ranks, reused for the one remaining "global order" op a
+    * pipeline needs. Changing the epoch tag reshuffles the corpus — the
+    * per-epoch reshuffle training runs expect.
+    */
+  val llmCorpusShuffle: Q = Q(
+    "llm_corpus_shuffle",
+    (s, d) => {
+      val keyed = Tables.read(s, d, "documents")
+        .select(expr("md5(concat(cast(doc_id as string), ':epoch0'))")
+          .as("shuffle_key"), col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("shuffle_pos", LongType, nullable = false),
+        StructField("doc_id", LongType, nullable = true),
+        StructField("shuffle_key", StringType, nullable = true)))
+      TwoPassScan[Long](keyed, Seq(asc("shuffle_key"), asc("doc_id")), schema,
+        0L, add = (n, _) => n + 1L, combine = _ + _,
+        emit = (_, pos, r) =>
+          (org.apache.spark.sql.Row(pos, r.getLong(1), r.getString(0)), pos + 1L))
+        .orderBy(asc("shuffle_pos"))
+    },
+    Some("""SELECT row_number() OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch0'), doc_id)
+                   - 1 AS shuffle_pos,
+                   doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS shuffle_key
+            FROM documents ORDER BY shuffle_pos"""))
+
+  /** Fractional-epoch dataset repetition — "train on this corpus for 2.5
+    * epochs" materialized: every doc appears in epochs 0 and 1, and a
+    * DETERMINISTIC md5-keyed half of the docs (first hex digit < '8')
+    * appears in epoch 2 — reproducible across runs and engines, unlike a
+    * rand() sample, and unbiased w.r.t. doc order unlike `doc_id % 2`.
+    * Pure map-side generator (explode of a per-row epoch array): no
+    * shuffle, no state — the output streams straight to the next
+    * pipeline stage at any corpus size.
+    */
+  val llmEpochRepeat: Q = Q(
+    "llm_epoch_repeat",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          explode(expr(
+            """CASE WHEN substring(md5(concat(cast(doc_id as string), ':rep')), 1, 1) < '8'
+                 THEN array(0, 1, 2) ELSE array(0, 1) END""")).as("epoch"))
+        .orderBy(asc_nulls_first("doc_id"), asc("epoch")),
+    Some("""SELECT doc_id, n_chars, epoch FROM (
+              SELECT doc_id, n_chars, unnest(
+                       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':rep'), 1, 1) < '8'
+                            THEN [0, 1, 2] ELSE [0, 1] END) AS epoch
+              FROM documents)
+            ORDER BY doc_id NULLS FIRST, epoch"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
@@ -1292,5 +1353,5 @@ object PipelineOps {
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,
     tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
-    tsMadAnomaly, llmNgramPmi)
+    tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat)
 }

@@ -146,8 +146,58 @@ object SetOps {
             SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity > 40
             ORDER BY l_suppkey NULLS FIRST, l_returnflag NULLS FIRST"""))
 
+  /** Snapshot diff / reconciliation — the validation a CDC pipeline runs
+    * to certify sink == source (the reference's whole purpose, verified
+    * by eye in its `setup.sh:168-207` probes; this is the operator form):
+    * classify every key as insert / delete / update between two
+    * snapshots and emit per-class counts + a key checksum. The "new"
+    * snapshot derives deterministically from orders (drop key%97,
+    * perturb value on key%13, insert key%101 under shifted keys) so the
+    * oracle reproduces it exactly. At 100 TB the diff is ONE
+    * co-partitioned full-outer hash join on the key — bucketing both
+    * snapshots on the key makes it shuffle-free — and the output is the
+    * aggregated class table, never a row-level collect; unchanged rows
+    * (the overwhelming mass) are filtered before the aggregation.
+    */
+  val opSnapshotDiff: Q = Q(
+    "op_snapshot_diff",
+    (s, d) => {
+      val o = Tables.read(s, d, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val n = o.filter(col("k") % 97 =!= 0)
+        .select(col("k"),
+          when(col("k") % 13 === 0, col("v") + 1.0).otherwise(col("v")).as("v"))
+        .unionByName(o.filter(col("k") % 101 === 0)
+          .select((col("k") + 1000000000L).as("k"), col("v")))
+      o.select(col("k").as("ko"), col("v").as("vo"))
+        .join(n.select(col("k").as("kn"), col("v").as("vn")),
+          col("ko") === col("kn"), "full_outer")
+        .filter(col("ko").isNull || col("kn").isNull || col("vo") =!= col("vn"))
+        .select(when(col("ko").isNull, "insert")
+          .when(col("kn").isNull, "delete")
+          .otherwise("update").as("change_type"),
+          coalesce(col("ko"), col("kn")).as("k"))
+        .groupBy(col("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("key_checksum"))
+        .orderBy(asc_nulls_first("change_type"))
+    },
+    Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+            nw AS (SELECT k, CASE WHEN k % 13 = 0 THEN v + 1.0 ELSE v END AS v
+                   FROM o WHERE k % 97 <> 0
+                   UNION ALL
+                   SELECT k + 1000000000, v FROM o WHERE k % 101 = 0),
+            j AS (SELECT o.k AS ko, o.v AS vo, nw.k AS kn, nw.v AS vn
+                  FROM o FULL JOIN nw ON o.k = nw.k)
+            SELECT CASE WHEN ko IS NULL THEN 'insert'
+                        WHEN kn IS NULL THEN 'delete'
+                        ELSE 'update' END AS change_type,
+                   count(*) AS n,
+                   CAST(sum(coalesce(ko, kn)) AS BIGINT) AS key_checksum
+            FROM j WHERE ko IS NULL OR kn IS NULL OR vo <> vn
+            GROUP BY 1 ORDER BY change_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     opSortMulti, opLimitSorted, opTopkGlobal, setopUnionAll,
     setopUnionDistinct, setopIntersect, setopExcept, setopExceptAll,
-    setopIntersectAll)
+    setopIntersectAll, opSnapshotDiff)
 }

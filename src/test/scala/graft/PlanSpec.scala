@@ -182,6 +182,19 @@ class PlanSpec extends SparkSpec {
     assert(!winOverScan, s"a median window scans raw rows:\n${p.take(1500)}")
   }
 
+  test("llm_corpus_shuffle ranks globally with no single-partition exchange") {
+    val p = plan(PipelineOps.llmCorpusShuffle.fn(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      s"global shuffle position must come from the two-pass scan, not one task:\n${p.take(1200)}")
+  }
+
+  test("op_snapshot_diff keeps the key diff an equi full-outer join") {
+    val p = plan(SetOps.opSnapshotDiff.fn(spark, sf))
+    assert(p.contains("FullOuter"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"diff must stay a hash/merge equi-join:\n${p.take(1200)}")
+  }
+
   test("agg_entropy: per-user total rides the groupBy output, bounded exchanges") {
     val p = plan(Aggregations.aggEntropy.fn(spark, sf))
     // (user,type) groupBy + user window + (user,tot) re-agg + final sort;
