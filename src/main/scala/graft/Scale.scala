@@ -57,7 +57,8 @@ object Scale {
     "src_schema_merge_roundtrip", "win_cumulative_distinct",
     "ts_daily_retention", "agg_weighted_median", "agg_reaggregate_partials",
     "ts_mad_anomaly", "llm_ngram_pmi", "join_skew_salted",
-    "agg_countmin_sketch")
+    "agg_countmin_sketch", "llm_corpus_shuffle", "llm_epoch_repeat",
+    "op_snapshot_diff")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",

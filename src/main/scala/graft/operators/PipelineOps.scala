@@ -1346,6 +1346,50 @@ object PipelineOps {
               FROM documents)
             ORDER BY doc_id NULLS FIRST, epoch"""))
 
+  /** Day-of-week seasonality profile — the decomposition step before any
+    * anomaly gate on business-cycled data (a Monday spike is seasonality,
+    * not drift): per (series, weekday) volume and mean vs the series'
+    * overall mean, with the seasonal delta made explicit. Aggregate-first
+    * ALL the way: one corpus hash agg to the 7·|series| profile cells,
+    * the overall row ROLLS UP from those cells (never a second corpus
+    * pass), and the join is cell-table sized. DECIMAL sums make every
+    * mean a single exact-operand double division.
+    */
+  val tsWeekdayProfile: Q = Q(
+    "ts_weekday_profile",
+    (s, d) => {
+      val byWd = Tables.read(s, d, "events")
+        .select(col("event_type"),
+          expr("((ts div 1000) div 86400000000) % 7").as("wd"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .groupBy(col("event_type"), col("wd"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      val byType = byWd.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_all"), sum(col("s")).as("s_all"))
+      byWd.join(byType, "event_type")
+        .select(col("event_type"), col("wd"), col("n"),
+          (col("s").cast(DoubleType) / col("n")).as("wd_avg"),
+          (col("s_all").cast(DoubleType) / col("n_all")).as("overall_avg"),
+          ((col("s").cast(DoubleType) / col("n"))
+            - (col("s_all").cast(DoubleType) / col("n_all"))).as("seasonal_delta"))
+        .orderBy(asc_nulls_first("event_type"), asc("wd"))
+    },
+    Some("""WITH w AS (SELECT event_type,
+                              (epoch_us(ts) // 86400000000) % 7 AS wd,
+                              count(*) AS n,
+                              sum(CAST(value AS DECIMAL(18,2))) AS s
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_all,
+                         sum(s) AS s_all
+                  FROM w GROUP BY 1)
+            SELECT w.event_type, w.wd, w.n,
+                   CAST(s AS DOUBLE) / n AS wd_avg,
+                   CAST(s_all AS DOUBLE) / n_all AS overall_avg,
+                   CAST(s AS DOUBLE) / n - CAST(s_all AS DOUBLE) / n_all
+                     AS seasonal_delta
+            FROM w JOIN t USING (event_type)
+            ORDER BY w.event_type NULLS FIRST, w.wd"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
@@ -1353,5 +1397,6 @@ object PipelineOps {
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,
     tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
-    tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat)
+    tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
+    tsWeekdayProfile)
 }

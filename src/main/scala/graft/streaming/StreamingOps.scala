@@ -288,6 +288,43 @@ object StreamingOps {
     * with its count, maintained as custom map state across micro-batches.
     * Batch equivalent: groupBy(user, type).count — spec-tested.
     */
+  /** Stream-static join — the everyday enrichment shape (stream ⋈
+    * dimension): each streamed event joins a STATIC dimension the planner
+    * broadcasts into every micro-batch; no watermark, no join state, no
+    * eviction — the static side is simply available, which is why this
+    * is the FIRST join a streaming pipeline reaches for and the state
+    * discipline `stream_stream_join` needs does not apply. The dimension
+    * here derives from the batch corpus (distinct event_type → label),
+    * mirroring the lookup-table enrichment a CDC pipeline does against a
+    * replicated dim. Inner join → append mode; the replayed result is
+    * the batch join exactly, so the plain join SQL is the oracle. The
+    * post-run groupBy is presentation only (bounded |types| rows).
+    */
+  val streamStaticJoin: Q = Q(
+    "stream_static_join",
+    (s, d) => {
+      val dim = Tables.read(s, d, "events")
+        .select(col("event_type")).distinct()
+        .withColumn("type_label", upper(col("event_type")))
+      val enriched = streamedEvents(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .join(broadcast(dim), "event_type")
+      StreamRunner.runToTable(enriched, "append")
+        .groupBy(col("type_label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_value"))
+        .orderBy(asc_nulls_first("type_label"))
+    },
+    Some("""WITH dim AS (SELECT DISTINCT event_type,
+                                upper(event_type) AS type_label
+                         FROM events)
+            SELECT type_label, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value
+            FROM events JOIN dim USING (event_type)
+            GROUP BY type_label ORDER BY type_label NULLS FIRST"""))
+
   val streamFlatmapTypeCounts: Q = Q(
     "stream_flatmap_type_counts",
     (s, d) => {
@@ -515,5 +552,5 @@ object StreamingOps {
     streamTumblingCount, streamSlidingSum, streamSessionWindow,
     streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert,
     streamStatefulRunningMax, streamFlatmapTypeCounts, streamStreamJoin,
-    streamStreamLeftOuter, streamStreamFullOuter)
+    streamStreamLeftOuter, streamStreamFullOuter, streamStaticJoin)
 }
