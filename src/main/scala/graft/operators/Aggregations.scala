@@ -696,7 +696,12 @@ object Aggregations {
   val aggWeightedMedian: Q = Q(
     "agg_weighted_median",
     (s, d) => {
+      // NULL quantities are excluded (mirrored in the oracle): a median
+      // over values is undefined for NULL, and leaving them in would put
+      // the NULL cell at the running sum's HEAD in Spark (ASC NULLS
+      // FIRST) but TAIL in DuckDB (NULLS LAST), shifting every cum
       val g = Tables.read(s, d, "lineitem")
+        .filter(col("l_quantity").isNotNull)
         .groupBy(col("l_returnflag"), col("l_quantity"))
         .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("w"))
       val byFlag = Window.partitionBy(col("l_returnflag"))
@@ -711,7 +716,8 @@ object Aggregations {
     },
     Some("""WITH g AS (SELECT l_returnflag, l_quantity,
                               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
-                       FROM lineitem GROUP BY 1, 2),
+                       FROM lineitem WHERE l_quantity IS NOT NULL
+                       GROUP BY 1, 2),
             c AS (SELECT *,
                          sum(w) OVER (PARTITION BY l_returnflag
                            ORDER BY l_quantity
@@ -785,9 +791,16 @@ object Aggregations {
         .collect()
       require(partials.length <= 10000,
         s"${partials.length} day-partials exceed the driver sketch budget")
-      val merged = partials.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
-        .reduce { (a, b) => a.mergeInPlace(b); a }
-      val est = udf((t: String) => merged.estimateCount(t))
+      // empty corpus → no partials to merge; the exact side is empty too,
+      // so the estimator is never called — but reduce() on empty throws
+      val est =
+        if (partials.isEmpty) udf((_: String) => 0L)
+        else {
+          val merged = partials
+            .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk")))
+            .reduce { (a, b) => a.mergeInPlace(b); a }
+          udf((t: String) => merged.estimateCount(t))
+        }
       ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact_count"))
         .withColumn("est_count", est(col("event_type")))
         .withColumn("overcount", col("est_count") - col("exact_count"))

@@ -1178,7 +1178,12 @@ object PipelineOps {
   val tsMadAnomaly: Q = Q(
     "ts_mad_anomaly",
     (s, d) => {
-      val ev = Tables.read(s, d, "events").select(col("event_type"), col("value"))
+      // NULL values are excluded (mirrored in the oracle): medians are
+      // over observed values only, and a NULL cell would sort to the
+      // running count's head in Spark but tail in DuckDB, shifting cum
+      val ev = Tables.read(s, d, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
       def lowerMedian(df: DataFrame, valCol: String, outCol: String): DataFrame = {
         val g = df.groupBy(col("event_type"), col(valCol))
           .agg(count(lit(1)).as("n"))
@@ -1201,7 +1206,8 @@ object PipelineOps {
           count(lit(1)).as("n_rows"))
         .orderBy(asc_nulls_first("event_type"))
     },
-    Some("""WITH ev AS (SELECT event_type, value FROM events),
+    Some("""WITH ev AS (SELECT event_type, value FROM events
+                        WHERE value IS NOT NULL),
             g1 AS (SELECT event_type, value, count(*) AS n
                    FROM ev GROUP BY 1, 2),
             c1 AS (SELECT *,
@@ -1301,7 +1307,11 @@ object PipelineOps {
   val llmCorpusShuffle: Q = Q(
     "llm_corpus_shuffle",
     (s, d) => {
+      // NULL doc_ids are excluded (mirrored in the oracle): their md5 key
+      // is NULL, which Spark sorts first and DuckDB last — and a shuffle
+      // position for an unidentifiable document is meaningless anyway
       val keyed = Tables.read(s, d, "documents")
+        .filter(col("doc_id").isNotNull)
         .select(expr("md5(concat(cast(doc_id as string), ':epoch0'))")
           .as("shuffle_key"), col("doc_id"))
       val schema = StructType(Seq(
@@ -1319,7 +1329,8 @@ object PipelineOps {
                    - 1 AS shuffle_pos,
                    doc_id,
                    md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS shuffle_key
-            FROM documents ORDER BY shuffle_pos"""))
+            FROM documents WHERE doc_id IS NOT NULL
+            ORDER BY shuffle_pos"""))
 
   /** Fractional-epoch dataset repetition — "train on this corpus for 2.5
     * epochs" materialized: every doc appears in epochs 0 and 1, and a

@@ -15,9 +15,14 @@ class Round13Spec extends SparkSpec {
     // flag X: one heavy row drags the weighted median to 10 (the plain
     // median of the values would be 2); flag Y: even total weight picks
     // the LOWER median (1, not 2)
-    val rows = Seq(
-      ("X", 1.0, 1.00), ("X", 2.0, 1.00), ("X", 10.0, 10.00),
-      ("Y", 1.0, 1.00), ("Y", 2.0, 1.00))
+    // the NULL-quantity row must be EXCLUDED, not sorted to either end
+    // (Spark and DuckDB disagree on where NULLs sort, so inclusion would
+    // diverge): with it counted, X's heavy tail would no longer reach
+    // cum·2 ≥ tot at value 10
+    val rows = Seq[(String, Option[Double], Double)](
+      ("X", Some(1.0), 1.00), ("X", Some(2.0), 1.00), ("X", Some(10.0), 10.00),
+      ("X", None, 50.00),
+      ("Y", Some(1.0), 1.00), ("Y", Some(2.0), 1.00))
     val d = graft.util.TempDirs.create("r13_wmedian")
     rows.toDF("l_returnflag", "l_quantity", "l_extendedprice")
       .write.parquet(d.resolve("lineitem.parquet").toString)
@@ -32,17 +37,34 @@ class Round13Spec extends SparkSpec {
     // the outlier-inflated stddev (~44) would NOT flag it at 3σ from the
     // mean (~20.8); MAD stays 0 so the robust gate flags exactly it.
     // type b: symmetric series, MAD 1, nothing beyond 3·MAD.
-    val rows = Seq(
-      ("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 100.0),
-      ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 5.0))
+    // the NULL value is excluded from median, MAD and row counts alike
+    val rows = Seq[(String, Option[Double])](
+      ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(1.0)), ("a", Some(1.0)),
+      ("a", Some(100.0)), ("a", None),
+      ("b", Some(1.0)), ("b", Some(2.0)), ("b", Some(3.0)), ("b", Some(4.0)),
+      ("b", Some(5.0)))
     val d = graft.util.TempDirs.create("r13_mad")
     rows.toDF("event_type", "value")
       .write.parquet(d.resolve("events.parquet").toString)
     val got = PipelineOps.tsMadAnomaly.fn(spark, d.toString).collect()
-      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3))))
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))))
       .toMap
-    assert(got("a") == ((1.0, 0.0, 1L)), s"got ${got("a")}")
-    assert(got("b") == ((3.0, 1.0, 0L)), s"got ${got("b")}")
+    assert(got("a") == ((1.0, 0.0, 1L, 5L)), s"got ${got("a")}")
+    assert(got("b") == ((3.0, 1.0, 0L, 5L)), s"got ${got("b")}")
+  }
+
+  test("llm_corpus_shuffle: NULL doc_ids are excluded; positions stay dense") {
+    import spark.implicits._
+    val rows = Seq[(Option[Long], String)](
+      (Some(1L), "a"), (Some(2L), "b"), (None, "c"), (Some(3L), "d"))
+    val d = graft.util.TempDirs.create("r13_shuffle_null")
+    rows.toDF("doc_id", "text")
+      .write.parquet(d.resolve("documents.parquet").toString)
+    val got = PipelineOps.llmCorpusShuffle.fn(spark, d.toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.map(_._1).toSeq.sorted == Seq(0L, 1L, 2L), s"got ${got.toList}")
+    assert(got.map(_._2).toSet == Set(1L, 2L, 3L), s"got ${got.toList}")
   }
 
   test("join_skew_salted equals the plain unsalted join on the corpus") {
