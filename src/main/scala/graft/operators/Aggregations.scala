@@ -808,7 +808,38 @@ object Aggregations {
     },
     None)
 
+  /** Pairwise co-occurrence (market-basket support counts): for every
+    * unordered event-type pair, how many users exhibit BOTH — the
+    * association-rule support table behind "users who X also Y".
+    * Dedup-FIRST discipline: the corpus collapses to the distinct
+    * (user, type) incidence set via one map-combinable agg, and the
+    * self-join runs on that set — per-user fan-out is bounded by
+    * |types|² (25 here), so the join output is |users|·|types|², never
+    * corpus². The t1 < t2 inequality keeps each unordered pair exactly
+    * once. NULL types drop in the equi-join identically in both engines.
+    */
+  val aggTypeCooccurrence: Q = Q(
+    "agg_type_cooccurrence",
+    (s, d) => {
+      val inc = Tables.read(s, d, "events")
+        .select(col("user_id"), col("event_type")).distinct()
+      inc.select(col("user_id"), col("event_type").as("t1"))
+        .join(inc.select(col("user_id"), col("event_type").as("t2")), "user_id")
+        .filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(asc_nulls_first("t1"), asc_nulls_first("t2"))
+    },
+    Some("""WITH inc AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS t1, b.event_type AS t2,
+                   count(*) AS n_users
+            FROM inc a JOIN inc b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            ORDER BY t1 NULLS FIRST, t2 NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
+    aggTypeCooccurrence,
     aggGlobal, aggHashGroupby, aggStringAggOrdered, aggCountDistinct,
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
     aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,

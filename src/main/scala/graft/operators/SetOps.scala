@@ -196,8 +196,43 @@ object SetOps {
             FROM j WHERE ko IS NULL OR kn IS NULL OR vo <> vn
             GROUP BY 1 ORDER BY change_type NULLS FIRST"""))
 
+  /** Order-independent table checksum — the cross-system data-equality
+    * probe ([[opSnapshotDiff]]'s cheap sibling): every row serializes
+    * canonically (per-column NULL sentinel, so a shifted NULL cannot
+    * alias another row), hashes through a PORTABLE md5-prefix (both
+    * engines parse the same 8 hex chars to the same integer), and the
+    * per-group checksum is the SUM of row hashes — commutative, so the
+    * result is partition-, order- and engine-independent, and two
+    * systems can compare fingerprints without moving a single row. The
+    * sum accumulates in DECIMAL(38,0): at 10¹² rows a BIGINT sum of
+    * 2³²-scale hashes overflows (ANSI Spark would throw), decimal never
+    * wraps. One map-side-combinable hash agg; zero joins.
+    */
+  val opTableChecksum: Q = Q(
+    "op_table_checksum",
+    (s, d) =>
+      Tables.read(s, d, "orders")
+        .select(col("o_orderstatus"),
+          expr("""cast(conv(substring(md5(concat(
+                    coalesce(cast(o_orderkey as string), '<null>'), '|',
+                    coalesce(cast(o_custkey as string), '<null>'), '|',
+                    coalesce(o_orderpriority, '<null>'))), 1, 8), 16, 10)
+                  as decimal(20,0))""").as("h"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("h")).cast("decimal(38,0)").as("checksum"))
+        .orderBy(asc_nulls_first("o_orderstatus")),
+    Some("""SELECT o_orderstatus, count(*) AS n_rows,
+                   CAST(sum(CAST(('0x' || substr(md5(concat(
+                          coalesce(CAST(o_orderkey AS VARCHAR), '<null>'), '|',
+                          coalesce(CAST(o_custkey AS VARCHAR), '<null>'), '|',
+                          coalesce(o_orderpriority, '<null>'))), 1, 8))
+                        AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+            FROM orders GROUP BY o_orderstatus
+            ORDER BY o_orderstatus NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     opSortMulti, opLimitSorted, opTopkGlobal, setopUnionAll,
     setopUnionDistinct, setopIntersect, setopExcept, setopExceptAll,
-    setopIntersectAll, opSnapshotDiff)
+    setopIntersectAll, opSnapshotDiff, opTableChecksum)
 }
