@@ -58,7 +58,8 @@ object Scale {
     "ts_daily_retention", "agg_weighted_median", "agg_reaggregate_partials",
     "ts_mad_anomaly", "llm_ngram_pmi", "join_skew_salted",
     "agg_countmin_sketch", "llm_corpus_shuffle", "llm_epoch_repeat",
-    "op_snapshot_diff", "op_table_checksum", "agg_type_cooccurrence")
+    "op_snapshot_diff", "op_table_checksum", "agg_type_cooccurrence",
+    "agg_exact_quantiles", "ts_cross_correlation")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",

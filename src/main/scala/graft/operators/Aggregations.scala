@@ -838,8 +838,38 @@ object Aggregations {
             GROUP BY 1, 2
             ORDER BY t1 NULLS FIRST, t2 NULLS FIRST"""))
 
+  /** Exact multi-quantile summary (p25/p50/p75/p95, lower-quantile
+    * convention) per group — [[aggWeightedMedian]]'s machinery with unit
+    * weights and four thresholds, and the EXACT counterpart to
+    * `agg_approx_quantile`'s sketch: the corpus collapses to a (group,
+    * value) count table, the running-count window scans only distinct
+    * values, and every quantile pick is integer arithmetic (`cum·4 ≥
+    * tot` etc.) — no interpolation, no float in any decision, which is
+    * what makes the result portable across engines at all. One SQL text
+    * valid in both engines (Q.sql): the engine runs it through Catalyst,
+    * the oracle verbatim.
+    */
+  val aggExactQuantiles: Q = Q.sql(
+    "agg_exact_quantiles",
+    """WITH g AS (SELECT l_returnflag, l_quantity, count(*) AS n
+                  FROM lineitem WHERE l_quantity IS NOT NULL
+                  GROUP BY l_returnflag, l_quantity),
+        c AS (SELECT *,
+                     sum(n) OVER (PARTITION BY l_returnflag
+                       ORDER BY l_quantity
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum,
+                     sum(n) OVER (PARTITION BY l_returnflag) AS tot
+              FROM g)
+      SELECT l_returnflag,
+             min(CASE WHEN cum * 4 >= tot THEN l_quantity END) AS q25,
+             min(CASE WHEN cum * 2 >= tot THEN l_quantity END) AS q50,
+             min(CASE WHEN cum * 4 >= tot * 3 THEN l_quantity END) AS q75,
+             min(CASE WHEN cum * 20 >= tot * 19 THEN l_quantity END) AS q95
+      FROM c GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")
+
   val all: Seq[Q] = Seq(
-    aggTypeCooccurrence,
+    aggTypeCooccurrence, aggExactQuantiles,
     aggGlobal, aggHashGroupby, aggStringAggOrdered, aggCountDistinct,
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,
     aggRollup, aggCube, aggDistinctRows, aggCorrManual, opPivot,

@@ -1401,6 +1401,67 @@ object PipelineOps {
             FROM w JOIN t USING (event_type)
             ORDER BY w.event_type NULLS FIRST, w.wd"""))
 
+  /** Cross-series lead-lag correlation — does click volume PREDICT
+    * purchase volume days later? Pearson corr of (clicks_t,
+    * purchases_{t+k}) for lags k = 0, 1, 2 over the daily-count series.
+    * Aggregate-first: ONE corpus hash agg to the |days|-row daily table,
+    * then per-lag self-joins and moment sums run on that tiny table —
+    * the lag alignment is an equi-join on day+k (partition-parallel;
+    * no global window even over the small table). All moments are exact
+    * BIGINT sums of daily-count products; the one double formula is the
+    * `agg_corr_manual` discipline (sqrt is IEEE-exact, round(…, 6)), and
+    * degenerate variance yields NULL via an explicit integer guard, not
+    * a float division blow-up.
+    */
+  val tsCrossCorrelation: Q = Q(
+    "ts_cross_correlation",
+    (s, d) => {
+      val daily = Tables.read(s, d, "events")
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(expr("count_if(event_type = 'click')").as("c"),
+          expr("count_if(event_type = 'purchase')").as("p"))
+        .truncated
+      val a = daily.select(col("day").as("aday"), col("c"))
+      val b = daily.select(col("day").as("bday"), col("p"))
+      Seq(0, 1, 2).map { k =>
+        a.join(b, col("bday") === col("aday") + k)
+          .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+            sum(col("p")).as("sy"), sum(col("c") * col("c")).as("sxx"),
+            sum(col("p") * col("p")).as("syy"),
+            sum(col("c") * col("p")).as("sxy"))
+          .select(lit(k).cast(LongType).as("lag_days"), col("n"),
+            expr("""CASE WHEN n * sxx - sx * sx <= 0
+                         OR n * syy - sy * sy <= 0 THEN NULL
+                    ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                               / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                  * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                    END""").as("corr"))
+      }.reduce(_ unionByName _)
+        .orderBy(asc("lag_days"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                                  count_if(event_type = 'click') AS c,
+                                  count_if(event_type = 'purchase') AS p
+                           FROM events GROUP BY 1),
+            lags AS (SELECT unnest([0, 1, 2]) AS lag_days),
+            m AS (SELECT l.lag_days, count(*) AS n,
+                         sum(a.c) AS sx, sum(b.p) AS sy,
+                         sum(a.c * a.c) AS sxx, sum(b.p * b.p) AS syy,
+                         sum(a.c * b.p) AS sxy
+                  FROM lags l
+                  JOIN daily a ON true
+                  JOIN daily b ON b.day = a.day + l.lag_days
+                  GROUP BY 1)
+            SELECT CAST(lag_days AS BIGINT) AS lag_days,
+                   CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * sxx - sx * sx <= 0
+                        OR n * syy - sy * sy <= 0 THEN NULL
+                   ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                              / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                 * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                   END AS corr
+            FROM m ORDER BY lag_days"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
@@ -1409,5 +1470,5 @@ object PipelineOps {
     tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
-    tsWeekdayProfile)
+    tsWeekdayProfile, tsCrossCorrelation)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (187 keys, 157 oracles)") {
-    assert(SparkEntry.queries.size == 187,
+  test("registry matches the SURVEY §2 inventory size (189 keys, 159 oracles)") {
+    assert(SparkEntry.queries.size == 189,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 157,
+    assert(SparkEntry.oracleSql.size == 159,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
