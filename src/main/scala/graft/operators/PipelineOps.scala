@@ -1437,6 +1437,9 @@ object PipelineOps {
                                   * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
                     END""").as("corr"))
       }.reduce(_ unionByName _)
+        // a lag with NO aligned days must emit nothing: Spark's global agg
+        // yields one n=0 row where the oracle's GROUP BY yields none
+        .filter(col("n") > 0)
         .orderBy(asc("lag_days"))
     },
     Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
