@@ -1465,6 +1465,46 @@ object PipelineOps {
                    END AS corr
             FROM m ORDER BY lag_days"""))
 
+  /** First BPE merge iteration — the inner loop of tokenizer training:
+    * rank adjacent character-pair frequencies across the corpus, weighted
+    * by word frequency (the pair chosen for the first merge is the
+    * argmax; the output is the ranked merge-candidate table). The BPE
+    * trick IS the aggregate-first discipline: pair counting runs over
+    * the |vocab| DISTINCT-word table carrying each word's count — the
+    * corpus is touched exactly once for the vocab agg, and a 10×-bigger
+    * corpus with the same vocabulary costs the same pair scan.
+    * Characters come from an explicit substring transform (not
+    * split(tok, '')) because the engines disagree on empty-pattern
+    * trailing splits; substring is 1-indexed and identical in both.
+    */
+  val llmBpeMergeStep: Q = Q(
+    "llm_bpe_merge_step",
+    (s, d) => {
+      val vocab = Tables.read(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      vocab.filter(length(col("tok")) >= 2)
+        .select(col("n"), explode(expr(
+          """transform(sequence(1, length(tok) - 1),
+               i -> struct(substring(tok, i, 1) AS a,
+                           substring(tok, i + 1, 1) AS b))""")).as("pr"))
+        .select(col("pr.a").as("a"), col("pr.b").as("b"), col("n"))
+        .groupBy(col("a"), col("b")).agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(20)
+    },
+    Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+            c AS (SELECT tok, count(*) AS n FROM w GROUP BY 1),
+            p AS (SELECT substr(tok, CAST(i AS INT), 1) AS a,
+                         substr(tok, CAST(i AS INT) + 1, 1) AS b, n
+                  FROM (SELECT tok, n, unnest(range(1, len(tok))) AS i
+                        FROM c WHERE len(tok) >= 2)),
+            g AS (SELECT a, b, CAST(sum(n) AS BIGINT) AS cnt
+                  FROM p GROUP BY 1, 2)
+            SELECT a, b, cnt FROM g
+            ORDER BY cnt DESC, a, b LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
@@ -1473,5 +1513,5 @@ object PipelineOps {
     tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
-    tsWeekdayProfile, tsCrossCorrelation)
+    tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep)
 }

@@ -666,6 +666,52 @@ object SourceOps {
       .reduce(_ || _)
   }
 
+  /** Dynamic partition overwrite — the incremental-backfill sink
+    * semantics every partitioned lakehouse pipeline depends on: rewrite
+    * ONE day's partition in place while every other partition survives
+    * untouched. The op writes the full daily-partitioned table, then
+    * overwrites only the earliest day with corrected rows (values
+    * doubled) under `partitionOverwriteMode=dynamic`, reads the
+    * directory back and aggregates per day. The oracle derives the same
+    * final state logically — so the hash gate FAILS if the overwrite
+    * were static (all other partitions would vanish) or if the rewrite
+    * leaked into other days: the gate proves the semantics, not just
+    * the plumbing. The overwritten-day pick is a one-value stats agg
+    * (the z-order discipline); ×2 on a double is exact in both engines.
+    */
+  val sinkDynamicPartitionOverwrite: Q = Q(
+    "sink_dynamic_partition_overwrite",
+    (s, d) => {
+      val e = Tables.read(s, d, "events")
+        .select(col("event_id"), expr("(ts div 1000) div 86400000000").as("day"),
+          col("value"))
+      val dir = graft.util.TempDirs.create("graft_dynover").toString
+      // overwrite because TempDirs pre-creates the directory; this first
+      // write is the full-table STATIC overwrite (all partitions)
+      e.write.mode("overwrite").partitionBy("day").parquet(dir)
+      val d0 = e.agg(min(col("day"))).head().getLong(0)
+      e.filter(col("day") === d0)
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("day").cast(LongType).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_value"))
+        .orderBy(asc("day"))
+    },
+    Some("""WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              CAST(value AS DECIMAL(18,2)) AS v
+                       FROM events),
+            m AS (SELECT min(day) AS d0 FROM e)
+            SELECT day, count(*) AS n,
+                   CAST(sum(CASE WHEN day = (SELECT d0 FROM m)
+                                 THEN v * 2 ELSE v END) AS DOUBLE)
+                     AS total_value
+            FROM e GROUP BY day ORDER BY day"""))
+
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
@@ -673,5 +719,5 @@ object SourceOps {
     opSchemaDdlTypemap,
     opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals,
     srcPartitionedRoundtrip, srcOrcRoundtrip, srcSchemaMergeRoundtrip,
-    opZorderLayout, opZorder3Layout)
+    opZorderLayout, opZorder3Layout, sinkDynamicPartitionOverwrite)
 }
