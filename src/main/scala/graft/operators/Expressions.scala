@@ -142,6 +142,53 @@ object Expressions {
        FROM customer c LEFT JOIN cust_orders co ON c.c_custkey = co.o_custkey
        ORDER BY c_custkey NULLS FIRST""")
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE) driving a calendar spine —
+    * the gap-filling shape reporting pipelines need: one row per day
+    * between the corpus' first and last day, INCLUDING days with no
+    * events, each carrying its (possibly zero) click count. The engine
+    * injects the two bound literals from a one-row stats agg (the
+    * z-order discipline — Spark's recursive term is happiest without
+    * correlated scalar subqueries), then the recursion and the LEFT
+    * JOIN run declaratively; DuckDB's oracle states the same recursion
+    * with inline scalar subqueries. Recursion depth = corpus day span
+    * (bounded by retention, never by corpus size) — at 100 TB the spine
+    * is still a few thousand rows while the daily counts remain ONE
+    * map-combinable corpus agg.
+    */
+  val opCteRecursive: Q = Q(
+    "op_cte_recursive",
+    (s, d) => {
+      Tables.registerAll(s, d)
+      val b = s.sql(
+        """SELECT min((ts div 1000) div 86400000000),
+                  max((ts div 1000) div 86400000000) FROM events""").head()
+      require(!b.isNullAt(0), "cannot build a day spine over an empty corpus")
+      val (d0, d1) = (b.getLong(0), b.getLong(1))
+      s.sql(
+        s"""WITH RECURSIVE spine(day) AS (
+              SELECT ${d0}L AS day
+              UNION ALL
+              SELECT day + 1 FROM spine WHERE day < ${d1}L),
+            clicks AS (
+              SELECT (ts div 1000) div 86400000000 AS day, count(*) AS n
+              FROM events WHERE event_type = 'click' GROUP BY 1)
+            SELECT s.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n_clicks
+            FROM spine s LEFT JOIN clicks c ON s.day = c.day
+            ORDER BY s.day""")
+    },
+    Some("""WITH RECURSIVE spine(day) AS (
+              SELECT (SELECT min(epoch_us(ts) // 86400000000) FROM events)
+              UNION ALL
+              SELECT day + 1 FROM spine
+              WHERE day < (SELECT max(epoch_us(ts) // 86400000000)
+                           FROM events)),
+            clicks AS (
+              SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n
+              FROM events WHERE event_type = 'click' GROUP BY 1)
+            SELECT s.day, CAST(coalesce(c.n, 0) AS BIGINT) AS n_clicks
+            FROM spine s LEFT JOIN clicks c ON s.day = c.day
+            ORDER BY s.day"""))
+
   /** IF / NULLIF / GREATEST / LEAST. */
   val fnConditional: Q = Q(
     "fn_conditional",
@@ -478,7 +525,8 @@ object Expressions {
 
   val all: Seq[Q] = Seq(
     opProjectCompute, opFilterPred, opCaseWhen, opStringConcat,
-    opCoalesceNullif, opCastTypes, opScalarSubquery, opCte, fnConditional,
+    opCoalesceNullif, opCastTypes, opScalarSubquery, opCte, opCteRecursive,
+    fnConditional,
     fnString, fnRegex, fnDatetime, fnMath, fnJsonNested, fnArray, fnMap,
     fnHashDigest, fnBitwise, opUnpivot, opUdfTypemap, fnVariantJson,
     opLateralTopn, fnTryArith)
