@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.{Q, Tables}
 import graft.functions.WeightedAvg
+import graft.util.Checkpoints.Truncate
 
 /** SURVEY §2.4 — aggregation.
   *
@@ -821,8 +822,12 @@ object Aggregations {
   val aggTypeCooccurrence: Q = Q(
     "agg_type_cooccurrence",
     (s, d) => {
+      // materialized once: both join sides reuse the deduplicated
+      // incidence set — without this the corpus scan AND the distinct
+      // shuffle run twice (the ts_weekday_profile lesson)
       val inc = Tables.read(s, d, "events")
         .select(col("user_id"), col("event_type")).distinct()
+        .truncated
       inc.select(col("user_id"), col("event_type").as("t1"))
         .join(inc.select(col("user_id"), col("event_type").as("t2")), "user_id")
         .filter(col("t1") < col("t2"))

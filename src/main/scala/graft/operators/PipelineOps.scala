@@ -1375,6 +1375,10 @@ object PipelineOps {
           col("value").cast(DecimalType(18, 2)).as("v"))
         .groupBy(col("event_type"), col("wd"))
         .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+        // materialized once: the rollup below re-USES the 7·|series| cell
+        // table — without this Catalyst re-expands the subtree and scans
+        // the corpus twice (PlanSpec pins the single-scan shape)
+        .truncated
       val byType = byWd.groupBy(col("event_type"))
         .agg(sum(col("n")).as("n_all"), sum(col("s")).as("s_all"))
       byWd.join(byType, "event_type")

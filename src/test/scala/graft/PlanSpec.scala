@@ -195,6 +195,28 @@ class PlanSpec extends SparkSpec {
       s"diff must stay a hash/merge equi-join:\n${p.take(1200)}")
   }
 
+  test("llm_bpe_merge_step: top-20 is TakeOrderedAndProject over aggregates, no window") {
+    val p = plan(PipelineOps.llmBpeMergeStep.fn(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(900))
+    assert(!p.contains("Window"),
+      s"pair ranking must be aggregate-first, not a sorted window:\n${p.take(900)}")
+  }
+
+  test("agg_exact_quantiles: quantile picks share the group shuffle") {
+    val p = plan(Aggregations.aggExactQuantiles.fn(spark, sf))
+    // (flag, qty) groupBy + flag window + presentation sort — the four
+    // quantile CASEs ride ONE window pass and the final groupBy reuses
+    // the flag partitioning
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$p")
+  }
+
+  test("ts_weekday_profile: overall row rolls up from cells — no second corpus scan") {
+    val p = plan(PipelineOps.tsWeekdayProfile.fn(spark, sf))
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans <= 1, s"the rollup must reuse the cell table, got $scans scans:\n$p")
+  }
+
   test("agg_entropy: per-user total rides the groupBy output, bounded exchanges") {
     val p = plan(Aggregations.aggEntropy.fn(spark, sf))
     // (user,type) groupBy + user window + (user,tot) re-agg + final sort;
