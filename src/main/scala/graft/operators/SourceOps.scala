@@ -712,6 +712,49 @@ object SourceOps {
                      AS total_value
             FROM e GROUP BY day ORDER BY day"""))
 
+  /** Malformed-row quarantine — the ingestion-robustness contract a real
+    * feed forces: bad lines must neither kill the job (FAILFAST) nor
+    * vanish (DROPMALFORMED), they must land in a quarantine table with
+    * their RAW text intact for replay after the upstream fix. PERMISSIVE
+    * parse with `columnNameOfCorruptRecord`: a parseable line yields
+    * typed columns + NULL corrupt column, a malformed one yields NULLs +
+    * the verbatim line. The op seeds a CSV feed from lineitem, injects
+    * two malformed lines (wrong arity, non-numeric field), and returns
+    * the per-status counts plus the quarantined payloads — fully
+    * deterministic, spec-pinned (cross-engine CSV parser semantics
+    * differ, so no DuckDB oracle; the driver rows-check applies). Scale:
+    * the parse is one streamed pass, the corrupt column prunes away for
+    * clean downstream readers, and quarantine is a filter — no shuffle.
+    */
+  val srcCsvQuarantine: Q = Q(
+    "src_csv_quarantine",
+    (s, d) => {
+      val dir = graft.util.TempDirs.create("graft_quarantine")
+      val good = Tables.read(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(asc("l_orderkey"), asc("l_linenumber"), asc("l_quantity"))
+        .limit(10).collect()
+        .map(r => s"${r.getLong(0)},${r.getInt(1)},${r.getDouble(2)}")
+      val lines = (good :+ "9999,1,2,EXTRA_COLUMN" :+ "not_a_number,2,3.0").toSeq
+      java.nio.file.Files.write(dir.resolve("feed.csv"),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType), StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType), StructField("_raw", StringType)))
+      val parsed = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_raw")
+        .csv(dir.resolve("feed.csv").toString)
+        .cache()
+      parsed
+        .select(when(col("_raw").isNull, "ok").otherwise("quarantined").as("status"),
+          col("_raw").as("raw_payload"))
+        .groupBy(col("status"), col("raw_payload"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("status"), asc_nulls_first("raw_payload"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
@@ -719,5 +762,6 @@ object SourceOps {
     opSchemaDdlTypemap,
     opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals,
     srcPartitionedRoundtrip, srcOrcRoundtrip, srcSchemaMergeRoundtrip,
-    opZorderLayout, opZorder3Layout, sinkDynamicPartitionOverwrite)
+    opZorderLayout, opZorder3Layout, sinkDynamicPartitionOverwrite,
+    srcCsvQuarantine)
 }

@@ -96,6 +96,16 @@ class Round13Spec extends SparkSpec {
     assert(jac.isEmpty, s"jaccard gate should miss the embedding: ${jac.toList}")
   }
 
+  test("src_csv_quarantine: bad lines neither kill the parse nor vanish — raw text preserved") {
+    val got = SourceOps.srcCsvQuarantine.fn(spark, sf).collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("ok", null, 10L),
+      ("quarantined", "9999,1,2,EXTRA_COLUMN", 1L),
+      ("quarantined", "not_a_number,2,3.0", 1L)), s"got $got")
+  }
+
   test("count-min partials merge to the whole-corpus sketch; estimates bound exact counts") {
     import org.apache.spark.util.sketch.CountMinSketch
     val ev = graft.Tables.read(spark, sf, "events")
