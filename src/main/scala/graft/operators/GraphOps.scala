@@ -32,7 +32,10 @@ object GraphOps {
   val graphDegreeDist: Q = Q(
     "graph_degree_dist",
     (s, d) => {
-      val p = LlmOps.simhashPairs(s, d).select(col("id1"), col("id2"))
+      // materialized once: the union references the pair list twice, and
+      // without this the whole simhash subtree (corpus scans included)
+      // re-expands per reference (ScanAuditSpec pins the bound)
+      val p = LlmOps.simhashPairs(s, d).select(col("id1"), col("id2")).truncated
       val deg = p.select(col("id1").as("id"))
         .union(p.select(col("id2").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))

@@ -829,6 +829,10 @@ object LlmOps {
         explode(expr(s"transform(sequence(0, ${nTables - 1}), t -> " +
           s"named_struct('t', t, 'b', shiftrightunsigned(sig, t * $bitsPerTable) & $mask))")).as("tb"))
       .select(col("vec_id"), col("sig"), col("tb.t").as("t"), col("tb.b").as("b"))
+      // materialized once: the self-join references the banded table on
+      // both sides — without this the scan AND the signature explode run
+      // twice (ScanAuditSpec pins the corpus-scan bound)
+      .truncated
     val candidates = banded
       .select(col("t"), col("b"), col("vec_id").as("id1"), col("sig").as("sig1"))
       .join(banded.select(col("t"), col("b"), col("vec_id").as("id2"), col("sig").as("sig2")),

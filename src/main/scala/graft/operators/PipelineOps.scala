@@ -1195,10 +1195,13 @@ object PipelineOps {
           .filter(col("cum") * 2 >= col("tot"))
           .groupBy(col("event_type")).agg(min(col(valCol)).as(outCol))
       }
-      val med = lowerMedian(ev, "value", "med")
+      // med/mad are |series|-row tables materialized once: every later
+      // reference would otherwise re-expand their whole corpus-scanning
+      // subtree (ScanAuditSpec pins the ≤3-scan bound)
+      val med = lowerMedian(ev, "value", "med").truncated
       val dev = ev.join(broadcast(med), "event_type")
         .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
-      val mad = lowerMedian(dev, "dev", "mad")
+      val mad = lowerMedian(dev, "dev", "mad").truncated
       ev.join(broadcast(med.join(mad, "event_type")), "event_type")
         .groupBy(col("event_type"))
         .agg(max(col("med")).as("median_value"), max(col("mad")).as("mad"),
