@@ -66,7 +66,8 @@ object Scale {
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
     "llm_substring_dedup", "graph_pagerank", "stream_stream_join",
     "llm_edit_distance_dup", "graph_triangle_count", "stream_stream_left_outer",
-    "stream_stream_full_outer", "llm_dedup_containment")
+    "stream_stream_full_outer", "llm_dedup_containment",
+    "graph_link_prediction")
 
   /** Rehearsal overrides for ops whose registered form assumes the
     * driver's single-file corpus. The k× events table is MANY parquet

@@ -152,5 +152,52 @@ object GraphOps {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
-  val all: Seq[Q] = Seq(graphDegreeDist, graphPagerank, graphTriangleCount)
+  /** Link prediction by common neighbors + neighbor-Jaccard — "these two
+    * docs aren't flagged as near-dups, but they share so many near-dup
+    * neighbors that they probably are" (the transitive-miss recovery pass
+    * a dedup pipeline runs after banding). Candidate pairs come from the
+    * wedge join (two edges sharing an endpoint — the triangle-count
+    * shuffle shape, bounded by Σdeg²), existing edges are removed with
+    * one left_anti join, and the score is jaccard = common /
+    * (deg(a) + deg(b) − common), a single exact-operand division. Top-20
+    * by (score, common, pair) — a unique key, so TakeOrderedAndProject
+    * emits a deterministic set. Simhash graph → not SQL-portable; fixture
+    * spec pins the wedge/score math exactly.
+    */
+  val graphLinkPrediction: Q = Q(
+    "graph_link_prediction",
+    (s, d) => linkPrediction(
+      LlmOps.simhashPairs(s, d).select(col("id1"), col("id2"))),
+    None)
+
+  /** Engine (unit-test seam): undirected edge list (a < b per row,
+    * deduplicated) → non-edge pairs ranked by common-neighbor Jaccard.
+    */
+  private[operators] def linkPrediction(pairs: DataFrame): DataFrame = {
+    val p = pairs.truncated
+    // symmetrize: one row per (node, neighbor) direction
+    val adj = p.select(col("id1").as("id"), col("id2").as("nb"))
+      .unionByName(p.select(col("id2").as("id"), col("id1").as("nb")))
+      .truncated
+    val deg = adj.groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // wedge join: two distinct neighbors of the same hub form a candidate
+    val wedges = adj.select(col("id").as("hub"), col("nb").as("a"))
+      .join(adj.select(col("id").as("hub"), col("nb").as("b")), "hub")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    wedges
+      .join(p.select(col("id1").as("a"), col("id2").as("b")),
+        Seq("a", "b"), "left_anti")
+      .join(deg.select(col("id").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("deg_b")), "b")
+      .withColumn("jaccard", col("common").cast(DoubleType) /
+        (col("deg_a") + col("deg_b") - col("common")))
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        col("jaccard"))
+      .orderBy(desc("jaccard"), desc("common"), asc("a"), asc("b"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(graphDegreeDist, graphPagerank, graphTriangleCount,
+    graphLinkPrediction)
 }

@@ -142,6 +142,19 @@ class GraphOpsSpec extends SparkSpec {
     GraphOps.triangleCount(edges.toDF("id1", "id2")).collect()(0).getLong(0)
   }
 
+  test("link prediction: wedge-derived non-edges with exact Jaccard, edges excluded") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4, 1-3: non-edges (1,4) and (2,4) each share one
+    // neighbor (the hub 3); every existing edge must be filtered out even
+    // when it also closes a wedge (1-2 via hub 3)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("id1", "id2")
+    val got = GraphOps.linkPrediction(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toList
+    assert(got == List((1L, 4L, 1L, 2L, 1L, 0.5), (2L, 4L, 1L, 2L, 1L, 0.5)),
+      s"got $got")
+  }
+
   test("triangle count on fixture graphs") {
     // one triangle + a pendant edge
     assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))) == 1L)
