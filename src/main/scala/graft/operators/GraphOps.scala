@@ -163,11 +163,19 @@ object GraphOps {
     * by (score, common, pair) — a unique key, so TakeOrderedAndProject
     * emits a deterministic set. Simhash graph → not SQL-portable; fixture
     * spec pins the wedge/score math exactly.
+    *
+    * This op runs on the WIDER Hamming≤5 simhash graph (the dedup ops
+    * stay at the complete ≤3 radius): at small scale the ≤3 graph is so
+    * sparse that every wedge is already closed — 17 edges / 0 open
+    * wedges at sf0.01 — which left the end-to-end rows-check vacuous.
+    * The denser radius gives the transitive-miss recovery pass real
+    * candidates to rank at every scale while keeping the identical
+    * chunk-join plan shape.
     */
   val graphLinkPrediction: Q = Q(
     "graph_link_prediction",
     (s, d) => linkPrediction(
-      LlmOps.simhashPairs(s, d).select(col("id1"), col("id2"))),
+      LlmOps.simhashPairs(s, d, maxHamming = 5).select(col("id1"), col("id2"))),
     None)
 
   /** Engine (unit-test seam): undirected edge list (a < b per row,

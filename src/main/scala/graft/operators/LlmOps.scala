@@ -381,12 +381,18 @@ object LlmOps {
       .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2")),
     None)
 
-  /** Unsorted simhash Hamming≤3 pair engine — shared by the registered op
-    * (which adds the presentation sort) and the cluster-resolution op
-    * (which treats the pairs as an edge list, where a sort is wasted
-    * work).
+  /** Unsorted simhash Hamming≤`maxHamming` pair engine — shared by the
+    * registered op (which adds the presentation sort) and the
+    * cluster-resolution op (which treats the pairs as an edge list, where
+    * a sort is wasted work). The 4×16-bit chunk banding is COMPLETE for
+    * Hamming ≤ 3 (pigeonhole: ≤3 flipped bits cannot touch all 4
+    * chunks); radii 4–5 are recall-approximate through the same chunk
+    * join (a pair differing in all four chunks is never a candidate) —
+    * acceptable for consumers that only need a denser candidate graph
+    * (link prediction), NOT for the dedup ops, which stay at the
+    * complete ≤3 default.
     */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
     val sims = simhashes(s, d)
     val chunked = sims.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), " +
@@ -398,7 +404,7 @@ object LlmOps {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), expr("bit_count(sh1 ^ sh2)").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Near-dup cluster resolution — the step every dedup pipeline ends

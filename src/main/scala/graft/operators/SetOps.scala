@@ -219,15 +219,20 @@ object SetOps {
                     coalesce(o_orderpriority, '<null>'))), 1, 8), 16, 10)
                   as decimal(20,0))""").as("h"))
         .groupBy(col("o_orderstatus"))
+        // The accumulator stays DECIMAL(38,0) (never wraps at 10^12
+        // rows); only the OUTPUT renders as STRING — DECIMAL(38,0)
+        // surfaces as object/Decimal or float64 depending on the
+        // consumer's conversion path, and a fingerprint column must
+        // canonicalize identically everywhere.
         .agg(count(lit(1)).as("n_rows"),
-          sum(col("h")).cast("decimal(38,0)").as("checksum"))
+          sum(col("h")).cast("decimal(38,0)").cast("string").as("checksum"))
         .orderBy(asc_nulls_first("o_orderstatus")),
     Some("""SELECT o_orderstatus, count(*) AS n_rows,
-                   CAST(sum(CAST(('0x' || substr(md5(concat(
+                   CAST(CAST(sum(CAST(('0x' || substr(md5(concat(
                           coalesce(CAST(o_orderkey AS VARCHAR), '<null>'), '|',
                           coalesce(CAST(o_custkey AS VARCHAR), '<null>'), '|',
                           coalesce(o_orderpriority, '<null>'))), 1, 8))
-                        AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+                        AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
             FROM orders GROUP BY o_orderstatus
             ORDER BY o_orderstatus NULLS FIRST"""))
 
