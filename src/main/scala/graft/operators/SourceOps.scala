@@ -63,23 +63,77 @@ object SourceOps {
     * oracle; unit-tested against the literal captured messages
     * (reference `README.md:127-129`).
     */
+  /** Payload row schema + envelope-JSON synthesis shared by the unwrap op
+    * and its dead-letter sibling ([[srcCdcQuarantine]]).
+    */
+  private val cdcEventsPayload = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("updated_at", LongType)))
+
+  private def cdcEnvelopeJson: org.apache.spark.sql.Column =
+    concat(
+      lit("""{"schema":{"type":"struct","fields":[{"type":"int64","optional":false,"field":"event_id"}],"name":"postgres_cdc.iman.events.Value"},"payload":"""),
+      to_json(struct(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("updated_at"))),
+      lit("}"))
+
   val srcCdcEnvelopeUnwrap: Q = Q(
     "src_cdc_envelope_unwrap",
     (s, d) => {
-      val payload = StructType(Seq(
-        StructField("event_id", LongType),
-        StructField("user_id", LongType),
-        StructField("event_type", StringType),
-        StructField("updated_at", LongType)))
-      val raw = Tables.read(s, d, "events").select(
-        concat(
-          lit("""{"schema":{"type":"struct","fields":[{"type":"int64","optional":false,"field":"event_id"}],"name":"postgres_cdc.iman.events.Value"},"payload":"""),
-          to_json(struct(
-            col("event_id"), col("user_id"), col("event_type"),
-            expr("ts div 1000").as("updated_at"))),
-          lit("}")).as("value"))
-      CdcEnvelope.unwrap(raw, col("value"), payload, Seq("updated_at"))
+      val raw = Tables.read(s, d, "events")
+        .select(cdcEnvelopeJson.as("value"))
+      CdcEnvelope.unwrap(raw, col("value"), cdcEventsPayload, Seq("updated_at"))
         .orderBy(asc_nulls_first("event_id"))
+    },
+    None)
+
+  /** CDC dead-letter quarantine (`errors.tolerance=all` +
+    * `errors.log.enable=true`, reference `setup.sh:145-148`): the CDC leg
+    * of the [[srcCsvQuarantine]] contract — a malformed envelope must
+    * neither kill the batch nor silently decay to NULL columns; it lands
+    * in a quarantine table with its RAW wire text intact for replay.
+    *
+    * The op synthesizes the events envelope feed, then deterministically
+    * injects the three failure classes a real wire shows: event_id ≡ 0
+    * (mod 97) → the JSON is truncated mid-schema (syntactically broken),
+    * ≡ 1 → valid JSON with the payload field absent (shape drift), ≡ 2 →
+    * a NULL wire value (Debezium tombstone — silently dropped per
+    * `transforms.unwrap.drop.tombstones=true`, `setup.sh:107`). Decode is
+    * [[CdcEnvelope.unwrapTolerant]]: ONE codegen'd `from_json` pass, the
+    * good and quarantine legs are filtered projections of the same plan.
+    * Output is the per-status audit the dead-letter log feeds: status,
+    * row count, and (good leg) the event_id sum as an equality probe.
+    * Fully deterministic → driver rows-check + golden fixture spec
+    * (cross-engine JSON-error semantics differ, so no DuckDB oracle).
+    * Scale: corrupt detection is a per-row expression, the audit is one
+    * map-side-combinable hash agg; quarantine rows shuffle only their
+    * raw text, never the decoded corpus.
+    */
+  val srcCdcQuarantine: Q = Q(
+    "src_cdc_quarantine",
+    (s, d) => {
+      val wire = Tables.read(s, d, "events").select(
+        when(pmod(col("event_id"), lit(97)) === 0,
+          substring(cdcEnvelopeJson, 1, 40))
+          .when(pmod(col("event_id"), lit(97)) === 1,
+            lit("""{"schema":null,"payload_dropped":true}"""))
+          .when(pmod(col("event_id"), lit(97)) === 2,
+            lit(null).cast(StringType))
+          .otherwise(cdcEnvelopeJson).as("value"))
+      val (good, bad) = CdcEnvelope.unwrapTolerant(
+        wire, col("value"), cdcEventsPayload, Seq("updated_at"))
+      val okAudit = good.agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).cast(LongType).as("id_checksum"))
+        .select(lit("ok").as("status"), col("n"), col("id_checksum"))
+      val badAudit = bad.groupBy(col("error").as("status"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("id_checksum", lit(null).cast(LongType))
+      okAudit.unionByName(badAudit)
+        .orderBy(asc_nulls_first("status"))
     },
     None)
 
@@ -763,5 +817,5 @@ object SourceOps {
     opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals,
     srcPartitionedRoundtrip, srcOrcRoundtrip, srcSchemaMergeRoundtrip,
     opZorderLayout, opZorder3Layout, sinkDynamicPartitionOverwrite,
-    srcCsvQuarantine)
+    srcCsvQuarantine, srcCdcQuarantine)
 }

@@ -16,8 +16,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (194 keys, 162 oracles)") {
-    assert(SparkEntry.queries.size == 194,
+  test("registry matches the SURVEY §2 inventory size (195 keys, 162 oracles)") {
+    assert(SparkEntry.queries.size == 195,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
     assert(SparkEntry.oracleSql.size == 162,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
