@@ -190,6 +190,78 @@ object StreamingOps {
     },
     None)
 
+  /** Snapshot→stream handoff (`snapshot.mode=initial`, reference
+    * `setup.sh:92`): the no-gap/no-overlap contract between the initial
+    * batch backfill and the WAL stream, proven as ONE composed operator.
+    * A consistent keyed snapshot at cut = max(event_id)/2 seeds durable
+    * state v0; the WAL leg then replays every record with `event_id >
+    * cut − 100` — the replay deliberately re-covers the last 100 ids
+    * BELOW the cut, because a real connector restarts from an LSN at or
+    * before the snapshot's consistent point and relies on version-aware
+    * apply (not exact offsets) to dedup the seam. Each micro-batch
+    * merges into the durable state via the same listing-derived
+    * version chain as [[streamForeachBatchUpsert]] (idempotent replay).
+    * The merged final state must equal the pure-batch latest-per-key
+    * over the FULL corpus — the SIGMOD'18 prefix-equivalence property
+    * applied to the seam — which is exactly what the DuckDB oracle
+    * hash-checks: a gap (lost key version) or an overlap double-apply
+    * under a non-monotone merge would flip the hash. Scale: snapshot and
+    * per-batch merges are single key-partitioned window shuffles; state
+    * is one keyed table, never the op-log.
+    */
+  val streamSnapshotHandoff: Q = Q(
+    "stream_snapshot_handoff",
+    (s, d) => snapshotHandoff(s, d),
+    Some("""WITH ranked AS (
+              SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_id, event_type, value, ts_us
+            FROM ranked WHERE rn = 1 ORDER BY user_id NULLS FIRST"""))
+
+  /** Engine (unit-test seam: `maxFilesPerTrigger = Some(1)` forces a
+    * multi-file corpus through several micro-batches, replaying the seam
+    * across batch boundaries).
+    */
+  private[graft] def snapshotHandoff(
+      s: SparkSession, d: String, overlap: Long = 100L,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val base = graft.util.TempDirs.create("graft_handoff").toString
+    val cp = s"$base/checkpoint"
+    val stateBase = s"$base/state"
+    val keyed = (df: DataFrame) => df.select(
+      col("user_id"), col("event_id"), col("event_type"),
+      col("value"), expr("ts div 1000").as("ts_us"))
+    val ev = keyed(Tables.read(s, d, "events"))
+    val cut = ev.agg(max(col("event_id"))).head().getLong(0) / 2
+    Upsert.latestByKey(ev.filter(col("event_id") <= cut),
+        Seq(col("user_id")), Seq(col("ts_us"), col("event_id")))
+      .write.mode("overwrite").parquet(s"$stateBase/v0")
+    // WAL replay from below the cut; micro-batch versions sit at id+1 so
+    // the snapshot seed (v0) is always the chain's root
+    val wal = keyed(streamedEvents(s, d, maxFilesPerTrigger))
+      .filter(col("event_id") > cut - overlap)
+    val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      val prev = latestVersionBelow(stateBase, id + 1) match {
+        case Some(v) => batch.sparkSession.read.parquet(s"$stateBase/v$v")
+        case None    => batch.limit(0)
+      }
+      Upsert.latestByKey(prev.unionByName(batch),
+          Seq(col("user_id")), Seq(col("ts_us"), col("event_id")))
+        .write.mode("overwrite").parquet(s"$stateBase/v${id + 1}")
+    }
+    val query = wal.writeStream
+      .foreachBatch(mergeBatch)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val last = latestVersionBelow(stateBase, Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(s"no state under $stateBase"))
+    s.read.parquet(s"$stateBase/v$last").orderBy(asc_nulls_first("user_id"))
+  }
+
   private val lateSplits =
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
 
@@ -552,5 +624,6 @@ object StreamingOps {
     streamTumblingCount, streamSlidingSum, streamSessionWindow,
     streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert,
     streamStatefulRunningMax, streamFlatmapTypeCounts, streamStreamJoin,
-    streamStreamLeftOuter, streamStreamFullOuter, streamStaticJoin)
+    streamStreamLeftOuter, streamStreamFullOuter, streamStaticJoin,
+    streamSnapshotHandoff)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (195 keys, 162 oracles)") {
-    assert(SparkEntry.queries.size == 195,
+  test("registry matches the SURVEY §2 inventory size (196 keys, 163 oracles)") {
+    assert(SparkEntry.queries.size == 196,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 162,
+    assert(SparkEntry.oracleSql.size == 163,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

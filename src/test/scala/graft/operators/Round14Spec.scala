@@ -28,4 +28,32 @@ class Round14Spec extends SparkSpec {
       ("ok", 4L, 18L),
       ("unparseable_json", 1L, -1L)), s"got ${got.toSeq}")
   }
+
+  test("stream_snapshot_handoff: multi-batch replay over the seam equals batch state") {
+    import spark.implicits._
+    // cut = max/2 = 5, overlap 2 → snapshot covers ids ≤ 5, WAL replays
+    // ids > 3. user 2's only version (id 2) reaches the final state ONLY
+    // through the snapshot (a gap would lose it); user 3's versions 4,5
+    // are BOTH snapshotted and replayed (overlap double-apply must not
+    // regress); users 1/4/5 take updates (or first appear) post-cut.
+    val rows = Seq[(Long, Long, String, Double, Long)](
+      (1L, 1L, "view", 1.0, 100000L), (2L, 2L, "view", 2.0, 200000L),
+      (4L, 3L, "click", 3.0, 300000L), (3L, 4L, "view", 4.0, 400000L),
+      (3L, 5L, "click", 5.0, 450000L), (4L, 6L, "view", 6.0, 600000L),
+      (5L, 7L, "purchase", 7.0, 700000L), (1L, 9L, "click", 9.0, 900000L),
+      (4L, 10L, "view", 10.0, 1000000L))
+    val d = graft.util.TempDirs.create("r14_handoff")
+    val tbl = d.resolve("events.parquet").toString
+    // three appended single-file writes → three files → three micro-batches
+    Seq(rows.take(4), rows.slice(4, 7), rows.drop(7)).foreach { part =>
+      part.toDF("user_id", "event_id", "event_type", "value", "ts")
+        .coalesce(1).write.mode("append").parquet(tbl)
+    }
+    val got = graft.streaming.StreamingOps
+      .snapshotHandoff(spark, d.toString, overlap = 2L,
+        maxFilesPerTrigger = Some(1))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 9L, 2L -> 2L, 3L -> 5L, 4L -> 10L, 5L -> 7L),
+      s"got $got")
+  }
 }
