@@ -257,6 +257,36 @@ object SourceOps {
     },
     None)
 
+  /** Catalog-driven multi-table schema-sync fan-out — the form the
+    * reference actually EXECUTES (`setup.sh:29-34`): it does not know its
+    * table list, it discovers it from `information_schema.tables` and
+    * loops the DDL generator over whatever it finds. Spark analogue: the
+    * corpus tables are registered in the session catalog, then the op
+    * DISCOVERS them via `spark.catalog.listTables` (never a hard-coded
+    * list — [[opSchemaDdlTypemap]] keeps the static-inventory form) and
+    * renders one sink DDL per discovered table from its live schema.
+    * Catalog metadata is O(#tables) driver state — free at any data
+    * scale. DDL text is engine-specific → rows-check + a spec pinning
+    * discovery-equals-inventory.
+    */
+  val opSchemaDdlFanout: Q = Q(
+    "op_schema_ddl_fanout",
+    (s, d) => {
+      val prefix = "graft_cat_"
+      Tables.all.foreach(t =>
+        Tables.read(s, d, t).createOrReplaceTempView(s"$prefix$t"))
+      val discovered = s.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith(prefix)).sorted
+      val rows = discovered.toSeq.map { v =>
+        val t = v.stripPrefix(prefix)
+        ("graft", t, TypeMap.renderDdlFromSpark("graft", t, s.table(v).schema))
+      }
+      import s.implicits._
+      rows.toDF("schema_name", "table_name", "ddl")
+        .orderBy(asc_nulls_first("schema_name"), asc_nulls_first("table_name"))
+    },
+    None)
+
   /** Row inserts into a table (reference `setup.sh:155-161`): real
     * write-append-read cycle through the parquet sink. Rows-only check.
     */
@@ -813,7 +843,7 @@ object SourceOps {
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
     sinkUpsertLatestByKey, sinkCdcApplyUpsertOnly, sinkCdcApplyWithDeletes,
-    opSchemaDdlTypemap,
+    opSchemaDdlTypemap, opSchemaDdlFanout,
     opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals,
     srcPartitionedRoundtrip, srcOrcRoundtrip, srcSchemaMergeRoundtrip,
     opZorderLayout, opZorder3Layout, sinkDynamicPartitionOverwrite,

@@ -16,8 +16,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (196 keys, 163 oracles)") {
-    assert(SparkEntry.queries.size == 196,
+  test("registry matches the SURVEY §2 inventory size (197 keys, 163 oracles)") {
+    assert(SparkEntry.queries.size == 197,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
     assert(SparkEntry.oracleSql.size == 163,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")

@@ -29,6 +29,17 @@ class Round14Spec extends SparkSpec {
       ("unparseable_json", 1L, -1L)), s"got ${got.toSeq}")
   }
 
+  test("op_schema_ddl_fanout: catalog discovery covers the full inventory with identical DDL") {
+    val fan = SourceOps.opSchemaDdlFanout.fn(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2))).toMap
+    assert(fan.keySet == graft.Tables.all.toSet, s"discovered ${fan.keySet}")
+    // the catalog-discovered DDL must equal the static-inventory render
+    val static0 = SourceOps.opSchemaDdlTypemap.fn(spark, sf).collect()
+      .filter(_.getString(0) == "graft")
+      .map(r => (r.getString(1), r.getString(2))).toMap
+    assert(fan == static0)
+  }
+
   test("stream_snapshot_handoff: multi-batch replay over the seam equals batch state") {
     import spark.implicits._
     // cut = max/2 = 5, overlap 2 → snapshot covers ids ≤ 5, WAL replays
