@@ -123,16 +123,26 @@ object SourceOps {
           .when(pmod(col("event_id"), lit(97)) === 2,
             lit(null).cast(StringType))
           .otherwise(cdcEnvelopeJson).as("value"))
-      val (good, bad) = CdcEnvelope.unwrapTolerant(
-        wire, col("value"), cdcEventsPayload, Seq("updated_at"))
-      val okAudit = good.agg(
-        count(lit(1)).as("n"),
-        sum(col("event_id")).cast(LongType).as("id_checksum"))
-        .select(lit("ok").as("status"), col("n"), col("id_checksum"))
-      val badAudit = bad.groupBy(col("error").as("status"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("id_checksum", lit(null).cast(LongType))
-      okAudit.unionByName(badAudit)
+      // Single-pass audit: the same classification unwrapTolerant's two
+      // legs apply (null wire = tombstone → dropped; null env →
+      // unparseable vs payload-less via try_parse_json; else ok), but
+      // decoded ONCE and folded in one map-side-combinable hash agg —
+      // the two-leg form scans and re-decodes the corpus per leg, which
+      // doubles the dominant from_json cost. unwrapTolerant remains the
+      // streaming-sink API (JdbcUpsertSink) and is golden-spec'd; the
+      // fixture spec pins this audit to the identical routing.
+      wire.filter(col("value").isNotNull)
+        .select(col("value"),
+          from_json(col("value"),
+            CdcEnvelope.envelopeSchema(cdcEventsPayload)).as("env"))
+        .select(
+          when(col("env.payload").isNotNull, lit("ok"))
+            .when(try_parse_json(col("value")).isNull, lit("unparseable_json"))
+            .otherwise(lit("missing_payload")).as("status"),
+          col("env.payload.event_id").as("eid"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("eid")).cast(LongType).as("id_checksum"))
         .orderBy(asc_nulls_first("status"))
     },
     None)
