@@ -85,10 +85,17 @@ object SourceOps {
     (s, d) => {
       val raw = Tables.read(s, d, "events")
         .select(cdcEnvelopeJson.as("value"))
+      // the MicroTimestamp contract (int64 µs → TIMESTAMP) is exercised by
+      // the unwrap and spec-pinned; the registered output renders the µs
+      // count back out (unix_micros is exact) so the cross-engine hash
+      // never depends on timestamp canonicalization
       CdcEnvelope.unwrap(raw, col("value"), cdcEventsPayload, Seq("updated_at"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("updated_at")).as("updated_at_us"))
         .orderBy(asc_nulls_first("event_id"))
     },
-    None)
+    Some("""SELECT event_id, user_id, event_type, epoch_us(ts) AS updated_at_us
+            FROM events ORDER BY event_id NULLS FIRST"""))
 
   /** CDC dead-letter quarantine (`errors.tolerance=all` +
     * `errors.log.enable=true`, reference `setup.sh:145-148`): the CDC leg
@@ -145,7 +152,19 @@ object SourceOps {
           sum(col("eid")).cast(LongType).as("id_checksum"))
         .orderBy(asc_nulls_first("status"))
     },
-    None)
+    // The corruption classes are deterministic BY CONSTRUCTION
+    // (event_id mod 97), so the oracle derives the expected audit from
+    // the events table with no JSON machinery at all — gating that the
+    // Spark decode path routes every wire record to exactly its
+    // constructed class and loses none.
+    Some("""SELECT CASE WHEN event_id % 97 = 0 THEN 'unparseable_json'
+                        WHEN event_id % 97 = 1 THEN 'missing_payload'
+                        ELSE 'ok' END AS status,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN event_id % 97 NOT IN (0, 1)
+                                 THEN event_id END) AS BIGINT) AS id_checksum
+            FROM events WHERE event_id % 97 <> 2
+            GROUP BY 1 ORDER BY status NULLS FIRST"""))
 
   /** Continuous keyed-record stream from earliest offsets (reference
     * `setup.sh:144`): file-streaming stand-in for the Kafka source (offline),
@@ -158,7 +177,8 @@ object SourceOps {
         .select(col("event_id"), col("user_id"), col("event_type"))
       StreamRunner.runToTable(streamed, "append").orderBy(asc_nulls_first("event_id"))
     },
-    None)
+    Some("""SELECT event_id, user_id, event_type
+            FROM events ORDER BY event_id NULLS FIRST"""))
 
   /** Topic routing by regex (`RegexRouter` `^postgres_cdc\.iman\.(.*)$` → $1,
     * reference `setup.sh:119-122`), exercised over synthesized topic names.
@@ -203,14 +223,26 @@ object SourceOps {
   val sinkCdcApplyUpsertOnly: Q = Q(
     "sink_cdc_apply_upsert_only",
     (s, d) => {
+      // version = (µs, event_id), the same portable ordering as the
+      // oracled delete-propagating sibling: raw nanos are Spark-only
+      // (engines truncate the column differently), and the event_id
+      // tiebreak decides equal-µs collisions identically everywhere
       val opLog = Tables.read(s, d, "events").select(
-        col("user_id"), col("event_id"), col("value"), col("ts").as("ts_ns"),
+        col("user_id"), col("event_id"), col("value"),
+        expr("ts div 1000").as("ts_us"),
         when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("op"))
       Upsert.applyCdc(opLog, col("op"), Seq(col("user_id")),
-          Seq(col("ts_ns"), col("event_id")))
+          Seq(col("ts_us"), col("event_id")))
         .orderBy(asc_nulls_first("user_id"))
     },
-    None)
+    Some("""WITH log AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+                                CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op
+                         FROM events),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+                       FROM log WHERE op <> 'd')
+            SELECT user_id, event_id, value, ts_us, op
+            FROM ranked WHERE rn = 1 ORDER BY user_id NULLS FIRST"""))
 
   /** CDC op-log apply WITH delete propagation — the semantic the reference
     * observably never provides (`setup.sh:192-197` deletes a row and probes
@@ -313,7 +345,9 @@ object SourceOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("c_mktsegment"))
     },
-    None)
+    Some("""SELECT c_mktsegment, count(*) AS n
+            FROM customer WHERE c_custkey <= 100
+            GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"""))
 
   /** CSV source/sink round-trip: write a table out as headered CSV, read
     * it back with an EXPLICIT schema (schema inference is a full extra

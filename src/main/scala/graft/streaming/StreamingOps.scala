@@ -166,16 +166,19 @@ object StreamingOps {
       val base = graft.util.TempDirs.create("graft_upsert").toString
       val cp = s"$base/checkpoint"
       val stateBase = s"$base/state"
+      // version = (µs, event_id) — the portable ordering every upsert op
+      // in the library uses (raw nanos are Spark-only; the event_id
+      // tiebreak decides equal-µs collisions identically cross-engine)
       val src = streamedEvents(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), col("ts").as("ts_ns"))
+          col("value"), expr("ts div 1000").as("ts_us"))
       val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
         val prev = latestVersionBelow(stateBase, id) match {
           case Some(v) => batch.sparkSession.read.parquet(s"$stateBase/v$v")
           case None    => batch.limit(0)
         }
         Upsert.latestByKey(prev.unionByName(batch),
-            Seq(col("user_id")), Seq(col("ts_ns"), col("event_id")))
+            Seq(col("user_id")), Seq(col("ts_us"), col("event_id")))
           .write.mode("overwrite").parquet(s"$stateBase/v$id")
       }
       val query = src.writeStream
@@ -188,7 +191,13 @@ object StreamingOps {
         .getOrElse(throw new IllegalStateException(s"no state written under $stateBase"))
       s.read.parquet(s"$stateBase/v$last").orderBy(asc_nulls_first("user_id"))
     },
-    None)
+    Some("""WITH ranked AS (
+              SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_id, event_type, value, ts_us
+            FROM ranked WHERE rn = 1 ORDER BY user_id NULLS FIRST"""))
 
   /** Snapshot→stream handoff (`snapshot.mode=initial`, reference
     * `setup.sh:92`): the no-gap/no-overlap contract between the initial
@@ -353,7 +362,9 @@ object StreamingOps {
         .agg(max(col("max_value")).as("max_value"), max(col("n_events")).as("n_events"))
         .orderBy(asc_nulls_first("user_id"))
     },
-    None)
+    Some("""SELECT user_id, max(value) AS max_value,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST"""))
 
   /** `flatMapGroupsWithState` surface — the 0..n-rows-per-key sibling of
     * mapGroupsWithState: per user, emit one row PER DISTINCT EVENT TYPE
@@ -419,7 +430,9 @@ object StreamingOps {
         .agg(max(col("n")).as("n"))
         .orderBy(asc_nulls_first("user_id"), asc_nulls_first("event_type"))
     },
-    None)
+    Some("""SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, event_type
+            ORDER BY user_id NULLS FIRST, event_type NULLS FIRST"""))
 
   /** Stream-stream inner join — the Structured Streaming marquee shape:
     * the click stream joined to the signup stream of the same user within

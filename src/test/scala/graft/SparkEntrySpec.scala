@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (197 keys, 163 oracles)") {
+  test("registry matches the SURVEY §2 inventory size (197 keys, 171 oracles)") {
     assert(SparkEntry.queries.size == 197,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 163,
+    assert(SparkEntry.oracleSql.size == 171,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
