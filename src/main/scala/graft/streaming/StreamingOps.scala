@@ -108,12 +108,21 @@ object StreamingOps {
             FROM sessions GROUP BY user_id, session_id
             ORDER BY user_id NULLS FIRST, session_id NULLS FIRST"""))
 
-  /** Watermark + late-data drop, demonstrated end-to-end: the corpus is
-    * split into an on-time file and a file of older ("late") rows, streamed
-    * one file per micro-batch (deterministic order via explicit file
-    * mtimes). With a 10-minute watermark the second file's rows fall below
-    * the watermark and are dropped; emitted result = finalized windows of
-    * the on-time file only. Golden-tested; rows-only check here.
+  /** Watermark finalization under a late replay, demonstrated end-to-end:
+    * the corpus is split into an on-time file and a file of older
+    * ("late") rows, streamed one file per micro-batch (deterministic
+    * order via explicit file mtimes). The MEASURED engine semantics —
+    * pinned by WatermarkSemanticsSpec against both a never-seen and an
+    * already-aggregated target window — are that the watermark bounds
+    * STATE LIFETIME and APPEND EMISSION, not input admission: the late
+    * file's rows still merge into their (unfinalized) window because
+    * eviction is evaluated after the batch's merge, and the emitted set
+    * is exactly the windows whose end ≤ the final watermark; trailing
+    * windows past it are never finalized. (Rows arriving after their
+    * window's state was evicted in a PRIOR batch would re-open it — the
+    * risk the watermark's state-cleanup contract trades for bounded
+    * state; the spec documents the boundary.) Oracle = that emitted set
+    * in batch SQL.
     */
   val streamWatermarkLate: Q = Q(
     "stream_watermark_late",
@@ -128,10 +137,27 @@ object StreamingOps {
         .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts_t", "10 minutes")
         .groupBy(window(col("ts_t"), "1 hour")).agg(count(lit(1)).as("cnt"))
-        .select(col("window.start").as("win_start"), col("cnt"))
-      StreamRunner.runToTable(agg, "append").orderBy(asc_nulls_first("win_start"))
+        .select(unix_micros(col("window.start")).as("win_start_us"), col("cnt"))
+      StreamRunner.runToTable(agg, "append").orderBy(asc_nulls_first("win_start_us"))
     },
-    None)
+    // Deterministic append-mode semantics, derivable in batch SQL and
+    // pinned by WatermarkSemanticsSpec: in this engine the watermark
+    // drives FINALIZATION, not input dropping — a row arriving behind
+    // the watermark still merges into its window when that window has
+    // not yet been finalized, because eviction is evaluated after the
+    // batch's merge (the late-replayed min-bucket file therefore counts
+    // in full). The emitted set is exactly the windows whose END ≤ the
+    // final watermark (global max event time − 10 min, ms-truncated);
+    // trailing windows stay unfinalized. win_start renders as epoch-µs
+    // (timestamps never cross the hash).
+    Some("""WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h,
+                              epoch_us(ts) AS tus
+                       FROM events),
+            b AS (SELECT max(tus) AS tmax FROM e)
+            SELECT h * 3600000000 AS win_start_us, count(*) AS cnt
+            FROM e, b
+            WHERE (h + 1) * 3600000 <= (tmax - 600000000) // 1000
+            GROUP BY 1, b.tmax ORDER BY win_start_us NULLS FIRST"""))
 
   /** Streaming dedup by key within state (reference at-least-once replay
     * tolerance); oracle = batch DISTINCT equivalent.
