@@ -225,4 +225,15 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"$exchanges exchanges:\n$p")
     assert(!p.contains("LocalTableScan"), "no driver materialization")
   }
+
+  test("src_cdc_quarantine: single corpus pass — decode evaluated once, one hash agg") {
+    val p = plan(SourceOps.srcCdcQuarantine.fn(spark, sf))
+    val scans = "FileScan".r.findAllIn(p).size
+    assert(scans == 1, s"the audit must decode in ONE pass, got $scans scans:\n$p")
+  }
+
+  test("op_schema_ddl_fanout: catalog metadata only — no corpus data scan") {
+    val p = plan(SourceOps.opSchemaDdlFanout.fn(spark, sf))
+    assert(!p.contains("FileScan"), s"metadata op must not scan data:\n$p")
+  }
 }
