@@ -392,7 +392,30 @@ object LlmOps {
     * (link prediction), NOT for the dedup ops, which stay at the
     * complete ≤3 default.
     */
+  private val simhashPairCache: java.util.Map[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]]())
+
+  /** Cached entry point: SIX registry ops consume the pair table
+    * (simhash dedup, cluster resolution, the four graph ops), and each
+    * recomputing the corpus-scan + hashing subtree is exactly the
+    * repeated-shared-subtree shape the scan audit exists to prevent —
+    * a production pipeline materializes the pair table once and fans
+    * out. Weak-keyed per session (stopped test sessions are not pinned),
+    * keyed by (corpus, radius); the cache holds a lazy `.cache()`d plan,
+    * so the first consumer materializes and the rest read memory.
+    */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val perSession = simhashPairCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]())
+    perSession.computeIfAbsent((d, maxHamming),
+      _ => computeSimhashPairs(s, d, maxHamming).cache())
+  }
+
+  private def computeSimhashPairs(s: SparkSession, d: String,
+                                  maxHamming: Int): DataFrame = {
     val sims = simhashes(s, d)
     val chunked = sims.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), " +
