@@ -106,6 +106,40 @@ object Aggregations {
         .orderBy(asc_nulls_first("o_orderstatus")),
     None)
 
+  /** Portable KMV distinct sketch next to the engine-native HLL above:
+    * same query shape, but the sketch state is ≤64 md5-derived hashes and
+    * the integer-exact estimate reproduces bit-for-bit in the oracle —
+    * see [[graft.functions.KmvDistinct]]. The oracle computes the kth
+    * smallest distinct hash per group with a window and applies the
+    * identical floor((k−1)·2³²/h(k)) integer formula; groups under k
+    * distinct values compare as exact counts.
+    */
+  val aggKmvDistinct: Q = Q(
+    "agg_kmv_distinct",
+    (s, d) => {
+      val kmv = udaf(graft.functions.KmvDistinct)
+      Tables.read(s, d, "orders")
+        .filter(col("o_custkey").isNotNull)
+        .select(col("o_orderstatus"),
+          expr("cast(conv(substring(md5(cast(o_custkey as string)), 1, 8), 16, 10) as bigint)")
+            .as("h"))
+        .groupBy(col("o_orderstatus"))
+        .agg(kmv(col("h")).as("n_distinct_est"))
+        .orderBy(asc_nulls_first("o_orderstatus"))
+    },
+    Some("""WITH h AS (SELECT DISTINCT o_orderstatus,
+                   CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+                       FROM orders WHERE o_custkey IS NOT NULL),
+            r AS (SELECT o_orderstatus, hv,
+                         row_number() OVER (PARTITION BY o_orderstatus ORDER BY hv) AS rn,
+                         count(*) OVER (PARTITION BY o_orderstatus) AS nd
+                  FROM h)
+            SELECT o_orderstatus,
+                   CAST(CASE WHEN nd < 64 THEN nd
+                             ELSE (63 * 4294967296) // hv END AS BIGINT) AS n_distinct_est
+            FROM r WHERE rn = least(nd, 64)
+            ORDER BY o_orderstatus NULLS FIRST"""))
+
   val aggMinMaxAvg: Q = Q(
     "agg_min_max_avg",
     (s, d) =>
@@ -881,5 +915,5 @@ object Aggregations {
     opUdafWeightedAvg, aggMode, aggApproxQuantile, aggBoolLogic,
     aggHeavyHittersMg, aggHllSketchUnion, aggKsTwoSample, aggEntropy,
     aggMaxBy, aggSkewKurtManual, aggWeightedMedian, aggReaggregatePartials,
-    aggCountminSketch)
+    aggCountminSketch, aggKmvDistinct)
 }

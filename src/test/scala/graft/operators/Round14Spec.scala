@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.{col, expr}
+
 import graft.SparkSpec
 
 /** Semantic corner pins for the round-14 additions. */
@@ -38,6 +40,27 @@ class Round14Spec extends SparkSpec {
       .filter(_.getString(0) == "graft")
       .map(r => (r.getString(1), r.getString(2))).toMap
     assert(fan == static0)
+  }
+
+  test("agg_kmv_distinct: exact under k, ~13% beyond k, partition-order independent") {
+    import spark.implicits._
+    import graft.functions.KmvDistinct
+    val kmv = org.apache.spark.sql.functions.udaf(KmvDistinct)
+    // group A: 10 distinct keys (< k=64) → EXACT count; group B: 5000
+    // distinct keys → estimate within 4σ ≈ 50% of truth (σ≈13%); both
+    // invariant under repartitioning (merge-tree independence)
+    val rows = (1 to 10).map(i => ("A", i.toLong)) ++
+      (1 to 5000).map(i => ("B", 100000L + i))
+    def run(parts: Int) = rows.toDF("g", "k").repartition(parts)
+      .select(col("g"),
+        expr("cast(conv(substring(md5(cast(k as string)), 1, 8), 16, 10) as bigint)").as("h"))
+      .groupBy(col("g")).agg(kmv(col("h")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run(8)
+    assert(got("A") == 10L, s"under-k group must be exact: $got")
+    assert(math.abs(got("B") - 5000.0) / 5000.0 < 0.5, s"estimate off: $got")
+    assert(run(1) == got && run(32) == got,
+      "KMV must be merge-order independent")
   }
 
   test("stream_snapshot_handoff: multi-batch replay over the seam equals batch state") {
