@@ -1237,6 +1237,31 @@ object LlmOps {
         round(col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.3 +
           least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.3, 6))
 
+  /** Per-document type-token ratio — the lexical-diversity quality
+    * signal (Gopher-style filters threshold on distinct-token fraction:
+    * templated/boilerplate docs sit low, natural text high). Deliberately
+    * a PURE MAP-SIDE expression: `size(split)` and
+    * `size(array_distinct(split))` run per row inside codegen with NO
+    * shuffle at all — the scale-right form of a per-doc profile (the
+    * lang-level rollup is `llm_text_token_stats`). The ratio is one
+    * exact IEEE division of two integers.
+    */
+  val llmTtrStats: Q = Q(
+    "llm_ttr_stats",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+          expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)").as("n_types"))
+        .withColumn("ttr", col("n_types").cast(DoubleType) / col("n_tokens"))
+        .orderBy(asc_nulls_first("doc_id")),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS ttr
+            FROM documents ORDER BY doc_id NULLS FIRST"""))
+
   val llmQualityScore: Q = Q(
     "llm_quality_score",
     (s, d) =>
@@ -1968,7 +1993,7 @@ object LlmOps {
     llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,
     llmStratifiedSample, llmTrainSplit,
     llmDocFingerprint, llmMultimodalJoin,
-    llmMultimodalFeatures, tsUserValueSeries, tsResampleFfill)
+    llmMultimodalFeatures, tsUserValueSeries, tsResampleFfill, llmTtrStats)
 }
 
 /** Output row of the multimodal feature extraction (stubbed decode). */

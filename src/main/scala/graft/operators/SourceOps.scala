@@ -329,6 +329,46 @@ object SourceOps {
     },
     None)
 
+  /** ANALYZE-style table profile — the statistics pass every warehouse
+    * sync runs after landing a table (and what a CBO consumes): per
+    * column, the row count, NULL count and exact distinct count, derived
+    * from the LIVE schema (works on any table, like the DDL generator).
+    * Plan shape: ONE corpus scan — all per-column null-sums and
+    * count-distincts ride a single Aggregate (Spark plans the multi-
+    * distinct via one Expand: rows × (n_distinct_cols+1) through the
+    * shuffle, each carrying one column — the standard plan, vs one
+    * scan per column), then `stack` pivots the single stats row to
+    * long form. min/max are deliberately omitted: cross-engine numeric→
+    * string rendering differs, and the CBO-relevant cardinalities are
+    * the integers. Oracle = per-column UNION ALL of the same integers.
+    */
+  val opTableProfile: Q = Q(
+    "op_table_profile",
+    (s, d) => {
+      val t = Tables.read(s, d, "orders")
+      val cols = t.schema.fields.map(_.name).sorted
+      val statCols = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c")))
+      val one = t.agg(count(lit(1)).as("__nr"), statCols: _*)
+      val stackArgs = cols.map(c => s"'$c', __nn_$c, __nd_$c").mkString(", ")
+      one.select(col("__nr").as("n_rows"),
+          expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
+        .select(col("column_name"), col("n_rows"),
+          col("n_nulls").cast(LongType).as("n_nulls"),
+          col("n_distinct").cast(LongType).as("n_distinct"))
+        .orderBy(asc_nulls_first("column_name"))
+    },
+    Some {
+      val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+        "o_orderpriority", "o_orderstatus", "o_totalprice")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+            FROM orders""").mkString("", " UNION ALL ", " ORDER BY column_name NULLS FIRST")
+    })
+
   /** Row inserts into a table (reference `setup.sh:155-161`): real
     * write-append-read cycle through the parquet sink. Rows-only check.
     */
@@ -891,5 +931,5 @@ object SourceOps {
     opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals,
     srcPartitionedRoundtrip, srcOrcRoundtrip, srcSchemaMergeRoundtrip,
     opZorderLayout, opZorder3Layout, sinkDynamicPartitionOverwrite,
-    srcCsvQuarantine, srcCdcQuarantine)
+    srcCsvQuarantine, srcCdcQuarantine, opTableProfile)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (198 keys, 173 oracles)") {
-    assert(SparkEntry.queries.size == 198,
+  test("registry matches the SURVEY §2 inventory size (200 keys, 175 oracles)") {
+    assert(SparkEntry.queries.size == 200,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 173,
+    assert(SparkEntry.oracleSql.size == 175,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -63,6 +63,31 @@ class Round14Spec extends SparkSpec {
       "KMV must be merge-order independent")
   }
 
+  test("llm_ttr_stats: repeated tokens lower the ratio; singleton doc is 1.0") {
+    import spark.implicits._
+    val d = graft.util.TempDirs.create("r14_ttr")
+    Seq((1L, "a b a b a"), (2L, "x"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+      .write.parquet(d.resolve("documents.parquet").toString)
+    val got = LlmOps.llmTtrStats.fn(spark, d.toString).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(1L -> ((5L, 2L, 0.4)), 2L -> ((1L, 1L, 1.0)),
+      3L -> ((3L, 3L, 1.0))), s"got $got")
+  }
+
+  test("op_table_profile: nulls and distincts counted per column in one pass") {
+    import spark.implicits._
+    val d = graft.util.TempDirs.create("r14_profile")
+    Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (2L, "b"), (null, "b"))
+      .toDF("o_orderkey", "o_orderstatus")
+      .write.parquet(d.resolve("orders.parquet").toString)
+    val got = SourceOps.opTableProfile.fn(spark, d.toString).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // count(DISTINCT) excludes NULLs in both engines
+    assert(got == Map("o_orderkey" -> ((4L, 1L, 2L)),
+      "o_orderstatus" -> ((4L, 1L, 2L))), s"got $got")
+  }
+
   test("stream_snapshot_handoff: multi-batch replay over the seam equals batch state") {
     import spark.implicits._
     // cut = max/2 = 5, overlap 2 → snapshot covers ids ≤ 5, WAL replays
