@@ -523,11 +523,31 @@ object Expressions {
                         ELSE 9223372036854775800 + o_orderkey END AS safe_add
             FROM orders ORDER BY o_orderkey NULLS FIRST"""))
 
+  /** EXISTS / NOT IN subquery surface — the predicate forms users write
+    * before anyone rewrites them to joins; Catalyst plans EXISTS as a
+    * LEFT SEMI join and NOT IN as a null-aware LEFT ANTI join (the
+    * three-valued-logic variant a plain anti join gets WRONG when the
+    * subquery column is nullable). The inner IS NOT NULL keeps NOT IN's
+    * semantics identical across engines while still exercising the
+    * null-aware plan.
+    */
+  val opExistsInSubquery: Q = Q.sql(
+    "op_exists_in_subquery",
+    """SELECT c_custkey, c_name
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey
+                       AND o.o_totalprice > 100000)
+         AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_orderstatus = 'F'
+                                 AND o_custkey IS NOT NULL)
+       ORDER BY c_custkey NULLS FIRST""")
+
   val all: Seq[Q] = Seq(
     opProjectCompute, opFilterPred, opCaseWhen, opStringConcat,
     opCoalesceNullif, opCastTypes, opScalarSubquery, opCte, opCteRecursive,
     fnConditional,
     fnString, fnRegex, fnDatetime, fnMath, fnJsonNested, fnArray, fnMap,
     fnHashDigest, fnBitwise, opUnpivot, opUdfTypemap, fnVariantJson,
-    opLateralTopn, fnTryArith)
+    opLateralTopn, fnTryArith, opExistsInSubquery)
 }

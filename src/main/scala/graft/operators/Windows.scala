@@ -271,8 +271,39 @@ object Windows {
                      AS BIGINT) AS n_distinct_types
             FROM f ORDER BY event_id NULLS FIRST"""))
 
+  /** IGNORE NULLS window fill — last-observation-carried-forward over a
+    * sparse signal: each event carries the most recent CLICK value of its
+    * user as of its own position (the sessionized "last seen X" feature
+    * every event pipeline derives). `last(expr, ignoreNulls = true)` over
+    * an explicit ROWS frame with a unique (ts, event_id) sort — the
+    * IGNORE NULLS surface the plain first/last op doesn't touch; one
+    * partition-key shuffle, deterministic by the §2.0 rule-6 tiebreak.
+    */
+  val winIgnoreNulls: Q = Q(
+    "win_ignore_nulls",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.read(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          when(col("event_type") === "click", col("value")).as("click_v"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          last(col("click_v"), ignoreNulls = true).over(w).as("last_click_value"))
+        .orderBy(asc_nulls_first("event_id"))
+    },
+    Some("""SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+                   last_value(CASE WHEN event_type = 'click' THEN value END
+                              IGNORE NULLS)
+                     OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS last_click_value
+            FROM events ORDER BY event_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     winRowNumber, winRankDense, winLagLead, winRunningSum, winSlidingFrame,
     winRangeFrame, winFirstLast, winNtile, winPercentCume, aggTopkPerGroup,
-    winNthValue, winCumulativeDistinct)
+    winNthValue, winCumulativeDistinct, winIgnoreNulls)
 }

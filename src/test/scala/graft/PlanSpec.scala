@@ -232,6 +232,13 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"the audit must decode in ONE pass, got $scans scans:\n$p")
   }
 
+  test("op_exists_in_subquery plans semi + anti joins, never a nested loop") {
+    val p = plan(Expressions.opExistsInSubquery.fn(spark, sf))
+    assert(p.contains("LeftSemi"), s"EXISTS must plan a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT IN must plan an anti join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("op_schema_ddl_fanout: catalog metadata only — no corpus data scan") {
     val p = plan(SourceOps.opSchemaDdlFanout.fn(spark, sf))
     assert(!p.contains("FileScan"), s"metadata op must not scan data:\n$p")

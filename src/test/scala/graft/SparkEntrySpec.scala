@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (200 keys, 175 oracles)") {
-    assert(SparkEntry.queries.size == 200,
+  test("registry matches the SURVEY §2 inventory size (202 keys, 177 oracles)") {
+    assert(SparkEntry.queries.size == 202,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 175,
+    assert(SparkEntry.oracleSql.size == 177,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
