@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -162,37 +162,42 @@ object Joins {
     * parquet reader truncates nano timestamps to µs, so µs is the highest
     * cross-engine-exact resolution.
     */
+  /** Shared backward-as-of engine: merge-tagged union + one user-keyed
+    * LOCF window, returning each click with its latest signup at-or-before
+    * (pre-presentation; consumers add tolerance/null-out/sort).
+    */
+  private def asofBackwardMatched(s: SparkSession, d: String): DataFrame = {
+    // NULL user_ids excluded up front (mirrored in the oracle): the
+    // window's partitionBy groups NULL keys together, which would match
+    // NULL-user clicks to NULL-user signups while a SQL equi-join never
+    // matches NULLs — the asof family's contract is non-null keys
+    val ev = Tables.read(s, d, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"),
+        lit(null).cast("bigint").as("signup_ts"), lit(null).cast("bigint").as("signup_id"),
+        lit(1).as("kind"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts_us"))
+      .agg(max(col("event_id")).as("signup_id"))
+      .select(col("user_id"), col("ts_us"), lit(null).cast("bigint").as("click_id"),
+        col("ts_us").as("signup_ts"), col("signup_id"), lit(0).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("kind"), col("click_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signups.unionByName(clicks)
+      .withColumn("last_signup_ts", last(col("signup_ts"), ignoreNulls = true).over(w))
+      .withColumn("last_signup_id", last(col("signup_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("click_id").as("event_id"), col("user_id"), col("ts_us"),
+        col("last_signup_ts").as("signup_ts"), col("last_signup_id").as("signup_id"))
+  }
+
   val joinAsofBackward: Q = Q(
     "join_asof_backward",
-    (s, d) => {
-      // NULL user_ids excluded up front (mirrored in the oracle): the
-      // window's partitionBy groups NULL keys together, which would match
-      // NULL-user clicks to NULL-user signups while a SQL equi-join never
-      // matches NULLs — the asof family's contract is non-null keys
-      val ev = Tables.read(s, d, "events")
-        .filter(col("user_id").isNotNull)
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          expr("ts div 1000").as("ts_us"))
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"),
-          lit(null).cast("bigint").as("signup_ts"), lit(null).cast("bigint").as("signup_id"),
-          lit(1).as("kind"))
-      val signups = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id"), col("ts_us"))
-        .agg(max(col("event_id")).as("signup_id"))
-        .select(col("user_id"), col("ts_us"), lit(null).cast("bigint").as("click_id"),
-          col("ts_us").as("signup_ts"), col("signup_id"), lit(0).as("kind"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("kind"), col("click_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      signups.unionByName(clicks)
-        .withColumn("last_signup_ts", last(col("signup_ts"), ignoreNulls = true).over(w))
-        .withColumn("last_signup_id", last(col("signup_id"), ignoreNulls = true).over(w))
-        .filter(col("kind") === 1)
-        .select(col("click_id").as("event_id"), col("user_id"), col("ts_us"),
-          col("last_signup_ts").as("signup_ts"), col("last_signup_id").as("signup_id"))
-        .orderBy(asc_nulls_first("event_id"))
-    },
+    (s, d) => asofBackwardMatched(s, d).orderBy(asc_nulls_first("event_id")),
     Some("""WITH clicks AS (
               SELECT event_id, user_id, epoch_us(ts) AS ts_us
               FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
@@ -213,6 +218,43 @@ object Joins {
     * unbounded following); clicks sort before same-timestamp signups so
     * equality matches, mirroring DuckDB's `ASOF ... c.ts <= s.ts`.
     */
+  /** Bounded-staleness as-of join — the feature-store form of
+    * [[joinAsofBackward]]: a click takes its user's latest signup only
+    * if that signup is at most 1 h stale; older matches null out while
+    * the click row survives (left semantics). This is the join every
+    * online-feature pipeline runs ("most recent feature value, but never
+    * serve one older than the freshness SLA"). Same single user-keyed
+    * LOCF window as the backward op — tolerance is a per-row projection
+    * on top, so the 100 TB plan is unchanged.
+    */
+  val joinAsofTolerance: Q = Q(
+    "join_asof_tolerance",
+    (s, d) => {
+      val tolUs = 3600000000L // 1 h freshness SLA
+      asofBackwardMatched(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("ts_us") - col("signup_ts") <= tolUs, col("signup_ts"))
+            .as("signup_ts"),
+          when(col("ts_us") - col("signup_ts") <= tolUs, col("signup_id"))
+            .as("signup_id"))
+        .orderBy(asc_nulls_first("event_id"))
+    },
+    Some("""WITH clicks AS (
+              SELECT event_id, user_id, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+            signups AS (
+              SELECT user_id, epoch_us(ts) AS ts_us, max(event_id) AS signup_id
+              FROM events WHERE event_type = 'signup' AND user_id IS NOT NULL
+              GROUP BY user_id, epoch_us(ts))
+            SELECT c.event_id, c.user_id, c.ts_us,
+                   CASE WHEN c.ts_us - s.ts_us <= 3600000000
+                        THEN s.ts_us END AS signup_ts,
+                   CASE WHEN c.ts_us - s.ts_us <= 3600000000
+                        THEN s.signup_id END AS signup_id
+            FROM clicks c ASOF LEFT JOIN signups s
+              ON c.user_id = s.user_id AND c.ts_us >= s.ts_us
+            ORDER BY c.event_id NULLS FIRST"""))
+
   val joinAsofForward: Q = Q(
     "join_asof_forward",
     (s, d) => {
@@ -396,8 +438,9 @@ object Joins {
   val all: Seq[Q] = Seq(
     joinInnerHash, joinBroadcast, joinLeftOuter, joinRightOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
-    joinAsofBackward, joinAsofForward, joinAsofNearest, joinIntervalOverlap,
-    joinIntervalBucketed, joinHintShuffleHash, joinSkewSalted)
+    joinAsofBackward, joinAsofForward, joinAsofNearest, joinAsofTolerance,
+    joinIntervalOverlap, joinIntervalBucketed, joinHintShuffleHash,
+    joinSkewSalted)
 
   /** Skew-salted shuffle join — the manual cure for a hot key when the
     * build side is too big to broadcast and AQE's skew split can't help
