@@ -1131,6 +1131,54 @@ object PipelineOps {
     * shuffle of the deduplicated activity set, never of raw events;
     * day-1 (no predecessor) reports 0 returning by construction.
     */
+  /** Strict-order funnel — the conversion question event analytics asks
+    * of every acquisition flow: of the users whose journey CONTAINS a
+    * view, how many clicked AT OR AFTER their first view, and of those,
+    * how many purchased at or after that first qualifying click. Stage
+    * anchors are conditional minima (first view, first post-view click),
+    * so the order constraint is exact, not a per-type count comparison.
+    * Plan shape: three user-keyed hash aggs chained by equi-joins on
+    * user_id (each stage's survivors ≤ the previous — the joins shrink
+    * monotonically), then three one-row counts cross-joined; no windows,
+    * no self-join over raw events. The oracle states the identical
+    * staged CTEs with scalar-subquery counts.
+    */
+  val tsFunnelStages: Q = Q(
+    "ts_funnel_stages",
+    (s, d) => {
+      // e feeds three stages and each stage feeds both its successor and
+      // a count — materialized once each (the ScanAuditSpec discipline:
+      // without this the corpus re-expands per reference, 6 scans)
+      val e = Tables.read(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+        .truncated
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("v0"))
+        .truncated
+      val c = e.join(v, "user_id")
+        .filter(col("event_type") === "click" && col("ts_us") >= col("v0"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("c0"))
+        .truncated
+      val p = e.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts_us") >= col("c0"))
+        .select(col("user_id")).distinct()
+      v.agg(count(lit(1)).as("n_view_users"))
+        .crossJoin(c.agg(count(lit(1)).as("n_then_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_then_purchase")))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+                       FROM events WHERE user_id IS NOT NULL),
+            v AS (SELECT user_id, min(ts_us) AS v0 FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(ts_us) AS c0 FROM e JOIN v USING (user_id)
+                  WHERE event_type = 'click' AND ts_us >= v0 GROUP BY e.user_id),
+            p AS (SELECT DISTINCT e.user_id FROM e JOIN c USING (user_id)
+                  WHERE event_type = 'purchase' AND ts_us >= c0)
+            SELECT (SELECT count(*) FROM v) AS n_view_users,
+                   (SELECT count(*) FROM c) AS n_then_click,
+                   (SELECT count(*) FROM p) AS n_then_purchase"""))
+
   val tsDailyRetention: Q = Q(
     "ts_daily_retention",
     (s, d) => {
@@ -1520,5 +1568,5 @@ object PipelineOps {
     tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
-    tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep)
+    tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, tsFunnelStages)
 }

@@ -88,6 +88,28 @@ class Round14Spec extends SparkSpec {
       "o_orderstatus" -> ((4L, 1L, 2L))), s"got $got")
   }
 
+  test("ts_funnel_stages: order violations drop users at exactly their failing stage") {
+    import spark.implicits._
+    // u1 converts fully in order; u2's click PRECEDES its first view
+    // (fails stage 2); u3 views only; u4 clicks post-view but never buys;
+    // u5's purchase precedes its first qualifying click (fails stage 3).
+    // The dense corpus converts everyone, so this fixture is what
+    // actually pins the >= anchors.
+    val rows = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "purchase", 3L),
+      (3L, "view", 1L),
+      (4L, "view", 1L), (4L, "click", 2L),
+      (5L, "purchase", 1L), (5L, "view", 2L), (5L, "click", 3L))
+    val d = graft.util.TempDirs.create("r14_funnel")
+    rows.map { case (u, t, ts) => (u, t, ts * 1000L) }
+      .toDF("user_id", "event_type", "ts")
+      .write.parquet(d.resolve("events.parquet").toString)
+    val r = PipelineOps.tsFunnelStages.fn(spark, d.toString).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 3L, 1L)),
+      s"got $r")
+  }
+
   test("stream_snapshot_handoff: multi-batch replay over the seam equals batch state") {
     import spark.implicits._
     // cut = max/2 = 5, overlap 2 → snapshot covers ids ≤ 5, WAL replays
