@@ -92,6 +92,34 @@ object LlmOps {
                    md5(text) AS digest
             FROM documents GROUP BY md5(text) ORDER BY keep_id NULLS FIRST"""))
 
+  /** Cross-source exact dedup with keep-priority — the "dedup the crawl
+    * against the curated sets" decision ([[llmDedupExactDigest]] picks a
+    * canonical id; this picks a canonical SOURCE): within each digest
+    * group the copy from the lexicographically-first source survives
+    * (doc_id tiebreak), every other copy is marked dropped, and each row
+    * carries the group's copy count for audit. One digest-keyed window —
+    * the shuffle carries 16-byte digests + ids, never document bodies.
+    */
+  val llmCrossSourceDedup: Q = Q(
+    "llm_cross_source_dedup",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("digest")).orderBy(col("source"), col("doc_id"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("digest"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .withColumn("n_copies", count(lit(1)).over(wAll))
+        .select(col("doc_id"), col("source"), col("keep"), col("n_copies"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY md5(text)
+                                      ORDER BY source, doc_id) = 1 AS keep,
+                   CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
+                     AS n_copies
+            FROM documents ORDER BY doc_id NULLS FIRST"""))
+
   /** Exact token-set Jaccard near-dup pairs (ground truth for the MinHash
     * op). Adaptive physical plan: the distinct-token vocabulary is probed
     * first (limit-65 — never fully collected); when it fits 64 bits — as in this
@@ -1982,7 +2010,8 @@ object LlmOps {
 
   val all: Seq[Q] = Seq(
     llmDedupContainment,
-    llmDedupExactText, llmDedupExactDigest, llmJaccardNearDup,
+    llmDedupExactText, llmDedupExactDigest, llmCrossSourceDedup,
+    llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
     llmDedupSimhash, llmDedupClusterRep, llmSubstringDedup,
     llmMinhashJaccardEst, llmEditDistanceDup,

@@ -424,6 +424,36 @@ object PipelineOps {
                          RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
             ORDER BY event_id NULLS FIRST"""))
 
+  /** Rolling 24 h DISTINCT active users per hour bucket — the sliding
+    * DAU curve ([[tsRolling24h]] is the per-user sum/count sibling; this
+    * is the global cardinality one). Aggregate-first: the corpus first
+    * collapses to DISTINCT (hour, user) pairs (the only thing a distinct
+    * window can ever see), then each pair fans out to the 24 trailing
+    * buckets it serves — a bounded ×24 map-side explode of the SHRUNK
+    * pair table, never of raw events — and one hash agg counts distinct
+    * users per bucket. No global window, no per-event state. Trailing
+    * buckets past the corpus end appear by construction (both engines
+    * identically).
+    */
+  val tsRollingDau: Q = Q(
+    "ts_rolling_dau",
+    (s, d) => {
+      val hu = Tables.read(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .select(expr("(ts div 1000) div 3600000000").as("h"), col("user_id"))
+        .distinct()
+      hu.select(explode(expr("sequence(h, h + 23)")).as("bucket"), col("user_id"))
+        .groupBy(col("bucket"))
+        .agg(countDistinct(col("user_id")).as("dau_24h"))
+        .orderBy(asc_nulls_first("bucket"))
+    },
+    Some("""WITH hu AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS h, user_id
+                        FROM events WHERE user_id IS NOT NULL),
+            x AS (SELECT h + g.i AS bucket, user_id
+                  FROM hu CROSS JOIN (SELECT unnest(range(0, 24)) AS i) g)
+            SELECT bucket, CAST(count(DISTINCT user_id) AS BIGINT) AS dau_24h
+            FROM x GROUP BY bucket ORDER BY bucket NULLS FIRST"""))
+
   /** L2-normalization of the embedding column — the prep step before any
     * cosine-as-dot-product pipeline (normalized vectors turn cosine into
     * a plain dot product, halving ANN re-rank cost). Per-row HOF
@@ -1568,5 +1598,6 @@ object PipelineOps {
     tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
-    tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, tsFunnelStages)
+    tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, tsFunnelStages,
+    tsRollingDau)
 }
