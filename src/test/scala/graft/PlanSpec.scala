@@ -239,6 +239,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("op_dpp_star_join: the fact scan carries a dynamic pruning partition filter") {
+    val p = plan(SourceOps.opDppStarJoin.fn(spark, sf))
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"the day-partitioned fact scan must be runtime-pruned by the dim filter:\n$p")
+  }
+
   test("op_schema_ddl_fanout: catalog metadata only — no corpus data scan") {
     val p = plan(SourceOps.opSchemaDdlFanout.fn(spark, sf))
     assert(!p.contains("FileScan"), s"metadata op must not scan data:\n$p")
