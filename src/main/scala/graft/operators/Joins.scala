@@ -435,12 +435,62 @@ object Joins {
              AND abs(b.ts_us - a.ts_us) <= 3600000000
             ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
 
+  /** One bucketed (orders, customer) table pair per (JVM, corpus) —
+    * bucketed writes are the pay-once layout, so Verify/Bench reps reuse
+    * them (the dppFactDir discipline). Table names carry the corpus
+    * hash: the external catalog is JVM-shared across sessions.
+    */
+  private val bucketedPairs =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def bucketedPair(s: SparkSession, d: String): (String, String) =
+    bucketedPairs.computeIfAbsent(d, _ => {
+      val tag = Integer.toHexString(d.hashCode).takeRight(8)
+      val base = graft.util.TempDirs.create("graft_bucketed").toString
+      val (ot, ct) = (s"graft_orders_b_$tag", s"graft_customer_b_$tag")
+      Tables.read(s, d, "orders").write.mode("overwrite")
+        .option("path", s"$base/$ot")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      Tables.read(s, d, "customer").write.mode("overwrite")
+        .option("path", s"$base/$ct")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      (ot, ct)
+    })
+
+  /** Bucketed co-located join — the pay-the-shuffle-once layout for
+    * REPEATED key joins ([[BucketedJoinSpec]] proves the no-exchange
+    * plan; this key puts it under the driver's correctness gate): both
+    * sides are bucketed on the join key at write time, so the join reads
+    * bucket-aligned files and plans NO exchange on either side — at
+    * 100 TB this converts every recurring fact⋈fact join from a full
+    * shuffle into a local merge. The MERGE hint keeps the harness-scale
+    * plan on the sort-merge path (a broadcast would bypass the bucketed
+    * layout being demonstrated); the write happens once per JVM.
+    */
+  val joinBucketedColocated: Q = Q(
+    "join_bucketed_colocated",
+    (s, d) => {
+      val (ot, ct) = bucketedPair(s, d)
+      s.table(ot).hint("merge")
+        .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_spend"))
+        .orderBy(asc_nulls_first("c_mktsegment"))
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_spend
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     joinInnerHash, joinBroadcast, joinLeftOuter, joinRightOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
     joinAsofBackward, joinAsofForward, joinAsofNearest, joinAsofTolerance,
     joinIntervalOverlap, joinIntervalBucketed, joinHintShuffleHash,
-    joinSkewSalted)
+    joinSkewSalted, joinBucketedColocated)
 
   /** Skew-salted shuffle join — the manual cure for a hot key when the
     * build side is too big to broadcast and AQE's skew split can't help

@@ -245,6 +245,14 @@ class PlanSpec extends SparkSpec {
       s"the day-partitioned fact scan must be runtime-pruned by the dim filter:\n$p")
   }
 
+  test("join_bucketed_colocated: neither side reshuffles on the join key") {
+    val p = plan(Joins.joinBucketedColocated.fn(spark, sf))
+    assert(p.contains("SortMergeJoin"), s"merge hint must hold:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed sides must join without a key shuffle:\n$p")
+  }
+
   test("op_schema_ddl_fanout: catalog metadata only — no corpus data scan") {
     val p = plan(SourceOps.opSchemaDdlFanout.fn(spark, sf))
     assert(!p.contains("FileScan"), s"metadata op must not scan data:\n$p")
