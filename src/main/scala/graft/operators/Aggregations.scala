@@ -140,6 +140,34 @@ object Aggregations {
             FROM r WHERE rn = least(nd, 64)
             ORDER BY o_orderstatus NULLS FIRST"""))
 
+  /** Rollup over a NULL-CONTAINING group key with `grouping()`
+    * disambiguation — the correctness trap [[aggRollup]]'s non-null keys
+    * never exercise: events has genuinely NULL user_ids, so a rollup on
+    * (type, user bucket) emits NULL bucket cells that are VALUES and
+    * NULL bucket cells that are TOTALS, and only the grouping flag tells
+    * them apart (a consumer keying on the column alone double-counts).
+    * Both flags surface as BIGINT; identical ROLLUP SQL oracle.
+    */
+  val aggRollupGroupingId: Q = Q(
+    "agg_rollup_grouping_id",
+    (s, d) =>
+      Tables.read(s, d, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(7)).as("grp"))
+        .rollup(col("event_type"), col("grp"))
+        .agg(grouping(col("event_type")).cast(LongType).as("g_type"),
+          grouping(col("grp")).cast(LongType).as("g_grp"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("grp"), col("g_type"), col("g_grp"), col("n"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("grp"),
+          asc("g_type"), asc("g_grp")),
+    Some("""WITH e AS (SELECT event_type, user_id % 7 AS grp FROM events)
+            SELECT event_type, grp,
+                   CAST(grouping(event_type) AS BIGINT) AS g_type,
+                   CAST(grouping(grp) AS BIGINT) AS g_grp,
+                   count(*) AS n
+            FROM e GROUP BY ROLLUP (event_type, grp)
+            ORDER BY event_type NULLS FIRST, grp NULLS FIRST, g_type, g_grp"""))
+
   val aggMinMaxAvg: Q = Q(
     "agg_min_max_avg",
     (s, d) =>
@@ -915,5 +943,5 @@ object Aggregations {
     opUdafWeightedAvg, aggMode, aggApproxQuantile, aggBoolLogic,
     aggHeavyHittersMg, aggHllSketchUnion, aggKsTwoSample, aggEntropy,
     aggMaxBy, aggSkewKurtManual, aggWeightedMedian, aggReaggregatePartials,
-    aggCountminSketch, aggKmvDistinct)
+    aggCountminSketch, aggKmvDistinct, aggRollupGroupingId)
 }

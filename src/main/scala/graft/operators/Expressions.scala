@@ -543,11 +543,36 @@ object Expressions {
                                  AND o_custkey IS NOT NULL)
        ORDER BY c_custkey NULLS FIRST""")
 
+  /** explode_outer — the null-preserving explode: a row whose array is
+    * NULL (here: every 5th event carries no tags) survives with a NULL
+    * element instead of vanishing, which is the difference between "join
+    * lost my rows" and a correct left-lateral flatten. The oracle
+    * emulates outer semantics by coalescing the NULL array to a
+    * single-NULL list before unnest (engines agree element-wise).
+    */
+  val opExplodeOuter: Q = Q(
+    "op_explode_outer",
+    (s, d) =>
+      Tables.read(s, d, "events")
+        .select(col("event_id"),
+          when(pmod(col("event_id"), lit(5)) =!= 0,
+            array(col("event_type"), concat(col("event_type"), lit("_x"))))
+            .as("tags"))
+        .select(col("event_id"), explode_outer(col("tags")).as("tag"))
+        .orderBy(asc_nulls_first("event_id"), asc_nulls_first("tag")),
+    Some("""WITH e AS (SELECT event_id,
+                   CASE WHEN event_id % 5 <> 0
+                        THEN [event_type, event_type || '_x'] END AS tags
+                       FROM events)
+            SELECT event_id,
+                   unnest(coalesce(tags, [CAST(NULL AS VARCHAR)])) AS tag
+            FROM e ORDER BY event_id NULLS FIRST, tag NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     opProjectCompute, opFilterPred, opCaseWhen, opStringConcat,
     opCoalesceNullif, opCastTypes, opScalarSubquery, opCte, opCteRecursive,
     fnConditional,
     fnString, fnRegex, fnDatetime, fnMath, fnJsonNested, fnArray, fnMap,
     fnHashDigest, fnBitwise, opUnpivot, opUdfTypemap, fnVariantJson,
-    opLateralTopn, fnTryArith, opExistsInSubquery)
+    opLateralTopn, fnTryArith, opExistsInSubquery, opExplodeOuter)
 }

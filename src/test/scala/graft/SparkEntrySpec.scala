@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (208 keys, 183 oracles)") {
-    assert(SparkEntry.queries.size == 208,
+  test("registry matches the SURVEY §2 inventory size (210 keys, 185 oracles)") {
+    assert(SparkEntry.queries.size == 210,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 183,
+    assert(SparkEntry.oracleSql.size == 185,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
