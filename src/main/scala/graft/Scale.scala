@@ -62,7 +62,9 @@ object Scale {
     "agg_exact_quantiles", "ts_cross_correlation", "llm_bpe_merge_step",
     "sink_dynamic_partition_overwrite", "op_cte_recursive",
     "src_cdc_quarantine", "stream_snapshot_handoff", "op_schema_ddl_fanout",
-    "agg_kmv_distinct", "llm_ttr_stats", "op_table_profile")
+    "agg_kmv_distinct", "llm_ttr_stats", "op_table_profile",
+    "op_dpp_star_join", "join_bucketed_colocated", "ts_funnel_stages",
+    "ts_rolling_dau", "llm_cross_source_dedup", "agg_rollup_grouping_id")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
