@@ -39,7 +39,13 @@ object Tables {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
-  private def sessionKey(spark: SparkSession): String =
+  /** Per-session UUID via a weak identity map — the ONE place that may
+    * key on a live SparkSession: the String value holds no reference back
+    * to the session, so the weak key actually works (a map whose VALUES
+    * are DataFrames would pin its session keys forever — DataFrames
+    * reference their session). Caches elsewhere key on this UUID instead.
+    */
+  private[graft] def sessionKey(spark: SparkSession): String =
     sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {

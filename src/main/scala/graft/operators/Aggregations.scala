@@ -142,17 +142,22 @@ object Aggregations {
 
   /** Rollup over a NULL-CONTAINING group key with `grouping()`
     * disambiguation — the correctness trap [[aggRollup]]'s non-null keys
-    * never exercise: events has genuinely NULL user_ids, so a rollup on
-    * (type, user bucket) emits NULL bucket cells that are VALUES and
-    * NULL bucket cells that are TOTALS, and only the grouping flag tells
-    * them apart (a consumer keying on the column alone double-counts).
-    * Both flags surface as BIGINT; identical ROLLUP SQL oracle.
+    * never exercise: the bucket key is DERIVED NULL for 'error' events
+    * (an unattributable bucket — this corpus carries no NULL user_ids,
+    * so the NULL cells are constructed, deterministically, the way a
+    * real dirty feed would produce them), and the rollup then emits NULL
+    * bucket cells that are VALUES next to NULL bucket cells that are
+    * TOTALS — only the grouping flag tells them apart (a consumer keying
+    * on the column alone double-counts). Flags surface as BIGINT;
+    * identical ROLLUP SQL oracle.
     */
   val aggRollupGroupingId: Q = Q(
     "agg_rollup_grouping_id",
     (s, d) =>
       Tables.read(s, d, "events")
-        .select(col("event_type"), pmod(col("user_id"), lit(7)).as("grp"))
+        .select(col("event_type"),
+          when(col("event_type") =!= "error", pmod(col("user_id"), lit(7)))
+            .as("grp"))
         .rollup(col("event_type"), col("grp"))
         .agg(grouping(col("event_type")).cast(LongType).as("g_type"),
           grouping(col("grp")).cast(LongType).as("g_grp"),
@@ -160,7 +165,10 @@ object Aggregations {
         .select(col("event_type"), col("grp"), col("g_type"), col("g_grp"), col("n"))
         .orderBy(asc_nulls_first("event_type"), asc_nulls_first("grp"),
           asc("g_type"), asc("g_grp")),
-    Some("""WITH e AS (SELECT event_type, user_id % 7 AS grp FROM events)
+    Some("""WITH e AS (SELECT event_type,
+                              CASE WHEN event_type <> 'error'
+                                   THEN user_id % 7 END AS grp
+                       FROM events)
             SELECT event_type, grp,
                    CAST(grouping(event_type) AS BIGINT) AS g_type,
                    CAST(grouping(grp) AS BIGINT) AS g_grp,

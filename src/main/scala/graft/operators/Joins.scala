@@ -443,19 +443,27 @@ object Joins {
   private val bucketedPairs =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
-  private def bucketedPair(s: SparkSession, d: String): (String, String) =
-    bucketedPairs.computeIfAbsent(d, _ => {
-      val tag = Integer.toHexString(d.hashCode).takeRight(8)
+  private def bucketedPair(s: SparkSession, d: String): (String, String) = {
+    // tag = the sanitized corpus path itself, NOT a hash: two dirs can
+    // collide in 32-bit hashCode space, and aliased table names would
+    // silently serve one corpus's aggregates for the other
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
+    val names = bucketedPairs.computeIfAbsent(d, _ =>
+      (s"graft_orders_b_$tag", s"graft_customer_b_$tag"))
+    val (ot, ct) = names
+    // existence-checked, not cache-trusted: a fresh catalog in the same
+    // JVM (stopped/recreated context) must rebuild, not throw NOT_FOUND
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
       val base = graft.util.TempDirs.create("graft_bucketed").toString
-      val (ot, ct) = (s"graft_orders_b_$tag", s"graft_customer_b_$tag")
       Tables.read(s, d, "orders").write.mode("overwrite")
         .option("path", s"$base/$ot")
         .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
       Tables.read(s, d, "customer").write.mode("overwrite")
         .option("path", s"$base/$ct")
         .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
-      (ot, ct)
-    })
+    }
+    names
+  }
 
   /** Bucketed co-located join — the pay-the-shuffle-once layout for
     * REPEATED key joins ([[BucketedJoinSpec]] proves the no-exchange

@@ -28,11 +28,8 @@ import graft.util.Checkpoints.Truncate
 object LlmOps {
 
   /** Distinct (doc_id, token) pairs — the inverted-index building block. */
-  private val tokenCache: java.util.Map[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]]())
+  private val tokenCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
 
   /** Distinct (doc, token) table + k=16 minhash signatures, materialized
     * once per (session, corpus): four registry ops fan out of the token
@@ -40,19 +37,20 @@ object LlmOps {
     * discipline as [[simhashPairs]]. Sharing SIGNATURES between the
     * broadcast and forced-shuffle minhash keys is exactly what the
     * banded key exists to prove: same inputs, different pair-generation
-    * plan, spec-identical output.
+    * plan, spec-identical output. Keyed by [[Tables.sessionKey]]'s
+    * per-session UUID (a DataFrame-valued map keyed on the session
+    * itself would pin it forever — DataFrames reference their session);
+    * retention is bounded by (sessions × corpora) per JVM, like
+    * `Tables.planCache`.
     */
   private[operators] def corpusToksAndSigs(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
-    val perSession = tokenCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]())
-    perSession.computeIfAbsent(d, _ => {
+      : (DataFrame, DataFrame) =
+    tokenCache.computeIfAbsent((Tables.sessionKey(s), d), _ => {
       val toks = Tables.read(s, d, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .distinct().cache()
       (toks, minhashSigs(toks).cache())
     })
-  }
 
   private[operators] def docTokens(s: SparkSession, d: String): DataFrame =
     corpusToksAndSigs(s, d)._1
@@ -446,27 +444,22 @@ object LlmOps {
     * (link prediction), NOT for the dedup ops, which stay at the
     * complete ≤3 default.
     */
-  private val simhashPairCache: java.util.Map[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]] =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]]())
+  private val simhashPairCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
 
   /** Cached entry point: SIX registry ops consume the pair table
     * (simhash dedup, cluster resolution, the four graph ops), and each
     * recomputing the corpus-scan + hashing subtree is exactly the
     * repeated-shared-subtree shape the scan audit exists to prevent —
     * a production pipeline materializes the pair table once and fans
-    * out. Weak-keyed per session (stopped test sessions are not pinned),
-    * keyed by (corpus, radius); the cache holds a lazy `.cache()`d plan,
-    * so the first consumer materializes and the rest read memory.
+    * out. Keyed by the per-session UUID ([[Tables.sessionKey]] — see
+    * [[corpusToksAndSigs]] for why not the session itself) plus
+    * (corpus, radius); the cache holds a lazy `.cache()`d plan, so the
+    * first consumer materializes and the rest read memory.
     */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
-    val perSession = simhashPairCache.computeIfAbsent(s,
-      _ => new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]())
-    perSession.computeIfAbsent((d, maxHamming),
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame =
+    simhashPairCache.computeIfAbsent((Tables.sessionKey(s), d, maxHamming),
       _ => computeSimhashPairs(s, d, maxHamming).cache())
-  }
 
   private def computeSimhashPairs(s: SparkSession, d: String,
                                   maxHamming: Int): DataFrame = {
