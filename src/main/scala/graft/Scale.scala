@@ -64,7 +64,8 @@ object Scale {
     "src_cdc_quarantine", "stream_snapshot_handoff", "op_schema_ddl_fanout",
     "agg_kmv_distinct", "llm_ttr_stats", "op_table_profile",
     "op_dpp_star_join", "join_bucketed_colocated", "ts_funnel_stages",
-    "ts_rolling_dau", "llm_cross_source_dedup", "agg_rollup_grouping_id")
+    "ts_rolling_dau", "llm_cross_source_dedup", "agg_rollup_grouping_id",
+    "ts_active_streak")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",

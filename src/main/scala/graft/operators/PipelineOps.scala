@@ -1161,6 +1161,44 @@ object PipelineOps {
     * shuffle of the deduplicated activity set, never of raw events;
     * day-1 (no predecessor) reports 0 returning by construction.
     */
+  /** Longest consecutive-day active streak per user — the engagement
+    * metric next to retention/DAU, and the canonical gaps-and-islands
+    * window idiom: over the DISTINCT (user, day) table (aggregate-first
+    * — raw events never reach a window), `day − row_number()` is
+    * constant exactly within a consecutive run, so one user-keyed
+    * window + two hash aggs yield each user's longest streak. All
+    * integers; identical SQL oracle.
+    */
+  val tsActiveStreak: Q = Q(
+    "ts_active_streak",
+    (s, d) => {
+      val days = Tables.read(s, d, "events")
+        .filter(col("user_id").isNotNull)
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          sum(col("len")).cast(LongType).as("n_active_days"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id,
+                                 epoch_us(ts) // 86400000000 AS day
+                          FROM events WHERE user_id IS NOT NULL),
+            runs AS (SELECT user_id, day,
+                            day - row_number() OVER (PARTITION BY user_id
+                                                     ORDER BY day) AS grp
+                     FROM days),
+            lens AS (SELECT user_id, grp, count(*) AS len
+                     FROM runs GROUP BY user_id, grp)
+            SELECT user_id, max(len) AS longest_streak,
+                   CAST(sum(len) AS BIGINT) AS n_active_days
+            FROM lens GROUP BY user_id ORDER BY user_id NULLS FIRST"""))
+
   /** Strict-order funnel — the conversion question event analytics asks
     * of every acquisition flow: of the users whose journey CONTAINS a
     * view, how many clicked AT OR AFTER their first view, and of those,
@@ -1599,5 +1637,5 @@ object PipelineOps {
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
     tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, tsFunnelStages,
-    tsRollingDau)
+    tsRollingDau, tsActiveStreak)
 }
