@@ -39,14 +39,77 @@ object Tables {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, String]())
 
+  /** UUID → weak session ref, for liveness checks at prune time. The weak
+    * ref never pins the session; a UUID whose session is GC'd or whose
+    * context is stopped is dead and its cache entries are evictable.
+    */
+  private val sessionRefs = new java.util.concurrent.ConcurrentHashMap[
+    String, java.lang.ref.WeakReference[SparkSession]]()
+
+  /** Per-UUID eviction callbacks registered by the DataFrame caches
+    * (tokenCache / simhashPairCache / joinFamilyCache / planCache):
+    * without eviction those maps strongly retain .cache()'d DataFrames —
+    * which reference their session — for the JVM lifetime, so a JVM that
+    * cycles many sessions (a long test harness) pins every stopped
+    * session's blocks forever. Sweeps run lazily when a NEW session mints
+    * its key: exactly the moment a cycling JVM starts growing the maps.
+    */
+  private val evictors =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+
+  private[graft] def registerEvictor(f: String => Unit): Unit =
+    evictors.add(f)
+
+  private def pruneDeadSessions(): Unit = {
+    val it = sessionRefs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val s = e.getValue.get()
+      if (s == null || s.sparkContext.isStopped) {
+        it.remove()
+        evictors.forEach(f =>
+          try f(e.getKey) catch { case scala.util.control.NonFatal(_) => () })
+      }
+    }
+  }
+
   /** Per-session UUID via a weak identity map — the ONE place that may
     * key on a live SparkSession: the String value holds no reference back
     * to the session, so the weak key actually works (a map whose VALUES
     * are DataFrames would pin its session keys forever — DataFrames
-    * reference their session). Caches elsewhere key on this UUID instead.
+    * reference their session). Caches elsewhere key on this UUID instead,
+    * and register an evictor above so dead sessions' entries are swept.
     */
   private[graft] def sessionKey(spark: SparkSession): String =
-    sessionIds.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+    sessionIds.computeIfAbsent(spark, _ => {
+      pruneDeadSessions()
+      val id = java.util.UUID.randomUUID().toString
+      sessionRefs.put(id, new java.lang.ref.WeakReference(spark))
+      id
+    })
+
+  // registered here, after `evictors` is initialized (object-init order)
+  registerEvictor(uuid => planCache.keySet.removeIf(_._1 == uuid))
+
+  /** Remove + best-effort-unpersist every `uuid`-keyed entry of a
+    * DataFrame-valued cache map — the shared shape of the evictors the
+    * operator objects register (their keys are tuples whose _1 is the
+    * session UUID; values are `.cache()`'d DataFrames, possibly tupled).
+    */
+  private[graft] def evictSessionEntries[K <: Product, V](
+      map: java.util.concurrent.ConcurrentHashMap[K, V], uuid: String)(
+      dfs: V => Seq[DataFrame]): Unit = {
+    val it = map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.productElement(0) == uuid) {
+        it.remove()
+        dfs(e.getValue).foreach(df =>
+          try df.unpersist(blocking = false)
+          catch { case scala.util.control.NonFatal(_) => () })
+      }
+    }
+  }
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")

@@ -156,7 +156,9 @@ object Aggregations {
     (s, d) =>
       Tables.read(s, d, "events")
         .select(col("event_type"),
-          when(col("event_type") =!= "error", pmod(col("user_id"), lit(7)))
+          // % not pmod: Spark % takes the dividend's sign like DuckDB's %,
+          // so the bucket matches the oracle even for negative ids
+          when(col("event_type") =!= "error", col("user_id") % lit(7))
             .as("grp"))
         .rollup(col("event_type"), col("grp"))
         .agg(grouping(col("event_type")).cast(LongType).as("g_type"),

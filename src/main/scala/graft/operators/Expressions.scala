@@ -555,7 +555,7 @@ object Expressions {
     (s, d) =>
       Tables.read(s, d, "events")
         .select(col("event_id"),
-          when(pmod(col("event_id"), lit(5)) =!= 0,
+          when(col("event_id") % lit(5) =!= 0, // % matches DuckDB sign semantics
             array(col("event_type"), concat(col("event_type"), lit("_x"))))
             .as("tags"))
         .select(col("event_id"), explode_outer(col("tags")).as("tag"))

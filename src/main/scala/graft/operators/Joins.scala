@@ -444,23 +444,31 @@ object Joins {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
 
   private def bucketedPair(s: SparkSession, d: String): (String, String) = {
-    // tag = the sanitized corpus path itself, NOT a hash: two dirs can
-    // collide in 32-bit hashCode space, and aliased table names would
-    // silently serve one corpus's aggregates for the other
+    // tag = sanitized path (readability) + full md5 of the RAW path
+    // (injectivity): sanitization alone maps distinct dirs (/x/sf-1 vs
+    // /x/sf_1, case-differing paths under the case-insensitive catalog)
+    // to one tag, and the tableExists short-circuit would then silently
+    // serve the first corpus's bucketed data for the second
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val tag = d.replaceAll("[^a-zA-Z0-9]", "_").stripPrefix("_")
+      .takeRight(40).toLowerCase + "_" + digest
     val names = bucketedPairs.computeIfAbsent(d, _ =>
       (s"graft_orders_b_$tag", s"graft_customer_b_$tag"))
     val (ot, ct) = names
     // existence-checked, not cache-trusted: a fresh catalog in the same
-    // JVM (stopped/recreated context) must rebuild, not throw NOT_FOUND
-    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
-      val base = graft.util.TempDirs.create("graft_bucketed").toString
-      Tables.read(s, d, "orders").write.mode("overwrite")
-        .option("path", s"$base/$ot")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
-      Tables.read(s, d, "customer").write.mode("overwrite")
-        .option("path", s"$base/$ct")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+    // JVM (stopped/recreated context) must rebuild, not throw NOT_FOUND;
+    // serialized so concurrent sessions can't race the check-then-build
+    bucketedPairs.synchronized {
+      if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
+        val base = graft.util.TempDirs.create("graft_bucketed").toString
+        Tables.read(s, d, "orders").write.mode("overwrite")
+          .option("path", s"$base/$ot")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+        Tables.read(s, d, "customer").write.mode("overwrite")
+          .option("path", s"$base/$ct")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      }
     }
     names
   }

@@ -31,6 +31,9 @@ object LlmOps {
   private val tokenCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
 
+  Tables.registerEvictor(uuid =>
+    Tables.evictSessionEntries(tokenCache, uuid) { case (a, b) => Seq(a, b) })
+
   /** Distinct (doc, token) table + k=16 minhash signatures, materialized
     * once per (session, corpus): four registry ops fan out of the token
     * table and two of the signature table — the same shared-subtree
@@ -101,8 +104,12 @@ object LlmOps {
   val llmCrossSourceDedup: Q = Q(
     "llm_cross_source_dedup",
     (s, d) => {
+      // explicit NULLS FIRST on both sort keys: Spark ASC defaults to
+      // NULLS FIRST but DuckDB to NULLS LAST, so a NULL source/doc_id in
+      // a multi-copy group would flip the keep flag between engines
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("digest")).orderBy(col("source"), col("doc_id"))
+        .partitionBy(col("digest"))
+        .orderBy(asc_nulls_first("source"), asc_nulls_first("doc_id"))
       val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
       Tables.read(s, d, "documents")
         .select(col("doc_id"), col("source"), md5(col("text").cast("binary")).as("digest"))
@@ -113,7 +120,8 @@ object LlmOps {
     },
     Some("""SELECT doc_id, source,
                    row_number() OVER (PARTITION BY md5(text)
-                                      ORDER BY source, doc_id) = 1 AS keep,
+                                      ORDER BY source NULLS FIRST,
+                                               doc_id NULLS FIRST) = 1 AS keep,
                    CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT)
                      AS n_copies
             FROM documents ORDER BY doc_id NULLS FIRST"""))
@@ -446,6 +454,9 @@ object LlmOps {
     */
   private val simhashPairCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
+
+  Tables.registerEvictor(uuid =>
+    Tables.evictSessionEntries(simhashPairCache, uuid)(Seq(_)))
 
   /** Cached entry point: SIX registry ops consume the pair table
     * (simhash dedup, cluster resolution, the four graph ops), and each

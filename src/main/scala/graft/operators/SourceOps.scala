@@ -123,11 +123,13 @@ object SourceOps {
     "src_cdc_quarantine",
     (s, d) => {
       val wire = Tables.read(s, d, "events").select(
-        when(pmod(col("event_id"), lit(97)) === 0,
+        // % not pmod: Spark % follows the dividend's sign like DuckDB's %,
+        // so the corruption class matches the oracle even for negative ids
+        when(col("event_id") % lit(97) === 0,
           substring(cdcEnvelopeJson, 1, 40))
-          .when(pmod(col("event_id"), lit(97)) === 1,
+          .when(col("event_id") % lit(97) === 1,
             lit("""{"schema":null,"payload_dropped":true}"""))
-          .when(pmod(col("event_id"), lit(97)) === 2,
+          .when(col("event_id") % lit(97) === 2,
             lit(null).cast(StringType))
           .otherwise(cdcEnvelopeJson).as("value"))
       // Single-pass audit: the same classification unwrapTolerant's two
@@ -364,7 +366,7 @@ object SourceOps {
       val fact = s.read.parquet(dppFactDir(s, d))
       val dim = Tables.read(s, d, "events")
         .select(expr("(ts div 1000) div 86400000000").as("day")).distinct()
-        .filter(pmod(col("day"), lit(7)) === 3)
+        .filter(col("day") % lit(7) === 3) // % matches DuckDB sign semantics
         .withColumn("day_label", concat(lit("day_"), col("day")))
       fact.join(broadcast(dim), "day")
         .groupBy(col("day"), col("day_label"))

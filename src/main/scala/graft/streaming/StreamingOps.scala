@@ -536,6 +536,9 @@ object StreamingOps {
   private val joinFamilyCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
+  graft.Tables.registerEvictor(uuid =>
+    graft.Tables.evictSessionEntries(joinFamilyCache, uuid)(Seq(_)))
+
   private def joinFamily(s: SparkSession, d: String): DataFrame =
     joinFamilyCache.computeIfAbsent((graft.Tables.sessionKey(s), d), _ => {
       val df = streamStreamOuterFrames(s, d, "full_outer", 2, None).cache()
