@@ -65,7 +65,9 @@ object Scale {
     "agg_kmv_distinct", "llm_ttr_stats", "op_table_profile",
     "op_dpp_star_join", "join_bucketed_colocated", "ts_funnel_stages",
     "ts_rolling_dau", "llm_cross_source_dedup", "agg_rollup_grouping_id",
-    "ts_active_streak")
+    "ts_active_streak",
+    "sink_compact_small_files", "op_table_profile_sketch",
+    "sink_mv_incremental_refresh", "join_bloom_prescreen")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",

@@ -52,3 +52,42 @@ object KmvDistinct extends Aggregator[Long, KmvBuf, Long] {
   override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
+
+/** Parameterized [[KmvDistinct]] that also treats NEGATIVE inputs as "no
+  * value": the one-scan multi-column profile (`op_table_profile_sketch`)
+  * feeds every column's md5-derived hash through `coalesce(h, -1)`, so a
+  * NULL cell neither trips the primitive-Long input encoder nor counts
+  * as a distinct value (real hashes are conv() of 8 hex digits — always
+  * in [0, 2³²)). This keeps N sketches riding ONE Aggregate with no
+  * Expand, where the exact profile's multi-distinct pays
+  * rows × (n_cols+1) through the shuffle. The profile uses k=256
+  * (σ/n ≈ 1/√254 ≈ 6%) — a CBO stats pass wants tighter cardinalities
+  * than the 13% the grouped k=64 sketch accepts, and 256 longs per
+  * column is still nothing at 1000 executors.
+  */
+class KmvSketch(k: Int) extends Aggregator[Long, KmvBuf, Long] {
+  override def zero: KmvBuf = KmvBuf(Vector.empty)
+
+  override def reduce(b: KmvBuf, h: Long): KmvBuf =
+    if (h < 0L) b else insert(b, h)
+
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+    b.hs.foldLeft(a)(insert)
+
+  override def finish(b: KmvBuf): Long =
+    if (b.hs.size < k) b.hs.size.toLong
+    else ((k - 1).toLong << 32) / b.hs.last
+
+  private def insert(b: KmvBuf, h: Long): KmvBuf = {
+    val v = b.hs
+    if (v.size == k && h >= v.last) b // common case: not among the k smallest
+    else if (v.contains(h)) b // distinct semantics: duplicates collapse
+    else {
+      val grown = (v :+ h).sorted
+      KmvBuf(if (grown.size > k) grown.take(k) else grown)
+    }
+  }
+
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

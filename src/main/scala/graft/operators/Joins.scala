@@ -501,12 +501,64 @@ object Joins {
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment NULLS FIRST"""))
 
+  /** Runtime bloom-join pruning — the runtime-filter sibling of
+    * `op_dpp_star_join` (that one prunes PARTITIONS via a dynamic
+    * subquery; this prunes ROWS where the layout gives no partition to
+    * prune): the filtered dim side's join keys fold into an O(KB) bloom
+    * sketch (Spark's own BloomFilterAggregate, surfaced as
+    * `graft_bloom_agg` — the machinery behind Catalyst's
+    * InjectRuntimeFilter), which probes the FACT SCAN as a constant
+    * pre-shuffle filter: at 100 TB the ~4/5 of fact rows whose keys
+    * cannot join die before the exchange instead of being shuffled and
+    * discarded by the join. False positives are harmless — the real join
+    * still runs behind the prescreen — so the result is exact and fully
+    * oracled; [[PlanSpec]] pins the filter's pre-join placement and the
+    * measured row reduction vs the unpruned control.
+    */
+  /** (bloom-prescreened fact, filtered dim) — the spec seam: [[PlanSpec]]
+    * measures the pre-shuffle row reduction and pins the filter placement.
+    */
+  private[graft] def bloomPrescreen(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
+    val dim = Tables.read(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    // sized for ~1/5 of the sf0.1 customer table; at larger corpora
+    // scale numBits with the dim count (bits/key ⇒ fpp, not correctness)
+    val bf = dim
+      .agg(expr("graft_bloom_agg(xxhash64(c_custkey), 5000L, 131072L)").as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val bfHex = bf.map("%02X".format(_)).mkString
+    val fact = Tables.read(s, d, "orders")
+      .filter(expr(s"graft_bloom_contains(X'$bfHex', xxhash64(o_custkey))"))
+    (fact, dim)
+  }
+
+  val joinBloomPrescreen: Q = Q(
+    "join_bloom_prescreen",
+    (s, d) => {
+      val (fact, dim) = bloomPrescreen(s, d)
+      fact.join(dim, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_price"))
+        .orderBy(asc_nulls_first("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     joinInnerHash, joinBroadcast, joinLeftOuter, joinRightOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCross, joinThetaRange,
     joinAsofBackward, joinAsofForward, joinAsofNearest, joinAsofTolerance,
     joinIntervalOverlap, joinIntervalBucketed, joinHintShuffleHash,
-    joinSkewSalted, joinBucketedColocated)
+    joinSkewSalted, joinBucketedColocated, joinBloomPrescreen)
 
   /** Skew-salted shuffle join — the manual cure for a hot key when the
     * build side is too big to broadcast and AQE's skew split can't help

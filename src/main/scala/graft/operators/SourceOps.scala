@@ -943,8 +943,10 @@ object SourceOps {
     * the verbatim line. The op seeds a CSV feed from lineitem, injects
     * two malformed lines (wrong arity, non-numeric field), and returns
     * the per-status counts plus the quarantined payloads — fully
-    * deterministic, spec-pinned (cross-engine CSV parser semantics
-    * differ, so no DuckDB oracle; the driver rows-check applies). Scale:
+    * deterministic, so the oracle is BY CONSTRUCTION (the
+    * src_cdc_quarantine trick): DuckDB derives the expected audit from
+    * lineitem — 10 parseable rows, two verbatim injected bad lines —
+    * without replicating any CSV parser semantics. Scale:
     * the parse is one streamed pass, the corrupt column prunes away for
     * clean downstream readers, and quarantine is a filter — no shuffle.
     */
@@ -975,7 +977,279 @@ object SourceOps {
         .agg(count(lit(1)).as("n"))
         .orderBy(asc_nulls_first("status"), asc_nulls_first("raw_payload"))
     },
-    None)
+    // By-construction oracle: the op injects exactly two malformed lines
+    // into a 10-row feed, so the expected audit is derivable from
+    // lineitem alone — the 'ok' count is the (LIMIT 10) feed size
+    // (boundary ties can reorder WHICH rows feed, never how many parse),
+    // and the quarantined payloads are the injected constants verbatim.
+    Some("""WITH g AS (SELECT l_orderkey FROM lineitem
+                       ORDER BY l_orderkey, l_linenumber, l_quantity
+                       LIMIT 10)
+            SELECT 'ok' AS status, CAST(NULL AS VARCHAR) AS raw_payload,
+                   (SELECT count(*) FROM g) AS n
+            UNION ALL
+            SELECT 'quarantined', '9999,1,2,EXTRA_COLUMN', CAST(1 AS BIGINT)
+            UNION ALL
+            SELECT 'quarantined', 'not_a_number,2,3.0', CAST(1 AS BIGINT)
+            ORDER BY status NULLS FIRST, raw_payload NULLS FIRST"""))
+
+  /** One deliberately-fragmented copy of `orders` per (JVM, corpus) —
+    * 64 tiny files, the layout a micro-batch sink leaves behind (one
+    * file per trigger per partition; this repo's own foreachBatch sinks
+    * produce exactly this). Built once: the FRAGMENTATION is fixture,
+    * the compaction is the op.
+    */
+  private val fragmentedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[operators] def fragmentedOrdersDir(s: SparkSession, d: String): String =
+    fragmentedDirs.computeIfAbsent(d, _ => {
+      val dir = graft.util.TempDirs.create("graft_frag").resolve("orders").toString
+      Tables.read(s, d, "orders").repartition(64)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** Bin-pack + range-compact the fragmented table into ~target-size
+    * files keyed by `o_orderkey`; returns the compacted dir. Factored
+    * out so [[CompactionSpec]] can pin the physical layout (file count,
+    * disjoint per-file key ranges) that the oracle can't see.
+    */
+  private[operators] def compactOrders(s: SparkSession, d: String): String = {
+    val in = fragmentedOrdersDir(s, d)
+    // size the output from the REAL input byte count, not a row guess:
+    // nOut = ceil(bytes / 1 MiB) — at 100 TB the same arithmetic with a
+    // 512 MiB target yields ~200k right-sized files instead of billions
+    val bytes = new java.io.File(in).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.length).sum
+    val nOut = math.max(1, math.ceil(bytes / (1024.0 * 1024.0)).toInt)
+    val outDir = graft.util.TempDirs.create("graft_compacted").toString
+    s.read.parquet(in)
+      // repartitionByRange on the sort key: ONE shuffle whose range
+      // boundaries come from sampling, and the output files carry
+      // DISJOINT key ranges — so parquet footer min/max pruning (and any
+      // downstream merge join) survives compaction instead of being
+      // destroyed by a hash repartition
+      .repartitionByRange(nOut, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(outDir)
+    outDir
+  }
+
+  /** Small-file compaction — the operational sink step between streaming
+    * ingest and fast reads (the half of the reference's ReplacingMergeTree
+    * the repo hadn't reproduced: `setup.sh:63` delegates merge-time
+    * compaction to ClickHouse background merges; dedup-on-read is
+    * [[sinkUpsertLatestByKey]]): bin-pack a 64-fragment table into
+    * target-size range-partitioned files, then prove the content
+    * unchanged by aggregating the COMPACTED copy against an oracle on
+    * the base table. At 100 TB fragmented metadata alone (listing,
+    * footers, task scheduling) dominates scan cost — compaction is what
+    * keeps a streaming-written lake readable.
+    */
+  val sinkCompactSmallFiles: Q = Q(
+    "sink_compact_small_files",
+    (s, d) => {
+      val outDir = compactOrders(s, d)
+      s.read.parquet(outDir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(asc_nulls_first("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority NULLS FIRST"""))
+
+  /** Day-partitioned (sum, count) partials of `events` as of the base
+    * snapshot (rows with event_id % 7 ≠ 0) — one materialized view per
+    * (JVM, corpus), the fixture [[sinkMvIncrementalRefresh]] refreshes.
+    */
+  private val mvDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[operators] def mvBaseDir(s: SparkSession, d: String): String =
+    mvDirs.computeIfAbsent(d, _ => {
+      val dir = graft.util.TempDirs.create("graft_mv").resolve("mv").toString
+      Tables.read(s, d, "events")
+        .filter(col("event_id") % lit(7) =!= 0)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          col("value").cast(DecimalType(18, 2)).as("v"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .write.partitionBy("day").parquet(dir)
+      dir
+    })
+
+  /** Incremental materialized-view maintenance — the aggregate
+    * counterpart of [[sinkUpsertLatestByKey]] and the standard warehouse
+    * pattern: a per-(day, event_type) partial-aggregate MV is maintained
+    * under a CDC delta batch by REFRESHING ONLY THE TOUCHED GROUPS,
+    * never rescanning the base table. The delta is late data for the
+    * day % 5 ≡ 2 slice: inserts (+1, +v) for the snapshot's missing
+    * rows (event_id % 7 = 0, non-error) and retractions (−1, −v) for
+    * the error rows the upstream fix deletes. Mechanics, each the 100 TB
+    * shape: signed delta partials (one small agg), touched-day list
+    * (budget-gated O(#days) driver state), PARTITION-PRUNED read of just
+    * the touched MV partitions merged full-outer with the delta
+    * (count ≤ 0 groups drop), a write of ONLY those partitions, and a
+    * Hive-style publish — untouched partitions pass through by
+    * reference, so refresh cost ∝ touched data, not MV size
+    * ([[CompactionSpec]] pins the pruned scan and the 1/5 write). The
+    * oracle proves refreshed state ≡ full recompute by construction.
+    */
+  /** Run the refresh write; returns (mv0 dir, refreshed-partitions dir,
+    * touched days) — the spec seam for the layout pins the oracle can't
+    * see (pruned mv0 scan, only ~1/5 of partitions written).
+    */
+  private[operators] def mvRefresh(s: SparkSession, d: String)
+      : (String, String, Seq[Long]) = {
+    val mv0dir = mvBaseDir(s, d)
+    val mv0 = s.read.parquet(mv0dir)
+      .withColumn("day", col("day").cast(LongType))
+    val delta = Tables.read(s, d, "events")
+      .select(col("event_type"),
+        expr("(ts div 1000) div 86400000000").as("day"),
+        col("value").cast(DecimalType(18, 2)).as("v"), col("event_id"))
+      .filter(col("day") % lit(5) === 2)
+      .withColumn("w",
+        when(col("event_id") % lit(7) === 0 && col("event_type") =!= "error", 1L)
+          .when(col("event_id") % lit(7) =!= 0 && col("event_type") === "error", -1L))
+      .filter(col("w").isNotNull)
+    val deltaP = delta.groupBy(col("day"), col("event_type"))
+      .agg(sum((col("w") * col("v")).cast(DecimalType(28, 2))).as("ds"),
+        sum(col("w")).as("dn"))
+    val touched = deltaP.select(col("day")).distinct().collect().map(_.getLong(0)).toSeq
+    require(touched.length <= 10000,
+      s"${touched.length} touched days exceed the driver refresh budget")
+    val refreshed = mv0.filter(col("day").isin(touched: _*))
+      .join(deltaP, Seq("day", "event_type"), "full_outer")
+      .select(col("day"), col("event_type"),
+        (coalesce(col("s"), lit(0).cast(DecimalType(28, 2)))
+          + coalesce(col("ds"), lit(0).cast(DecimalType(28, 2)))).as("s"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+    val refreshDir = graft.util.TempDirs.create("graft_mv_refresh").toString
+    refreshed.write.partitionBy("day").mode("overwrite").parquet(refreshDir)
+    (mv0dir, refreshDir, touched)
+  }
+
+  val sinkMvIncrementalRefresh: Q = Q(
+    "sink_mv_incremental_refresh",
+    (s, d) => {
+      val (mv0dir, refreshDir, touched) = mvRefresh(s, d)
+      val mv0 = s.read.parquet(mv0dir)
+        .withColumn("day", col("day").cast(LongType))
+      // publish: refreshed partitions + untouched partitions by reference
+      val mvNew = s.read.parquet(refreshDir)
+        .withColumn("day", col("day").cast(LongType))
+        .select(col("day"), col("event_type"), col("s").cast(DecimalType(28, 2)), col("n"))
+        .unionByName(mv0.filter(!col("day").isin(touched: _*))
+          .select(col("day"), col("event_type"), col("s").cast(DecimalType(28, 2)), col("n")))
+      mvNew.select(col("event_type"), col("day"),
+          col("n").cast(LongType).as("n_rows"),
+          col("s").cast(DoubleType).as("total_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+    },
+    // by-construction oracle: refreshed MV state must equal the full
+    // recompute over (base rows on untouched days) ∪ (non-error rows on
+    // touched days) — inserts add the %7≡0 slice, retractions remove
+    // every error row on the touched days
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                              CAST(value AS DECIMAL(18,2)) AS v, event_id
+                       FROM events)
+            SELECT event_type, day, count(*) AS n_rows,
+                   CAST(sum(v) AS DOUBLE) AS total_value
+            FROM e
+            WHERE (day % 5 <> 2 AND event_id % 7 <> 0)
+               OR (day % 5 = 2 AND event_type <> 'error')
+            GROUP BY event_type, day
+            ORDER BY event_type NULLS FIRST, day NULLS FIRST"""))
+
+  /** Rendering of a column as the portable string the profile sketch
+    * hashes: doubles go through DECIMAL(18,2) (shortest-round-trip float
+    * rendering differs across engines — 1.0E7 vs 10000000.0); everything
+    * else casts directly (int/date/string renderings agree).
+    */
+  private def portableRender(f: StructField): String = f.dataType match {
+    case DoubleType | FloatType =>
+      s"cast(cast(${f.name} as decimal(18,2)) as string)"
+    case _ => s"cast(${f.name} as string)"
+  }
+
+  /** The 100 TB statistics pass — [[opTableProfile]]'s exact per-column
+    * `countDistinct` plans a multi-distinct Expand (rows × (n_cols+1)
+    * through one shuffle: the standard plan, and the blow-up a CBO stats
+    * collector cannot afford at 100 TB). This variant keeps the SAME
+    * output shape but estimates distincts with the portable KMV sketch
+    * ([[graft.functions.KmvSketch]] at k=256, σ≈6%): every column's
+    * O(256) sketch rides ONE Aggregate over ONE scan — no Expand
+    * ([[CompactionSpec]] pins the plan) — and the integer-exact estimate
+    * floor(255·2³²/h₂₅₆) reproduces bit-for-bit in the DuckDB oracle
+    * (columns under 256 distinct hashes compare as exact counts).
+    */
+  val opTableProfileSketch: Q = Q(
+    "op_table_profile_sketch",
+    (s, d) => {
+      val t = Tables.read(s, d, "orders")
+      val fields = t.schema.fields.sortBy(_.name)
+      val kmv = udaf(new graft.functions.KmvSketch(256))
+      val statCols = fields.flatMap { f =>
+        val c = f.name
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+          kmv(expr(s"coalesce(cast(conv(substring(md5(${portableRender(f)})" +
+            s", 1, 8), 16, 10) as bigint), -1)")).as(s"__nd_$c"))
+      }
+      val one = t.agg(count(lit(1)).as("__nr"), statCols.toSeq: _*)
+      val stackArgs = fields.map(f =>
+        s"'${f.name}', __nn_${f.name}, __nd_${f.name}").mkString(", ")
+      one.select(col("__nr").as("n_rows"),
+          expr(s"stack(${fields.length}, $stackArgs)" +
+            " AS (column_name, n_nulls, n_distinct_est)"))
+        .select(col("column_name"), col("n_rows"),
+          col("n_nulls").cast(LongType).as("n_nulls"),
+          col("n_distinct_est").cast(LongType).as("n_distinct_est"))
+        .orderBy(asc_nulls_first("column_name"))
+    },
+    Some {
+      // per column: the identical KMV estimate from the k=256th smallest
+      // distinct md5-derived hash (agg_kmv_distinct's oracle, global
+      // form at the profile's tighter k), over the same portable
+      // rendering as the Spark side
+      val cols = Seq(
+        "o_custkey" -> "CAST(o_custkey AS VARCHAR)",
+        "o_orderdate" -> "CAST(o_orderdate AS VARCHAR)",
+        "o_orderkey" -> "CAST(o_orderkey AS VARCHAR)",
+        "o_orderpriority" -> "CAST(o_orderpriority AS VARCHAR)",
+        "o_orderstatus" -> "CAST(o_orderstatus AS VARCHAR)",
+        "o_totalprice" -> "CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)")
+      cols.map { case (c, render) =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_nulls,
+                   CAST(coalesce((
+                     WITH h AS (SELECT DISTINCT
+                           CAST(('0x' || substr(md5($render), 1, 8)) AS BIGINT) AS hv
+                         FROM orders WHERE $c IS NOT NULL),
+                       r AS (SELECT hv,
+                                    row_number() OVER (ORDER BY hv) AS rn,
+                                    count(*) OVER () AS nd
+                             FROM h)
+                     SELECT CASE WHEN nd < 256 THEN nd
+                                 ELSE (255 * 4294967296) // hv END
+                     FROM r WHERE rn = least(nd, 256)), 0) AS BIGINT)
+                     AS n_distinct_est
+            FROM orders"""
+      }.mkString("", " UNION ALL ", " ORDER BY column_name NULLS FIRST")
+    })
 
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
@@ -985,5 +1259,6 @@ object SourceOps {
     opInsertAppend, srcCsvRoundtrip, srcJsonlRoundtrip, opScd2Intervals,
     srcPartitionedRoundtrip, srcOrcRoundtrip, srcSchemaMergeRoundtrip,
     opZorderLayout, opZorder3Layout, sinkDynamicPartitionOverwrite,
-    srcCsvQuarantine, srcCdcQuarantine, opTableProfile, opDppStarJoin)
+    srcCsvQuarantine, srcCdcQuarantine, opTableProfile, opDppStarJoin,
+    sinkCompactSmallFiles, opTableProfileSketch, sinkMvIncrementalRefresh)
 }

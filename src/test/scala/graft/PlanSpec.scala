@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions.col
 
 import graft.operators._
 
@@ -256,5 +257,28 @@ class PlanSpec extends SparkSpec {
   test("op_schema_ddl_fanout: catalog metadata only — no corpus data scan") {
     val p = plan(SourceOps.opSchemaDdlFanout.fn(spark, sf))
     assert(!p.contains("FileScan"), s"metadata op must not scan data:\n$p")
+  }
+
+  test("join_bloom_prescreen: the bloom probe prunes fact rows PRE-join") {
+    val (fact, dim) = Joins.bloomPrescreen(spark, sf)
+    val total = graft.Tables.read(spark, sf, "orders").count()
+    val pruned = fact.count()
+    val trueMatches = graft.Tables.read(spark, sf, "orders")
+      .join(dim, col("o_custkey") === col("c_custkey")).count()
+    // the prescreen must keep every true match (bloom: no false negatives)
+    // and kill most of the ~4/5 non-matching fact rows pre-shuffle
+    assert(pruned >= trueMatches, s"bloom dropped true matches: $pruned < $trueMatches")
+    assert(pruned < total / 2,
+      s"prescreen kept $pruned of $total fact rows — no useful pruning")
+    // and the probe runs as a plain filter in the fact subtree, not after
+    // the join
+    // graft_bloom_contains resolves to Spark's BloomFilterMightContain,
+    // which prints as might_contain — assert it filters BELOW the join
+    val p = plan(Joins.joinBloomPrescreen.fn(spark, sf))
+    val joinLine = p.linesIterator.indexWhere(_.contains("HashJoin"))
+    val probeLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+    assert(probeLine >= 0, s"probe absent from plan:\n${p.take(2000)}")
+    assert(joinLine >= 0 && probeLine > joinLine,
+      s"probe must sit in the fact subtree under the join (join@$joinLine, probe@$probeLine)")
   }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Physical-layout pins for `sink_compact_small_files` and the plan pin
+  * for `op_table_profile_sketch` — the properties the DuckDB oracle
+  * cannot see (it only proves CONTENT): the compaction must actually
+  * shrink the file count, and the range layout must leave each output
+  * file with a disjoint `o_orderkey` span (what parquet footer min/max
+  * pruning and downstream merge joins consume); the sketch profile must
+  * plan WITHOUT the multi-distinct Expand that the exact profile pays.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def partFiles(dir: String): Array[java.io.File] =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+
+  test("sink_compact_small_files shrinks 64 fragments to few files") {
+    val frag = SourceOps.fragmentedOrdersDir(spark, sf)
+    assert(partFiles(frag).length == 64,
+      s"fixture should be 64-way fragmented, got ${partFiles(frag).length}")
+    val out = SourceOps.compactOrders(spark, sf)
+    val n = partFiles(out).length
+    assert(n < 16, s"compaction left $n files for a ~MB-scale table")
+    // content survives byte-for-byte in aggregate
+    assert(spark.read.parquet(out).count() ==
+      graft.Tables.read(spark, sf, "orders").count())
+  }
+
+  test("compacted files carry pairwise-disjoint o_orderkey ranges") {
+    val out = SourceOps.compactOrders(spark, sf)
+    val ranges = partFiles(out).map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("o_orderkey"), max("o_orderkey")).head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2,
+          s"overlapping file ranges: ..$hi vs $lo2.. — range layout lost")
+      case _ => ()
+    }
+  }
+
+  test("op_table_profile_sketch plans one Aggregate with NO Expand") {
+    val p = SourceOps.opTableProfileSketch.fn(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Expand"),
+      s"sketch profile must not pay the multi-distinct Expand:\n$p")
+    // and the exact profile DOES pay it — the contrast the sketch exists for
+    val exact = SourceOps.opTableProfile.fn(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(exact.contains("Expand"), "exact profile no longer plans Expand")
+  }
+
+  test("mv refresh writes only the touched ~1/5 of day partitions") {
+    val (mv0dir, refreshDir, touched) = SourceOps.mvRefresh(spark, sf)
+    def dayDirs(dir: String): Set[String] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .map(_.getName).toSet
+    val allDays = dayDirs(mv0dir)
+    val written = dayDirs(refreshDir)
+    assert(touched.forall(_ % 5 == 2), s"non-delta day touched: $touched")
+    assert(written.size == touched.size,
+      s"wrote ${written.size} partitions for ${touched.size} touched days")
+    assert(written.size < allDays.size / 2,
+      s"refresh rewrote ${written.size}/${allDays.size} partitions — not incremental")
+  }
+
+  test("mv refresh partition-prunes the touched-day read of the base MV") {
+    val (mv0dir, _, touched) = SourceOps.mvRefresh(spark, sf)
+    val pruned = spark.read.parquet(mv0dir)
+      .withColumn("day", col("day").cast("long"))
+      .filter(col("day").isin(touched: _*))
+    val p = pruned.queryExecution.executedPlan.toString()
+    assert(p.contains("PartitionFilters: ["), p)
+    assert(p.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("day")),
+      s"day filter did not reach the partition filters:\n$p")
+  }
+
+  test("sketch estimates are within 20% of exact distincts at k=256") {
+    val est = SourceOps.opTableProfileSketch.fn(spark, sf)
+      .select(col("column_name"), col("n_distinct_est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SourceOps.opTableProfile.fn(spark, sf)
+      .select(col("column_name"), col("n_distinct")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (c, nd) =>
+      val e = est(c)
+      // σ/n ≈ 1/√254 ≈ 6% at k=256; 20% is a >3σ acceptance band, and
+      // under-256-distinct columns must be EXACT (sketch = full hash set)
+      if (nd < 256) assert(e == nd, s"$c: expected exact $nd, got $e")
+      else assert(math.abs(e - nd) <= 0.20 * nd, s"$c: est $e vs exact $nd")
+    }
+  }
+}
