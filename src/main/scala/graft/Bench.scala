@@ -49,8 +49,11 @@ object Bench {
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()
+      // NonFatal: a genuine OOM/linkage error must crash the bench with
+      // its own stack trace, not leave a corrupted JVM mis-timing the
+      // rest of the sweep behind a silent -1 cell
       val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+               catch { case scala.util.control.NonFatal(_) => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
     }
     val firstPass = selected.map { case (name, fn) =>

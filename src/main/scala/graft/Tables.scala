@@ -80,13 +80,24 @@ object Tables {
     * reference their session). Caches elsewhere key on this UUID instead,
     * and register an evictor above so dead sessions' entries are swept.
     */
-  private[graft] def sessionKey(spark: SparkSession): String =
-    sessionIds.computeIfAbsent(spark, _ => {
+  private[graft] def sessionKey(spark: SparkSession): String = {
+    val existing = sessionIds.get(spark)
+    if (existing != null) existing
+    else {
+      val id = sessionIds.computeIfAbsent(spark,
+        _ => java.util.UUID.randomUUID().toString)
+      sessionRefs.putIfAbsent(id, new java.lang.ref.WeakReference(spark))
+      // prune OUTSIDE the synchronizedMap monitor: evictors take cache
+      // bin locks, and a thread inside a cache's computeIfAbsent holds
+      // that bin lock while re-entering sessionKey for the map mutex —
+      // pruning under the mutex would be a lock-order inversion
+      // (mutex→bin here, bin→mutex there) that deadlocks the exact
+      // multi-session harness the eviction exists for. Racing prunes
+      // are harmless: the maps are concurrent and eviction idempotent.
       pruneDeadSessions()
-      val id = java.util.UUID.randomUUID().toString
-      sessionRefs.put(id, new java.lang.ref.WeakReference(spark))
       id
-    })
+    }
+  }
 
   // registered here, after `evictors` is initialized (object-init order)
   registerEvictor(uuid => planCache.keySet.removeIf(_._1 == uuid))

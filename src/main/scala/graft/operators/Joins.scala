@@ -528,9 +528,15 @@ object Joins {
     val bf = dim
       .agg(expr("graft_bloom_agg(xxhash64(c_custkey), 5000L, 131072L)").as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val bfHex = bf.map("%02X".format(_)).mkString
-    val fact = Tables.read(s, d, "orders")
-      .filter(expr(s"graft_bloom_contains(X'$bfHex', xxhash64(o_custkey))"))
+    // BloomFilterAggregate over ZERO dim rows yields NULL, not an empty
+    // sketch — skip the prescreen then (the join is empty regardless)
+    val orders = Tables.read(s, d, "orders")
+    val fact =
+      if (bf == null) orders
+      else {
+        val bfHex = bf.map("%02X".format(_)).mkString
+        orders.filter(expr(s"graft_bloom_contains(X'$bfHex', xxhash64(o_custkey))"))
+      }
     (fact, dim)
   }
 

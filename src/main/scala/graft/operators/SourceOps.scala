@@ -1132,8 +1132,11 @@ object SourceOps {
     val refreshed = mv0.filter(col("day").isin(touched: _*))
       .join(deltaP, Seq("day", "event_type"), "full_outer")
       .select(col("day"), col("event_type"),
-        (coalesce(col("s"), lit(0).cast(DecimalType(28, 2)))
-          + coalesce(col("ds"), lit(0).cast(DecimalType(28, 2)))).as("s"),
+        // coalesce CHAIN, not zero-default: a group whose values are all
+        // NULL must publish a NULL sum (matching the oracle's sum(v)),
+        // not a fabricated 0
+        coalesce(col("s") + col("ds"), col("s"), col("ds"))
+          .cast(DecimalType(28, 2)).as("s"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"))
       .filter(col("n") > 0)
     val refreshDir = graft.util.TempDirs.create("graft_mv_refresh").toString
@@ -1147,12 +1150,21 @@ object SourceOps {
       val (mv0dir, refreshDir, touched) = mvRefresh(s, d)
       val mv0 = s.read.parquet(mv0dir)
         .withColumn("day", col("day").cast(LongType))
-      // publish: refreshed partitions + untouched partitions by reference
-      val mvNew = s.read.parquet(refreshDir)
-        .withColumn("day", col("day").cast(LongType))
+      // publish: refreshed partitions + untouched partitions by reference.
+      // A refresh that produced NO partitions (empty delta, or every
+      // touched group cancelled to n=0) writes only _SUCCESS — reading it
+      // would throw schema-inference errors where the correct publish is
+      // "untouched partitions only"
+      val untouched = mv0.filter(!col("day").isin(touched: _*))
         .select(col("day"), col("event_type"), col("s").cast(DecimalType(28, 2)), col("n"))
-        .unionByName(mv0.filter(!col("day").isin(touched: _*))
-          .select(col("day"), col("event_type"), col("s").cast(DecimalType(28, 2)), col("n")))
+      val wrotePartitions = Option(new java.io.File(refreshDir).listFiles())
+        .exists(_.exists(f => f.isDirectory && f.getName.startsWith("day=")))
+      val mvNew =
+        if (!wrotePartitions) untouched
+        else s.read.parquet(refreshDir)
+          .withColumn("day", col("day").cast(LongType))
+          .select(col("day"), col("event_type"), col("s").cast(DecimalType(28, 2)), col("n"))
+          .unionByName(untouched)
       mvNew.select(col("event_type"), col("day"),
           col("n").cast(LongType).as("n_rows"),
           col("s").cast(DoubleType).as("total_value"))
@@ -1162,6 +1174,10 @@ object SourceOps {
     // recompute over (base rows on untouched days) ∪ (non-error rows on
     // touched days) — inserts add the %7≡0 slice, retractions remove
     // every error row on the touched days
+    // three-valued-logic alignment: a NULL event_type is never inserted
+    // (w's =!= 'error' arm is NULL) and never retracted (=== 'error' is
+    // NULL), so on touched days base NULL-type rows SURVIVE while delta
+    // NULL-type rows never arrive — the oracle spells both arms out
     Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
                               CAST(value AS DECIMAL(18,2)) AS v, event_id
                        FROM events)
@@ -1169,7 +1185,9 @@ object SourceOps {
                    CAST(sum(v) AS DOUBLE) AS total_value
             FROM e
             WHERE (day % 5 <> 2 AND event_id % 7 <> 0)
-               OR (day % 5 = 2 AND event_type <> 'error')
+               OR (day % 5 = 2 AND event_id % 7 <> 0
+                   AND (event_type <> 'error' OR event_type IS NULL))
+               OR (day % 5 = 2 AND event_id % 7 = 0 AND event_type <> 'error')
             GROUP BY event_type, day
             ORDER BY event_type NULLS FIRST, day NULLS FIRST"""))
 
