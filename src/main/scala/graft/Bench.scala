@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Cells worth one more rep after the sweep: above 5× the registry
+    * median AND above an absolute 2 s floor (a sub-2s cell can never
+    * move a headline enough to matter; re-running it only adds noise).
+    * Failed (infinite) cells are errors, not stalls.
+    */
+  private[graft] def suspectCells(first: Map[String, Double]): Set[String] = {
+    val finite = first.values.filterNot(_.isInfinite).toSeq.sorted
+    val median = if (finite.isEmpty) 0.0 else finite(finite.size / 2)
+    val threshold = math.max(median * 5, 2.0)
+    first.collect {
+      case (name, t) if !t.isInfinite && t > threshold => name
+    }.toSet
+  }
+
+  /** Of the re-timed cells, the ones whose re-run beat the first
+    * measurement by >2× — i.e. the first number was host noise, not the
+    * query's cost. These are reported as `stalled_cells`.
+    */
+  private[graft] def stalledCells(first: Map[String, Double],
+                                  corrected: Map[String, Double]): Seq[String] =
+    corrected.keys.toSeq.sorted
+      .filter(n => first(n) > 2 * corrected(n))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -77,22 +101,14 @@ object Bench {
     // first ones — a transient stall won't cover both windows, while a
     // genuinely heavy query re-times heavy and keeps its cost. Raw and
     // corrected totals are both reported, with the re-timed cells listed,
-    // so a loaded-host artifact identifies itself in the JSON.
-    val finite0 = firstPass.values.filterNot(_.isInfinite).toSeq.sorted
-    val median =
-      if (finite0.isEmpty) 0.0 else finite0(finite0.size / 2)
-    val threshold = math.max(median * 5, 2.0) // never re-run sub-2s cells
-    val suspect = firstPass.collect {
-      case (name, t) if !t.isInfinite && t > threshold => name
-    }.toSet
+    // so a loaded-host artifact identifies itself in the JSON. The
+    // suspect/stalled decisions are pure functions, spec'd in BenchSpec.
+    val suspect = suspectCells(firstPass)
     val results = firstPass.map { case (name, t) =>
       if (suspect(name)) name -> math.min(t, timeOnce(selected(name)))
       else name -> t
     }
-    val stalled = suspect.toSeq.sorted.filter(n =>
-      // a cell counts as stalled only if the re-run beat it by >2x —
-      // i.e. the first measurement was noise, not the query's cost
-      firstPass(n) > 2 * results(n))
+    val stalled = stalledCells(firstPass, results)
     val failed = results.collect { case (k, v) if v.isInfinite => k }.toSeq.sorted
     val qs = results.map { case (k, v) =>
       s"\"" + k + "\":" + (if (v.isInfinite) "-1" else v.toString)
