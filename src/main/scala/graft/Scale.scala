@@ -67,7 +67,8 @@ object Scale {
     "ts_rolling_dau", "llm_cross_source_dedup", "agg_rollup_grouping_id",
     "ts_active_streak",
     "sink_compact_small_files", "op_table_profile_sketch",
-    "sink_mv_incremental_refresh", "join_bloom_prescreen")
+    "sink_mv_incremental_refresh", "join_bloom_prescreen",
+    "agg_kmv_set_ops")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",

@@ -140,6 +140,75 @@ object Aggregations {
             FROM r WHERE rn = least(nd, 64)
             ORDER BY o_orderstatus NULLS FIRST"""))
 
+  /** KMV sketch SET ALGEBRA — the cross-shard follow-up to
+    * [[aggKmvDistinct]]: estimate |A ∪ B| and |A ∩ B| for two user
+    * populations (clickers vs purchasers) from ONE bounded k-minima
+    * synopsis, never materializing either set — the way 1000 shards
+    * answer "how many users did both" by shipping O(k) sketches instead
+    * of user lists (Beyer et al., "On synopses for distinct-value
+    * estimation under multiset operations", SIGMOD 2007: the k smallest
+    * union hashes are a uniform sample of A ∪ B, so the fraction
+    * carrying both membership flags estimates the Jaccard, and
+    * |A∩B| ≈ c/k · |A∪B|). Plan shape: one hash-keyed distinct with
+    * per-flag max (map-combinable), then a global k-minima via
+    * sort-limit — TakeOrderedAndProject, per-partition top-k + driver
+    * merge of k rows, NO full sort at any scale. All integer arithmetic
+    * (the [[graft.functions.KmvSketch]] floor formula and an integer
+    * c·n̂ div k), so the DuckDB oracle reproduces every cell bit-for-bit;
+    * under-k populations degrade to EXACT counts by the same guard.
+    */
+  val aggKmvSetOps: Q = Q(
+    "agg_kmv_set_ops",
+    (s, d) => {
+      val k = 256
+      // B is deliberately a strict subset-shaped slice (purchasers with
+      // user_id % 3 ≠ 0): in this corpus every user does everything, so
+      // without the slice A = B and the intersection estimate is the
+      // union estimate — the mod carve gives the estimator a real
+      // J ≈ 2/3 to recover (same by-construction idiom as the
+      // quarantine ops' injected classes)
+      val flags = Tables.read(s, d, "events")
+        .filter(col("user_id").isNotNull &&
+          col("event_type").isin("click", "purchase"))
+        .select(
+          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
+            .as("hv"),
+          (col("event_type") === "click").as("in_a"),
+          (col("event_type") === "purchase" && col("user_id") % lit(3) =!= 0)
+            .as("in_b"))
+        .filter(col("in_a") || col("in_b"))
+        .groupBy(col("hv"))
+        .agg(max(col("in_a")).as("a"), max(col("in_b")).as("b"))
+      val topk = flags.orderBy(asc("hv")).limit(k)
+      topk.agg(
+          count(lit(1)).as("m"), max(col("hv")).as("hk"),
+          sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("c"))
+        .select(
+          expr(s"cast(case when m < $k then m else (${k - 1} * 4294967296) div hk end as bigint)")
+            .as("n_union_est"),
+          expr(s"cast(case when m < $k then c else (c * ((${k - 1} * 4294967296) div hk)) div $k end as bigint)")
+            .as("n_inter_est"))
+    },
+    Some("""WITH f0 AS (SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv,
+                               max(event_type = 'click') AS a,
+                               max(event_type = 'purchase' AND user_id % 3 <> 0) AS b
+                        FROM events
+                        WHERE user_id IS NOT NULL
+                          AND event_type IN ('click', 'purchase')
+                        GROUP BY 1),
+            f AS (SELECT * FROM f0 WHERE a OR b),
+            t AS (SELECT * FROM f ORDER BY hv LIMIT 256),
+            g AS (SELECT count(*) AS m, max(hv) AS hk,
+                         sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS c
+                  FROM t)
+            SELECT CAST(CASE WHEN m < 256 THEN m
+                             ELSE (255 * 4294967296) // hk END AS BIGINT)
+                     AS n_union_est,
+                   CAST(CASE WHEN m < 256 THEN c
+                             ELSE (c * ((255 * 4294967296) // hk)) // 256 END
+                        AS BIGINT) AS n_inter_est
+            FROM g"""))
+
   /** Rollup over a NULL-CONTAINING group key with `grouping()`
     * disambiguation — the correctness trap [[aggRollup]]'s non-null keys
     * never exercise: the bucket key is DERIVED NULL for 'error' events
@@ -953,5 +1022,5 @@ object Aggregations {
     opUdafWeightedAvg, aggMode, aggApproxQuantile, aggBoolLogic,
     aggHeavyHittersMg, aggHllSketchUnion, aggKsTwoSample, aggEntropy,
     aggMaxBy, aggSkewKurtManual, aggWeightedMedian, aggReaggregatePartials,
-    aggCountminSketch, aggKmvDistinct, aggRollupGroupingId)
+    aggCountminSketch, aggKmvDistinct, aggKmvSetOps, aggRollupGroupingId)
 }

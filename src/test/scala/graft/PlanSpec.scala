@@ -259,6 +259,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("FileScan"), s"metadata op must not scan data:\n$p")
   }
 
+  test("agg_kmv_set_ops: k-minima via TakeOrderedAndProject, no full sort") {
+    val p = plan(Aggregations.aggKmvSetOps.fn(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global limit-after-order must plan per-partition top-k:\n$p")
+    // the k-minima estimates stay exact vs the sketch laws: union of the
+    // two populations is >k here, so the estimate path is exercised
+    val r = Aggregations.aggKmvSetOps.fn(spark, sf).head()
+    val (u, i) = (r.getLong(0), r.getLong(1))
+    assert(u > 0 && i >= 0 && i <= u, s"union $u, intersection $i")
+  }
+
   test("join_bloom_prescreen: the bloom probe prunes fact rows PRE-join") {
     val (fact, dim) = Joins.bloomPrescreen(spark, sf)
     val total = graft.Tables.read(spark, sf, "orders").count()
