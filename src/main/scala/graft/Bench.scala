@@ -109,6 +109,21 @@ object Bench {
       else name -> t
     }
     val stalled = stalledCells(firstPass, results)
+    // Control cell (ADVICE r15: make the adaptive protocol auditable):
+    // re-time the MEDIAN cell — a deterministic NON-suspect — after the
+    // suspects' extra reps. Its recheck/first ratio shows host drift
+    // independent of the stall correction: a clean host rechecks ≈1×, a
+    // drifting host shows it here, so readers can separate "the adaptive
+    // rep corrected a stall" from "the whole sweep ran hot". Per-cell rep
+    // counts are derivable: base_reps everywhere, +1 for retimed_cells.
+    val finiteSorted = firstPass.toSeq.filterNot(_._2.isInfinite)
+      .sortBy { case (n, t) => (t, n) }
+    val controlJson = if (finiteSorted.isEmpty) "null" else {
+      val (cName, cFirst) = finiteSorted(finiteSorted.size / 2)
+      val cRe = timeOnce(selected(cName))
+      val cReJson = if (cRe.isInfinite) "-1" else cRe.toString
+      s"""{"name":"$cName","first":$cFirst,"recheck":$cReJson}"""
+    }
     val failed = results.collect { case (k, v) if v.isInfinite => k }.toSeq.sorted
     val qs = results.map { case (k, v) =>
       s"\"" + k + "\":" + (if (v.isInfinite) "-1" else v.toString)
@@ -117,8 +132,11 @@ object Bench {
     val rawTotal = firstPass.values.filterNot(_.isInfinite).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stalledJson = stalled.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val retimedJson = suspect.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val protocolJson =
+      s""""base_reps":$reps,"retimed_cells":$retimedJson,"stalled_cells":$stalledJson,"control":$controlJson"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","raw_total":$rawTotal,"stalled_cells":$stalledJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","raw_total":$rawTotal,$protocolJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // The full per-query line exceeds a tail-capture window at 150+
     // queries, so a capture that keeps only the LAST few KB beheads it
     // into unparseable JSON (every BENCH_r{5..10} landed "parsed": null).
@@ -141,7 +159,7 @@ object Bench {
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","raw_total":$rawTotal,"stalled_cells":$stalledJson,"n_queries":${results.size},"queries":$slowest,"queries_truncated_to":$slowestN,"full_json":"${outPath}","errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","raw_total":$rawTotal,$protocolJson,"n_queries":${results.size},"queries":$slowest,"queries_truncated_to":$slowestN,"full_json":"${outPath}","errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -531,12 +531,14 @@ object Joins {
     // BloomFilterAggregate over ZERO dim rows yields NULL, not an empty
     // sketch — skip the prescreen then (the join is empty regardless)
     val orders = Tables.read(s, d, "orders")
+    // the serialized sketch probes as a BINARY Literal Column — NOT a
+    // rendered X'..' hex SQL string: at larger corpora numBits grows the
+    // sketch to MBs, which a hex literal would drag through the SQL
+    // parser and every plan string (ADVICE r15)
     val fact =
       if (bf == null) orders
-      else {
-        val bfHex = bf.map("%02X".format(_)).mkString
-        orders.filter(expr(s"graft_bloom_contains(X'$bfHex', xxhash64(o_custkey))"))
-      }
+      else orders.filter(
+        call_function("graft_bloom_contains", lit(bf), xxhash64(col("o_custkey"))))
     (fact, dim)
   }
 

@@ -883,10 +883,11 @@ object PipelineOps {
       // size, that is the point — and probes as a constant (the form
       // might_contain requires)
       val bf = bloomOf(docs.filter(col("doc_id") % 50 === 0))
-      val bfHex = bf.map("%02X".format(_)).mkString
+      // binary Literal probe, not an X'..' hex SQL literal — a scaled-up
+      // sketch must not pass through the SQL parser (ADVICE r15)
       docs.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id"),
-          expr(s"graft_bloom_contains(X'$bfHex', xxhash64(text))")
+          call_function("graft_bloom_contains", lit(bf), xxhash64(col("text")))
             .as("maybe_eval_dup"))
         .orderBy(asc_nulls_first("doc_id"))
     },

@@ -1097,7 +1097,8 @@ object SourceOps {
     * rows (event_id % 7 = 0, non-error) and retractions (−1, −v) for
     * the error rows the upstream fix deletes. Mechanics, each the 100 TB
     * shape: signed delta partials (one small agg), touched-day list
-    * (budget-gated O(#days) driver state), PARTITION-PRUNED read of just
+    * (O(#days) driver state; past [[touchedDayInBudget]] the In-literal
+    * degrades to a broadcast semi-join, never a failure), PARTITION-PRUNED read of just
     * the touched MV partitions merged full-outer with the delta
     * (count ≤ 0 groups drop), a write of ONLY those partitions, and a
     * Hive-style publish — untouched partitions pass through by
@@ -1105,6 +1106,32 @@ object SourceOps {
     * ([[CompactionSpec]] pins the pruned scan and the 1/5 write). The
     * oracle proves refreshed state ≡ full recompute by construction.
     */
+  /** Soft In-literal budget for the touched-day predicate: below it a
+    * static `isin` prunes MV partitions at PLAN time; above it Catalyst
+    * In-lists of thousands of elements analyze/codegen slowly, so the
+    * filter degrades to a broadcast semi/anti join against the O(#days)
+    * touched frame (still partition-prunable at scale via dynamic
+    * partition pruning) instead of hard-failing the refresh (ADVICE r15).
+    */
+  private val touchedDayInBudget = 1000
+
+  /** `keep = true` → MV rows ON a touched day; `keep = false` → rows off
+    * every touched day. Both paths drop NULL-day rows, matching the
+    * static `isin` / `!isin` three-valued-logic behavior exactly.
+    */
+  private[operators] def filterByTouchedDays(
+      mv: DataFrame, touched: Seq[Long], keep: Boolean): DataFrame =
+    if (touched.length <= touchedDayInBudget) {
+      if (keep) mv.filter(col("day").isin(touched: _*))
+      else mv.filter(!col("day").isin(touched: _*))
+    } else {
+      import mv.sparkSession.implicits._
+      val tf = touched.toDF("day")
+      if (keep) mv.join(broadcast(tf), Seq("day"), "left_semi")
+      else mv.where(col("day").isNotNull)
+        .join(broadcast(tf), Seq("day"), "left_anti")
+    }
+
   /** Run the refresh write; returns (mv0 dir, refreshed-partitions dir,
     * touched days) — the spec seam for the layout pins the oracle can't
     * see (pruned mv0 scan, only ~1/5 of partitions written).
@@ -1127,9 +1154,7 @@ object SourceOps {
       .agg(sum((col("w") * col("v")).cast(DecimalType(28, 2))).as("ds"),
         sum(col("w")).as("dn"))
     val touched = deltaP.select(col("day")).distinct().collect().map(_.getLong(0)).toSeq
-    require(touched.length <= 10000,
-      s"${touched.length} touched days exceed the driver refresh budget")
-    val refreshed = mv0.filter(col("day").isin(touched: _*))
+    val refreshed = filterByTouchedDays(mv0, touched, keep = true)
       .join(deltaP, Seq("day", "event_type"), "full_outer")
       .select(col("day"), col("event_type"),
         // coalesce CHAIN, not zero-default: a group whose values are all
@@ -1155,7 +1180,7 @@ object SourceOps {
       // touched group cancelled to n=0) writes only _SUCCESS — reading it
       // would throw schema-inference errors where the correct publish is
       // "untouched partitions only"
-      val untouched = mv0.filter(!col("day").isin(touched: _*))
+      val untouched = filterByTouchedDays(mv0, touched, keep = false)
         .select(col("day"), col("event_type"), col("s").cast(DecimalType(28, 2)), col("n"))
       val wrotePartitions = Option(new java.io.File(refreshDir).listFiles())
         .exists(_.exists(f => f.isDirectory && f.getName.startsWith("day=")))

@@ -282,14 +282,24 @@ class PlanSpec extends SparkSpec {
     assert(pruned < total / 2,
       s"prescreen kept $pruned of $total fact rows — no useful pruning")
     // and the probe runs as a plain filter in the fact subtree, not after
-    // the join
-    // graft_bloom_contains resolves to Spark's BloomFilterMightContain,
-    // which prints as might_contain — assert it filters BELOW the join
-    val p = plan(Joins.joinBloomPrescreen.fn(spark, sf))
-    val joinLine = p.linesIterator.indexWhere(_.contains("HashJoin"))
-    val probeLine = p.linesIterator.indexWhere(_.contains("might_contain"))
-    assert(probeLine >= 0, s"probe absent from plan:\n${p.take(2000)}")
-    assert(joinLine >= 0 && probeLine > joinLine,
-      s"probe must sit in the fact subtree under the join (join@$joinLine, probe@$probeLine)")
+    // the join — asserted by WALKING the SparkPlan tree, not by comparing
+    // plan-string line indexes (AQE re-printing / reused-exchange sections
+    // can reorder lines without any semantic change; ADVICE r15)
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def hasProbe(node: SparkPlan): Boolean = node.exists {
+      case f: FilterExec => f.condition.exists(_.isInstanceOf[BloomFilterMightContain])
+      case _             => false
+    }
+    val root = Joins.joinBloomPrescreen.fn(spark, sf).queryExecution.sparkPlan
+    val joins = root.collect { case j: BaseJoinExec => j }
+    assert(joins.nonEmpty, s"no join in plan:\n$root")
+    // the probe FilterExec must be a DESCENDANT of the join, on the side
+    // that carries the fact columns (orders), i.e. the streamed side
+    val factSides = joins.flatMap(_.children.filter(_.output.exists(_.name == "o_totalprice")))
+    assert(factSides.nonEmpty, s"no fact side under any join:\n$root")
+    assert(factSides.exists(hasProbe),
+      s"bloom probe must filter the fact subtree BELOW the join:\n$root")
   }
 }
