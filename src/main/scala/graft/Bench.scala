@@ -25,6 +25,47 @@ object Bench {
     corrected.keys.toSeq.sorted
       .filter(n => first(n) > 2 * corrected(n))
 
+  /** Median per-query ratio of this run vs the committed cross-round
+    * anchor (BENCH_ANCHOR.json). The stall detector by design ignores
+    * UNIFORM inflation (every cell 1.3× is invisible to a 5×-median
+    * outlier rule — the BENCH_r15 adjudication); the anchor ratio makes
+    * it visible: a clean host reads ≈1.0, a uniformly loaded host reads
+    * as its inflation factor. None when fewer than 10 cells are shared
+    * (subset runs, renamed queries) — a tiny overlap is noise, not a
+    * calibration.
+    */
+  private[graft] def anchorMedianRatio(current: Map[String, Double],
+                                       anchor: Map[String, Double]): Option[Double] = {
+    val ratios = current.collect {
+      case (n, t) if !t.isInfinite && anchor.get(n).exists(_ > 0) => t / anchor(n)
+    }.toSeq.sorted
+    if (ratios.size < 10) None else Some(ratios(ratios.size / 2))
+  }
+
+  /** Anchor timings, keyed by query — empty when the file is absent or
+    * was recorded at a different scale factor than this run.
+    */
+  private[graft] def loadAnchor(path: java.nio.file.Path, sfDir: String): Map[String, Double] =
+    try {
+      if (!java.nio.file.Files.exists(path)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(path),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val sfRe = """"sf":\s*"([^"]+)"""".r
+        val sfOk = sfRe.findFirstMatchIn(txt)
+          .exists(m => sfDir.stripSuffix("/").endsWith(m.group(1)))
+        val qStart = txt.indexOf("\"queries\"")
+        if (!sfOk || qStart < 0) Map.empty
+        else {
+          // the queries object holds only name:number pairs, so it ends
+          // at the first closing brace after its opening one
+          val body = txt.substring(qStart, txt.indexOf("}", qStart) max qStart)
+          val re = """"([a-z0-9_]+)":\s*([0-9][0-9.eE+-]*)""".r
+          re.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -133,8 +174,12 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stalledJson = stalled.map("\"" + _ + "\"").mkString("[", ",", "]")
     val retimedJson = suspect.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val anchor = loadAnchor(java.nio.file.Paths.get("BENCH_ANCHOR.json"), sfDir)
+    val anchorJson = anchorMedianRatio(results, anchor)
+      .map(r => String.format(java.util.Locale.ROOT, "%.3f", Double.box(r)))
+      .getOrElse("null")
     val protocolJson =
-      s""""base_reps":$reps,"retimed_cells":$retimedJson,"stalled_cells":$stalledJson,"control":$controlJson"""
+      s""""base_reps":$reps,"retimed_cells":$retimedJson,"stalled_cells":$stalledJson,"control":$controlJson,"anchor_median_ratio":$anchorJson"""
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","raw_total":$rawTotal,$protocolJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // The full per-query line exceeds a tail-capture window at 150+

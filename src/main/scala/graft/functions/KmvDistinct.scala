@@ -15,13 +15,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * arithmetic — floor((k−1)·2³² / h(k)) — so no float ever crosses the
   * engine boundary.
   *
-  * Scale shape: the buffer is ≤k sorted distinct hashes (O(k) state) and
-  * the Aggregator is map-side combinable — partials merge associatively in
-  * any tree, the property that makes KMV the sketch you ship to 1000
-  * executors (vs the exact distinct's full (group, key) shuffle). Groups
-  * with fewer than k distinct hashes return the EXACT count (the sketch IS
-  * the full hash set there). Most rows short-circuit on `h ≥ buffer.last`
-  * without allocating.
+  * Scale shape: the buffer is a SORTED ≤k Array[Long] of distinct hashes
+  * (O(k) primitive state, no boxing) and the Aggregator is map-side
+  * combinable — partials merge associatively in any tree, the property
+  * that makes KMV the sketch you ship to 1000 executors (vs the exact
+  * distinct's full (group, key) shuffle). Groups with fewer than k
+  * distinct hashes return the EXACT count (the sketch IS the full hash
+  * set there). The hot path is allocation-free: most rows short-circuit
+  * on `h ≥ buffer.last`; an accepted insert is one binarySearch plus two
+  * arraycopies (the r15 Vector buffer re-sorted O(k log k) and linearly
+  * scanned for membership on every accepted row), and merge is a single
+  * two-pointer pass over the two sorted partials.
   *
   * NEGATIVE inputs are skipped as "no value": the one-scan multi-column
   * profile (`op_table_profile_sketch`) feeds every column's md5-derived
@@ -36,33 +40,96 @@ import org.apache.spark.sql.expressions.Aggregator
   * sentinel, exactness, and merge laws for all k.
   */
 class KmvSketch(k: Int) extends Aggregator[Long, KmvBuf, Long] {
-  override def zero: KmvBuf = KmvBuf(Vector.empty)
+  override def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
 
   override def reduce(b: KmvBuf, h: Long): KmvBuf =
-    if (h < 0L) b else insert(b, h)
+    if (h < 0L) b else KmvBuf(KmvBuf.insert(b.hs, h, k))
 
   override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
-    b.hs.foldLeft(a)(insert)
+    KmvBuf(KmvBuf.mergeSorted(a.hs, b.hs, k))
 
-  override def finish(b: KmvBuf): Long =
-    if (b.hs.size < k) b.hs.size.toLong
-    else ((k - 1).toLong << 32) / b.hs.last
-
-  private def insert(b: KmvBuf, h: Long): KmvBuf = {
-    val v = b.hs
-    if (v.size == k && h >= v.last) b // common case: not among the k smallest
-    else if (v.contains(h)) b // distinct semantics: duplicates collapse
-    else {
-      val grown = (v :+ h).sorted
-      KmvBuf(if (grown.size > k) grown.take(k) else grown)
-    }
-  }
+  override def finish(b: KmvBuf): Long = KmvBuf.estimate(b.hs, k)
 
   override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
-case class KmvBuf(hs: Vector[Long])
+/** Same sketch, finishing to the sorted minima array itself instead of
+  * the estimate — the form a SKETCH-PARTIAL materialized view persists:
+  * stored minima merge associatively (`KmvBuf.mergeSorted` ≡ the k
+  * smallest of the union, losslessly), so an incremental MV refresh can
+  * combine stored partials with delta partials and the result is
+  * IDENTICAL to a full recompute. The estimate is then one integer
+  * expression over the stored array, computable by any engine.
+  */
+class KmvMinima(k: Int) extends Aggregator[Long, KmvBuf, Array[Long]] {
+  override def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
+  override def reduce(b: KmvBuf, h: Long): KmvBuf =
+    if (h < 0L) b else KmvBuf(KmvBuf.insert(b.hs, h, k))
+  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+    KmvBuf(KmvBuf.mergeSorted(a.hs, b.hs, k))
+  override def finish(b: KmvBuf): Array[Long] = b.hs
+  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+/** Sorted ≤k distinct minima. Array identity is never compared — the
+  * Aggregator contract only reduces/merges/finishes buffers.
+  */
+case class KmvBuf(hs: Array[Long])
+
+object KmvBuf {
+
+  /** Insert `h` into sorted distinct `v` keeping at most the k smallest:
+    * one binary search, at most one (≤k)-element allocation.
+    */
+  private[functions] def insert(v: Array[Long], h: Long, k: Int): Array[Long] = {
+    val n = v.length
+    if (n == k && h >= v(n - 1)) v // common case: not among the k smallest
+    else {
+      val idx = java.util.Arrays.binarySearch(v, h)
+      if (idx >= 0) v // distinct semantics: duplicates collapse
+      else {
+        val ins = -(idx + 1)
+        val outLen = math.min(n + 1, k)
+        val out = new Array[Long](outLen)
+        System.arraycopy(v, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(v, ins, out, ins + 1, outLen - ins - 1)
+        out
+      }
+    }
+  }
+
+  /** Two-pointer distinct merge of two sorted arrays, truncated to the k
+    * smallest — exactly the k minima of the UNION, which is what makes
+    * KMV partials lossless under any merge tree.
+    */
+  private[functions] def mergeSorted(a: Array[Long], b: Array[Long], k: Int): Array[Long] = {
+    if (b.isEmpty) return a
+    if (a.isEmpty) return b
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0
+    var j = 0
+    var m = 0
+    while (m < out.length && (i < a.length || j < b.length)) {
+      out(m) =
+        if (j >= b.length) { i += 1; a(i - 1) }
+        else if (i >= a.length) { j += 1; b(j - 1) }
+        else if (a(i) < b(j)) { i += 1; a(i - 1) }
+        else if (a(i) > b(j)) { j += 1; b(j - 1) }
+        else { i += 1; j += 1; a(i - 1) } // equal: consume both once
+      m += 1
+    }
+    if (m == out.length) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  /** floor((k−1)·2³² / h(k)) past saturation; exact count under k. */
+  private[graft] def estimate(hs: Array[Long], k: Int): Long =
+    if (hs.length < k) hs.length.toLong
+    else ((k - 1).toLong << 32) / hs(hs.length - 1)
+}
 
 /** The SURVEY §2.4 `agg_kmv_distinct` instance (k=64, σ ≈ 13%). */
 object KmvDistinct extends KmvSketch(64)

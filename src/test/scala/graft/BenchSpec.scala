@@ -50,4 +50,40 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.suspectCells(Map.empty).isEmpty)
     assert(Bench.stalledCells(Map.empty, Map.empty).isEmpty)
   }
+
+  test("anchor ratio reads uniform inflation the stall detector ignores") {
+    val anchor = (1 to 20).map(i => s"q$i" -> 0.3).toMap
+    // a uniformly 1.3x-inflated host: every cell under the 5x-median
+    // stall threshold, but the anchor median names the factor
+    val inflated = anchor.view.mapValues(_ * 1.3).toMap
+    assert(Bench.suspectCells(inflated).isEmpty)
+    val r = Bench.anchorMedianRatio(inflated, anchor)
+    assert(r.exists(x => math.abs(x - 1.3) < 1e-9), r.toString)
+  }
+
+  test("anchor ratio is None under 10 shared cells and ignores errors/zeros") {
+    val anchor = (1 to 9).map(i => s"q$i" -> 0.3).toMap
+    assert(Bench.anchorMedianRatio(anchor, anchor).isEmpty)
+    val big = (1 to 12).map(i => s"q$i" -> 0.3).toMap
+    val cur = big + ("q1" -> Double.PositiveInfinity) // failed cell drops out
+    assert(Bench.anchorMedianRatio(cur, big + ("q2" -> 0.0)).nonEmpty)
+  }
+
+  test("loadAnchor parses the committed file shape and gates on sf") {
+    val p = java.nio.file.Files.createTempFile("anchor", ".json")
+    java.nio.file.Files.write(p,
+      """{"cpus": 32, "sf": "sf0.1", "queries": {"q1_agg": 0.31, "q2": 1.5}}"""
+        .getBytes("UTF-8"))
+    val a = Bench.loadAnchor(p, "/root/testdata/sf0.1")
+    assert(a == Map("q1_agg" -> 0.31, "q2" -> 1.5), a.toString)
+    assert(Bench.loadAnchor(p, "/root/testdata/sf0.01").isEmpty, "sf mismatch must gate")
+    assert(Bench.loadAnchor(p.resolveSibling("absent.json"), "/x/sf0.1").isEmpty)
+  }
+
+  test("loadAnchor parses the real committed BENCH_ANCHOR.json") {
+    val a = Bench.loadAnchor(java.nio.file.Paths.get("BENCH_ANCHOR.json"),
+      "/root/testdata/sf0.1")
+    assert(a.size > 200, s"expected the full registry, got ${a.size}")
+    assert(a.values.forall(v => v > 0 && v < 60), "timings must be sane seconds")
+  }
 }

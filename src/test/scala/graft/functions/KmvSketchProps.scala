@@ -49,4 +49,32 @@ object KmvSketchProps extends Properties("KmvSketch") {
       val agg = new KmvSketch(kk)
       agg.finish(sketchOf(agg, s ++ s ++ s)) == agg.finish(sketchOf(agg, s))
     }
+
+  // the r16 Array[Long] buffer primitives, pinned against the naive spec:
+  // the buffer must BE the sorted k smallest distinct values at all times
+
+  property("buffer is exactly the sorted k-minima of the input") =
+    forAll(stream, k) { (s, kk) =>
+      val agg = new KmvSketch(kk)
+      val expect = s.distinct.sorted.take(kk)
+      sketchOf(agg, s).hs.toList == expect
+    }
+
+  property("mergeSorted is the k-minima of the union, in any order") =
+    forAll(stream, stream, k) { (a, b, kk) =>
+      val agg = new KmvSketch(kk)
+      val (sa, sb) = (sketchOf(agg, a), sketchOf(agg, b))
+      val expect = (a ++ b).distinct.sorted.take(kk)
+      agg.merge(sa, sb).hs.toList == expect &&
+        agg.merge(sb, sa).hs.toList == expect
+    }
+
+  property("KmvMinima finishes to the buffer KmvSketch estimates from") =
+    forAll(stream, k) { (s, kk) =>
+      val mins = new KmvMinima(kk)
+      val est = new KmvSketch(kk)
+      val buf = s.foldLeft(mins.zero)(mins.reduce)
+      mins.finish(buf).toList == s.distinct.sorted.take(kk) &&
+        KmvBuf.estimate(mins.finish(buf), kk) == est.finish(sketchOf(est, s))
+    }
 }
