@@ -110,7 +110,8 @@ object Bench {
       "op_insert_append", "src_csv_roundtrip", "src_jsonl_roundtrip",
       "src_orc_roundtrip", "src_partitioned_roundtrip",
       "src_schema_merge_roundtrip",
-      "sink_compact_small_files", "sink_mv_incremental_refresh")
+      "sink_compact_small_files", "sink_mv_incremental_refresh",
+      "sink_compact_merge_dedup", "sink_mv_sketch_refresh")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {
       val t0 = System.nanoTime()

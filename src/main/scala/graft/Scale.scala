@@ -68,7 +68,8 @@ object Scale {
     "ts_active_streak",
     "sink_compact_small_files", "op_table_profile_sketch",
     "sink_mv_incremental_refresh", "join_bloom_prescreen",
-    "agg_kmv_set_ops")
+    "agg_kmv_set_ops",
+    "sink_compact_merge_dedup", "op_zonemap_prune", "sink_mv_sketch_refresh")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",

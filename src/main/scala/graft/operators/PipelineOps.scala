@@ -458,12 +458,19 @@ object PipelineOps {
     * cosine-as-dot-product pipeline (normalized vectors turn cosine into
     * a plain dot product, halving ANN re-rank cost). Per-row HOF
     * arithmetic in double (sequential fold over the array — one defined
-    * order, no shuffle); zero vectors pass through unnormalized. No
-    * oracle (float kernel) — property spec: unit norms, idempotent. The
+    * order, no shuffle); zero vectors pass through unnormalized. The
     * registry row projects scalar digests of the normalized vector (its
     * recomputed norm and first component) because the driver's pandas
     * row-sort can't hash an array cell; the full-array form is the
     * `normalizeEmbeddings` kernel other ops consume.
+    *
+    * ORACLED since r16 (previously rows-only as "float kernel"): both
+    * engines run the identical IEEE double ops in the identical order —
+    * Spark's `aggregate` HOF and DuckDB's `list_sum` are both sequential
+    * left folds over the array, the float32 re-quantization of the
+    * normalized components is `CAST(... AS FLOAT)` ↔ `CAST(... AS REAL)`,
+    * and the published digests round at 6 decimals on top — verified
+    * cell-exact over every row at sf0.01 AND sf0.1 before registration.
     */
   val llmEmbedNormalize: Q = Q(
     "llm_embed_normalize",
@@ -476,7 +483,24 @@ object PipelineOps {
           round(col("norm"), 6).as("unit_norm"),
           round(expr("CAST(embedding[0] AS DOUBLE)"), 6).as("first_component"))
         .orderBy(asc_nulls_first("vec_id")),
-    None)
+    Some("""WITH n AS (
+              SELECT vec_id, label, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+              FROM embeddings),
+            u AS (
+              SELECT vec_id, label, nb, embedding,
+                     CASE WHEN nb > 0
+                          THEN list_transform(embedding,
+                            x -> CAST(CAST(CAST(x AS DOUBLE) / nb AS REAL) AS DOUBLE))
+                          ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS ne
+              FROM n)
+            SELECT vec_id, label,
+                   round(nb, 6) AS norm_before,
+                   round(sqrt(list_sum(list_transform(ne, z -> z * z))), 6) AS unit_norm,
+                   round(ne[1], 6) AS first_component
+            FROM u
+            ORDER BY vec_id NULLS FIRST"""))
 
   /** Normalization kernel over any frame with an `embedding` column
     * (unit-test seam — the idempotence spec feeds its own output back).

@@ -1294,6 +1294,308 @@ object SourceOps {
       }.mkString("", " UNION ALL ", " ORDER BY column_name NULLS FIRST")
     })
 
+  /** One deliberately-fragmented copy of `events` per (JVM, corpus) —
+    * 64 tiny files with every user's rows scattered across them: the
+    * layout a keyed CDC micro-batch sink leaves behind, and the input
+    * shape ClickHouse's background merge consumes. Projected to the
+    * upsert op's 5 portable columns (µs timestamps; raw nanos are
+    * Spark-only).
+    */
+  private val fragEventsDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[operators] def fragmentedEventsDir(s: SparkSession, d: String): String =
+    fragEventsDirs.computeIfAbsent(d, _ => {
+      val dir = graft.util.TempDirs.create("graft_frag_ev").resolve("events").toString
+      Tables.read(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), expr("ts div 1000").as("ts_us"))
+        .repartition(64)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** The fused merge: ONE range shuffle on the key, in-partition sort
+    * (key asc, version desc), then a streaming first-row-per-key pass —
+    * returns the merged dir. Factored out so [[CompactionSpec]] can pin
+    * the single-exchange plan and the disjoint per-file key ranges.
+    */
+  private[operators] def compactMergeDedup(s: SparkSession, d: String): String = {
+    val in = fragmentedEventsDir(s, d)
+    val bytes = new java.io.File(in).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length).sum
+    val nOut = math.max(1, math.ceil(bytes / (1024.0 * 1024.0)).toInt)
+    val frag = s.read.parquet(in)
+    val keyIdx = frag.schema.fieldIndex("user_id")
+    val sorted = frag
+      .repartitionByRange(nOut, col("user_id"))
+      .sortWithinPartitions(col("user_id").asc_nulls_first,
+        col("ts_us").desc, col("event_id").desc)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(sorted.schema)
+    // per-partition imperative scan (the mapPartitions exception the
+    // engine guide carves out): range partitioning co-locates every key,
+    // the sort puts its latest version first, so "keep first row per
+    // key" over the sorted iterator IS the ReplacingMergeTree merge —
+    // no second shuffle, no window state
+    val merged = sorted.mapPartitions { it =>
+      var started = false
+      var last: Any = null
+      it.filter { r =>
+        val k = r.get(keyIdx)
+        val keep = !started || !java.util.Objects.equals(k, last)
+        started = true
+        last = k
+        keep
+      }
+    }
+    val outDir = graft.util.TempDirs.create("graft_merge_dedup").toString
+    merged.write.mode("overwrite").parquet(outDir)
+    outDir
+  }
+
+  /** Fused compaction + keyed dedup — the FULL ReplacingMergeTree
+    * background merge (reference `setup.sh:63`: ClickHouse both
+    * bin-packs parts AND collapses key versions in the same merge pass;
+    * this repo previously reproduced the halves separately as
+    * [[sinkCompactSmallFiles]] and [[sinkUpsertLatestByKey]]): a
+    * 64-fragment keyed CDC spill is range-shuffled ONCE on `user_id`,
+    * sorted within partitions (key asc, version desc), deduplicated by a
+    * streaming first-row-per-key pass, and written as right-sized files
+    * with disjoint key ranges. At 100 TB this halves the standard
+    * compact-then-dedup pipeline: the window dedup's hash shuffle
+    * disappears into the compaction's range shuffle, and the output
+    * layout keeps footer pruning and merge joins alive. The oracle is
+    * the upsert op's: merged state ≡ latest version per key.
+    */
+  val sinkCompactMergeDedup: Q = Q(
+    "sink_compact_merge_dedup",
+    (s, d) => {
+      val outDir = compactMergeDedup(s, d)
+      s.read.parquet(outDir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts_us"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH ranked AS (
+              SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_id, event_type, value, ts_us
+            FROM ranked WHERE rn = 1 ORDER BY user_id NULLS FIRST"""))
+
+  /** The range layout the zone map indexes — built once per (JVM,
+    * corpus): a FIXED 16-way `repartitionByRange` on the key rather than
+    * [[compactOrders]]'s byte-sized output (which collapses the smallest
+    * test corpus to one file, leaving a zone map nothing to skip). At
+    * production scale the granule count comes from the byte-based
+    * compaction arithmetic; the 16 granules here keep the skipping
+    * behavior observable at every test sf.
+    */
+  private val zonemapDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[operators] def zonemapLayoutDir(s: SparkSession, d: String): String =
+    zonemapDirs.computeIfAbsent(d, _ => {
+      val dir = graft.util.TempDirs.create("graft_zonemap").resolve("orders").toString
+      Tables.read(s, d, "orders")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** Build the per-file zone map and prune it for the mid-corpus key
+    * box: returns (selected files, total files, lo, hi) — the spec seam
+    * for the pruning the oracle can't see. The zone-map build is one
+    * column-pruned scan of the key column (a production build reads
+    * parquet footers only; the semantics are identical); the map itself
+    * is O(#files) driver state — the same budget class as a catalog's
+    * file manifest, and at 100 TB it persists as its own tiny table
+    * instead of being rebuilt per query.
+    */
+  private[operators] def zonemapPrune(s: SparkSession, d: String)
+      : (Seq[String], Int, Long, Long) = {
+    val dir = zonemapLayoutDir(s, d)
+    val zm = s.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+      .collect()
+    val gmn = zm.map(_.getLong(1)).min
+    val gmx = zm.map(_.getLong(2)).max
+    // deterministic data-derived box: the [40%, 50%] slice of the key
+    // span, integer arithmetic so the oracle reproduces it exactly
+    val lo = gmn + (gmx - gmn) * 2 / 5
+    val hi = gmn + (gmx - gmn) / 2
+    val sel = zm.filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .map(_.getString(0)).toSeq
+    (sel, zm.length, lo, hi)
+  }
+
+  /** Zone-map (min/max skip-index) pruned scan — the reference engine's
+    * sparse primary index / skip-index read path (ClickHouse prunes
+    * granules by primary-key min/max marks) re-expressed for a lake
+    * layout: a per-file (min, max) zone map over the range-compacted
+    * orders files answers a key-box query by reading ONLY the files
+    * whose zone overlaps the box — file-level skipping BEFORE parquet
+    * footer row-group pruning even starts, which at 100 TB is the
+    * difference between listing/scheduling 200k files and ~20k. The
+    * residual predicate still pushes into the selected scans, so
+    * correctness never depends on the map ([[CompactionSpec]] pins the
+    * file-count reduction; the oracle pins the values).
+    */
+  val opZonemapPrune: Q = Q(
+    "op_zonemap_prune",
+    (s, d) => {
+      val (files, _, lo, hi) = zonemapPrune(s, d)
+      s.read.parquet(files: _*)
+        .filter(col("o_orderkey").between(lo, hi))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(asc_nulls_first("o_orderpriority"))
+    },
+    Some("""WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+                       FROM orders)
+            SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            FROM orders, b
+            WHERE o_orderkey >= mn + (mx - mn) * 2 // 5
+              AND o_orderkey <= mn + (mx - mn) // 2
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority NULLS FIRST"""))
+
+  /** Portable md5-derived 32-bit hash of `user_id` for the KMV sketch
+    * MV; NULL users map to the sketch's −1 skip sentinel.
+    */
+  private def userHash: Column =
+    coalesce(
+      expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"),
+      lit(-1L))
+
+  /** Day-partitioned per-(day, event_type) KMV minima (k=64) of distinct
+    * user hashes as of the base snapshot (event_id % 7 ≠ 0) — the
+    * sketch-partial MV [[sinkMvSketchRefresh]] refreshes.
+    */
+  private val mvSketchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[operators] def mvSketchBaseDir(s: SparkSession, d: String): String =
+    mvSketchDirs.computeIfAbsent(d, _ => {
+      val dir = graft.util.TempDirs.create("graft_mv_sketch").resolve("mv").toString
+      val kmvM = udaf(new graft.functions.KmvMinima(64))
+      Tables.read(s, d, "events")
+        .filter(col("event_id") % lit(7) =!= 0)
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          col("event_type"), userHash.as("hv"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(kmvM(col("hv")).as("mins"))
+        .write.partitionBy("day").parquet(dir)
+      dir
+    })
+
+  /** Run the sketch-MV refresh write; returns (mv0 dir, refreshed dir,
+    * touched days) — the [[CompactionSpec]] seam.
+    */
+  private[operators] def mvSketchRefresh(s: SparkSession, d: String)
+      : (String, String, Seq[Long]) = {
+    val mv0dir = mvSketchBaseDir(s, d)
+    val mv0 = s.read.parquet(mv0dir).withColumn("day", col("day").cast(LongType))
+    val kmvM = udaf(new graft.functions.KmvMinima(64))
+    // sketches are INSERT-only (a KMV cannot retract a hash), so the
+    // delta is the late-insert slice alone — the standard restriction of
+    // sketch-partial MVs to monotone streams; deletions force the exact
+    // (sum, count) MV [[sinkMvIncrementalRefresh]] or a full rebuild
+    val deltaP = Tables.read(s, d, "events")
+      .select(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"),
+        col("user_id"), col("event_id"))
+      .filter(col("day") % lit(5) === 2 && col("event_id") % lit(7) === 0)
+      .groupBy(col("day"), col("event_type"))
+      .agg(kmvM(userHash).as("dmins"))
+    val touched = deltaP.select(col("day")).distinct().collect().map(_.getLong(0)).toSeq
+    // merge = k smallest of the union, declaratively: array_union dedups,
+    // array_sort orders, slice truncates to k — EXACTLY KmvBuf.mergeSorted
+    // (KmvSketchProps pins that law), so refreshed partials are
+    // bit-identical to a full recompute
+    val refreshed = filterByTouchedDays(mv0, touched, keep = true)
+      .join(deltaP, Seq("day", "event_type"), "full_outer")
+      .select(col("day"), col("event_type"),
+        expr("""slice(array_sort(array_union(
+                  coalesce(mins, cast(array() as array<bigint>)),
+                  coalesce(dmins, cast(array() as array<bigint>)))), 1, 64)""")
+          .as("mins"))
+    val refreshDir = graft.util.TempDirs.create("graft_mv_sketch_refresh").toString
+    refreshed.write.partitionBy("day").mode("overwrite").parquet(refreshDir)
+    (mv0dir, refreshDir, touched)
+  }
+
+  /** Sketch-partial incremental MV — the approximate sibling of
+    * [[sinkMvIncrementalRefresh]] and the reason sketches exist at
+    * 100 TB: a per-(day, event_type) distinct-users MV stores the O(k)
+    * KMV minima instead of user sets, so refresh cost is ∝ touched
+    * partitions × k bytes and NEVER rescans the base table — stored
+    * partials and delta partials merge losslessly (the k minima of a
+    * union are computable from the two k-minima synopses; proven in
+    * KmvSketchProps), which an HLL/exact-distinct MV only matches by
+    * keeping engine-opaque state. Same partition-pruned read / touched-
+    * partition write / publish-by-reference mechanics as the exact MV;
+    * the estimate is one integer expression over the stored array, so
+    * the DuckDB oracle reproduces the refreshed state bit-for-bit by
+    * full recompute over the post-delta row set.
+    */
+  val sinkMvSketchRefresh: Q = Q(
+    "sink_mv_sketch_refresh",
+    (s, d) => {
+      val (mv0dir, refreshDir, touched) = mvSketchRefresh(s, d)
+      val mv0 = s.read.parquet(mv0dir).withColumn("day", col("day").cast(LongType))
+      val untouched = filterByTouchedDays(mv0, touched, keep = false)
+        .select(col("day"), col("event_type"), col("mins"))
+      // same empty-refresh guard as the exact MV: a refresh that wrote
+      // no day= partitions publishes untouched-only instead of a
+      // schema-inference failure
+      val wrotePartitions = Option(new java.io.File(refreshDir).listFiles())
+        .exists(_.exists(f => f.isDirectory && f.getName.startsWith("day=")))
+      val mvNew =
+        if (!wrotePartitions) untouched
+        else s.read.parquet(refreshDir)
+          .withColumn("day", col("day").cast(LongType))
+          .select(col("day"), col("event_type"), col("mins"))
+          .unionByName(untouched)
+      mvNew.select(col("day"), col("event_type"),
+          expr("""cast(case when size(mins) < 64 then size(mins)
+                       else (63 * 4294967296) div element_at(mins, 64) end as bigint)""")
+            .as("est_users"))
+        .orderBy(asc_nulls_first("day"), asc_nulls_first("event_type"))
+    },
+    // by-construction oracle: refreshed sketch state ≡ full KMV recompute
+    // over (base rows) ∪ (late inserts on touched days); user_id is
+    // non-null corpus-wide, so the NOT NULL guard only mirrors the
+    // sketch's −1 sentinel skip
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                              user_id, event_id
+                       FROM events),
+            base AS (SELECT day, event_type, user_id FROM e
+                     WHERE event_id % 7 <> 0
+                        OR (day % 5 = 2 AND event_id % 7 = 0)),
+            h AS (SELECT DISTINCT day, event_type,
+                    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+                  FROM base WHERE user_id IS NOT NULL),
+            r AS (SELECT day, event_type, hv,
+                         row_number() OVER (PARTITION BY day, event_type ORDER BY hv) AS rn,
+                         count(*) OVER (PARTITION BY day, event_type) AS nd
+                  FROM h)
+            SELECT day, event_type,
+                   CAST(CASE WHEN nd < 64 THEN nd
+                             ELSE (63 * 4294967296) // hv END AS BIGINT) AS est_users
+            FROM r WHERE rn = least(nd, 64)
+            ORDER BY day NULLS FIRST, event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
@@ -1303,5 +1605,6 @@ object SourceOps {
     srcPartitionedRoundtrip, srcOrcRoundtrip, srcSchemaMergeRoundtrip,
     opZorderLayout, opZorder3Layout, sinkDynamicPartitionOverwrite,
     srcCsvQuarantine, srcCdcQuarantine, opTableProfile, opDppStarJoin,
-    sinkCompactSmallFiles, opTableProfileSketch, sinkMvIncrementalRefresh)
+    sinkCompactSmallFiles, opTableProfileSketch, sinkMvIncrementalRefresh,
+    sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh)
 }

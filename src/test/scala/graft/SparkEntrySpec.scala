@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (216 keys, 192 oracles)") {
-    assert(SparkEntry.queries.size == 216,
+  test("registry matches the SURVEY §2 inventory size (219 keys, 196 oracles)") {
+    assert(SparkEntry.queries.size == 219,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 192,
+    assert(SparkEntry.oracleSql.size == 196,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -83,6 +83,89 @@ class CompactionSpec extends SparkSpec {
       s"day filter did not reach the partition filters:\n$p")
   }
 
+  test("sink_compact_merge_dedup: ONE exchange, disjoint key ranges, upsert content") {
+    val out = SourceOps.compactMergeDedup(spark, sf)
+    // content ≡ the window-dedup op (the oracle also pins this; here we
+    // pin it against the IN-REPO reference implementation directly)
+    val merged = spark.read.parquet(out)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+    val frag = spark.read.parquet(SourceOps.fragmentedEventsDir(spark, sf))
+    val expect = Upsert.latestByKey(frag,
+      Seq(col("user_id")), Seq(col("ts_us"), col("event_id")))
+      .select(merged.columns.map(col): _*)
+    assert(merged.exceptAll(expect).isEmpty && expect.exceptAll(merged).isEmpty,
+      "merged state differs from latest-per-key")
+    // the fused pass must shuffle ONCE (the range exchange) — fusing is
+    // the point: window dedup would add a hash exchange
+    val sorted = frag
+      .repartitionByRange(4, col("user_id"))
+      .sortWithinPartitions(col("user_id").asc_nulls_first,
+        col("ts_us").desc, col("event_id").desc)
+    val exchanges = sorted.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"fused merge must plan exactly one exchange, saw $exchanges")
+    // disjoint per-file key ranges — what keeps pruning + merge joins alive
+    val ranges = partFiles(out)
+      .map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("user_id"), max("user_id")).head
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping user_id ranges: ..$hi vs $lo2..")
+      case _ => ()
+    }
+    // and it actually deduplicated: one row per user
+    assert(merged.groupBy("user_id").count().filter(col("count") > 1).isEmpty)
+  }
+
+  test("op_zonemap_prune reads a strict subset of the compacted files") {
+    val (sel, total, lo, hi) = SourceOps.zonemapPrune(spark, sf)
+    assert(total > 1, s"layout has $total files — zone map has nothing to prune")
+    assert(sel.nonEmpty && sel.size < total,
+      s"zone map selected ${sel.size}/$total files — no file-level skipping")
+    // the pruned read + residual predicate equals the full-scan answer
+    val dir = SourceOps.zonemapLayoutDir(spark, sf)
+    val full = spark.read.parquet(dir)
+      .filter(col("o_orderkey").between(lo, hi)).count()
+    val pruned = spark.read.parquet(sel: _*)
+      .filter(col("o_orderkey").between(lo, hi)).count()
+    assert(pruned == full, s"pruned read lost rows: $pruned vs $full")
+  }
+
+  test("sketch mv refresh writes only touched partitions; merge is lossless") {
+    val (mv0dir, refreshDir, touched) = SourceOps.mvSketchRefresh(spark, sf)
+    def dayDirs(dir: String): Set[String] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("day="))
+        .map(_.getName).toSet
+    assert(touched.forall(_ % 5 == 2), s"non-delta day touched: $touched")
+    assert(dayDirs(refreshDir).size == touched.size)
+    assert(dayDirs(refreshDir).size < dayDirs(mv0dir).size / 2,
+      "sketch refresh rewrote most partitions — not incremental")
+    // lossless merge: refreshed minima ≡ single-pass sketch over the
+    // post-delta row set (the KmvSketchProps law, end-to-end)
+    val kmvM = udaf(new graft.functions.KmvMinima(64))
+    val full = graft.Tables.read(spark, sf, "events")
+      .filter(col("event_id") % lit(7) =!= 0 ||
+        (expr("(ts div 1000) div 86400000000") % lit(5) === 2 &&
+          col("event_id") % lit(7) === 0))
+      .select(expr("(ts div 1000) div 86400000000").as("day"), col("event_type"),
+        coalesce(expr(
+          "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"),
+          lit(-1L)).as("hv"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(kmvM(col("hv")).as("mins"))
+      .filter(col("day") % lit(5) === 2) // the touched slice
+    val refreshed = spark.read.parquet(refreshDir)
+      .withColumn("day", col("day").cast("long"))
+      .select(col("day"), col("event_type"), col("mins"))
+    assert(refreshed.exceptAll(full).isEmpty && full.exceptAll(refreshed).isEmpty,
+      "refreshed sketch partials differ from the single-pass recompute")
+  }
+
   test("sketch estimates are within 20% of exact distincts at k=256") {
     val est = SourceOps.opTableProfileSketch.fn(spark, sf)
       .select(col("column_name"), col("n_distinct_est")).collect()
