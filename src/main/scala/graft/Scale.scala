@@ -69,7 +69,8 @@ object Scale {
     "sink_compact_small_files", "op_table_profile_sketch",
     "sink_mv_incremental_refresh", "join_bloom_prescreen",
     "agg_kmv_set_ops",
-    "sink_compact_merge_dedup", "op_zonemap_prune", "sink_mv_sketch_refresh")
+    "sink_compact_merge_dedup", "op_zonemap_prune", "sink_mv_sketch_refresh",
+    "stream_distinct_users_kmv")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",

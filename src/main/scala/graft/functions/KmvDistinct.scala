@@ -82,9 +82,11 @@ case class KmvBuf(hs: Array[Long])
 object KmvBuf {
 
   /** Insert `h` into sorted distinct `v` keeping at most the k smallest:
-    * one binary search, at most one (≤k)-element allocation.
+    * one binary search, at most one (≤k)-element allocation. private[graft]:
+    * the streaming distinct-users op maintains this same buffer as
+    * `mapGroupsWithState` state.
     */
-  private[functions] def insert(v: Array[Long], h: Long, k: Int): Array[Long] = {
+  private[graft] def insert(v: Array[Long], h: Long, k: Int): Array[Long] = {
     val n = v.length
     if (n == k && h >= v(n - 1)) v // common case: not among the k smallest
     else {

@@ -711,10 +711,65 @@ object StreamingOps {
                OR (c.click_id IS NULL AND g.t < m.max_t - 10801000000)
             ORDER BY click_id NULLS FIRST, signup_id NULLS FIRST"""))
 
+  /** Streaming distinct-users KMV sketch — the BOUNDED-state form of
+    * streaming cardinality (the question every live dashboard asks:
+    * "distinct users per type so far"): per event_type, the O(k) sorted
+    * KMV minima array rides `mapGroupsWithState` across micro-batches —
+    * state NEVER grows past k longs per key where exact streaming
+    * distinct state grows with the user count (the difference between
+    * 64×8 bytes and gigabytes per key at 100 TB). The same
+    * [[graft.functions.KmvBuf]] primitives back the batch sketch, so
+    * stream state ≡ batch sketch by construction and the integer-exact
+    * estimate oracles bit-for-bit. Each update emits (estimate, update
+    * serial); the final state per key is selected by `max_by` on the
+    * serial — the KMV estimate itself is not strictly monotone at the
+    * exact→saturated boundary, so "max estimate" would be wrong.
+    */
+  val streamDistinctUsersKmv: Q = Q(
+    "stream_distinct_users_kmv",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val src = streamedEvents(s, d)
+        .select(col("event_type"),
+          coalesce(expr(
+            "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"),
+            lit(-1L)).as("hv"))
+        .as[(String, Long)]
+      val est = src.groupByKey(_._1)
+        .mapGroupsWithState[(Array[Long], Long), (String, Long, Long)](
+          GroupStateTimeout.NoTimeout) { (typ, rows, state) =>
+          var (hs, nUpd) = state.getOption.getOrElse((Array.emptyLongArray, 0L))
+          rows.foreach { case (_, h) =>
+            if (h >= 0L) hs = graft.functions.KmvBuf.insert(hs, h, 64)
+          }
+          nUpd += 1
+          state.update((hs, nUpd))
+          (typ, graft.functions.KmvBuf.estimate(hs, 64), nUpd)
+        }
+        .toDF("event_type", "est_users", "n_upd")
+      StreamRunner.runToTable(est, "update")
+        .groupBy(col("event_type"))
+        .agg(expr("max_by(est_users, n_upd)").as("est_users"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    Some("""WITH h AS (SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+                       FROM events WHERE user_id IS NOT NULL),
+            r AS (SELECT event_type, hv,
+                         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+                         count(*) OVER (PARTITION BY event_type) AS nd
+                  FROM h)
+            SELECT event_type,
+                   CAST(CASE WHEN nd < 64 THEN nd
+                             ELSE (63 * 4294967296) // hv END AS BIGINT) AS est_users
+            FROM r WHERE rn = least(nd, 64)
+            ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     streamTumblingCount, streamSlidingSum, streamSessionWindow,
     streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert,
     streamStatefulRunningMax, streamFlatmapTypeCounts, streamStreamJoin,
     streamStreamLeftOuter, streamStreamFullOuter, streamStaticJoin,
-    streamSnapshotHandoff)
+    streamSnapshotHandoff, streamDistinctUsersKmv)
 }

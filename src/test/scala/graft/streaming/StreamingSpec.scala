@@ -203,4 +203,37 @@ class StreamingSpec extends SparkSpec {
     assert(slack == Set((111L, 211L, false), (112L, 212L, false),
       (113L, 213L, false)), s"got $slack")
   }
+
+  test("streaming KMV state merges across micro-batches ≡ one-pass batch sketch") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // 3 micro-batches with overlapping user sets, 150 distinct users
+    // total (> k=64, so the merged state crosses the exact→saturated
+    // boundary ACROSS batches — the case a per-batch sketch gets wrong)
+    val dir = graft.util.TempDirs.create("graft_kmvstream")
+    val table = dir.resolve("events.parquet")
+    Files.createDirectories(table)
+    def batch(lo: Long, hi: Long, idBase: Long) =
+      (lo to hi).map(u => (idBase + u, u, "click", 1000000000L * u))
+    Seq(batch(1, 60, 0), batch(31, 90, 100000), batch(61, 150, 200000))
+      .zipWithIndex.foreach { case (rows, i) =>
+        StreamingOps.writeSingleFile(
+          rows.toDF("event_id", "user_id", "event_type", "ts"),
+          dir.resolve(s"tmp$i"), table.resolve(s"f$i.parquet"),
+          mtime = 1000000L + i * 1000)
+      }
+    val got = StreamingOps.streamDistinctUsersKmv.fn(spark, dir.toString)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kmv = udaf(graft.functions.KmvDistinct)
+    val expect = spark.read.parquet(table.toString)
+      .select(col("event_type"), expr(
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
+        .as("hv"))
+      .groupBy(col("event_type")).agg(kmv(col("hv")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"stream $got vs batch $expect")
+    // and the estimate is sane for 150 true distincts at sigma ~13%
+    val est = got("click")
+    assert(est > 100 && est < 220, s"estimate $est wildly off 150")
+  }
 }
