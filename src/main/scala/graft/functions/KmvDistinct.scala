@@ -39,18 +39,24 @@ import org.apache.spark.sql.expressions.Aggregator
   * the grouped k=64 sketch accepts — and `KmvSketchProps` proves the
   * sentinel, exactness, and merge laws for all k.
   */
-class KmvSketch(k: Int) extends Aggregator[Long, KmvBuf, Long] {
-  override def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
+/** Shared zero/reduce/merge over the [[KmvBuf]] primitives — the two
+  * concrete sketches differ ONLY in what they finish to, so the sentinel
+  * rule and the merge law live in exactly one place.
+  */
+abstract class KmvAgg[OUT](k: Int) extends Aggregator[Long, KmvBuf, OUT] {
+  final override def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
 
-  override def reduce(b: KmvBuf, h: Long): KmvBuf =
+  final override def reduce(b: KmvBuf, h: Long): KmvBuf =
     if (h < 0L) b else KmvBuf(KmvBuf.insert(b.hs, h, k))
 
-  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+  final override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
     KmvBuf(KmvBuf.mergeSorted(a.hs, b.hs, k))
 
-  override def finish(b: KmvBuf): Long = KmvBuf.estimate(b.hs, k)
+  final override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+}
 
-  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+class KmvSketch(k: Int) extends KmvAgg[Long](k) {
+  override def finish(b: KmvBuf): Long = KmvBuf.estimate(b.hs, k)
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
 
@@ -62,14 +68,8 @@ class KmvSketch(k: Int) extends Aggregator[Long, KmvBuf, Long] {
   * IDENTICAL to a full recompute. The estimate is then one integer
   * expression over the stored array, computable by any engine.
   */
-class KmvMinima(k: Int) extends Aggregator[Long, KmvBuf, Array[Long]] {
-  override def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
-  override def reduce(b: KmvBuf, h: Long): KmvBuf =
-    if (h < 0L) b else KmvBuf(KmvBuf.insert(b.hs, h, k))
-  override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
-    KmvBuf(KmvBuf.mergeSorted(a.hs, b.hs, k))
+class KmvMinima(k: Int) extends KmvAgg[Array[Long]](k) {
   override def finish(b: KmvBuf): Array[Long] = b.hs
-  override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
   override def outputEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
 }

@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** The cross-engine 32-bit hash every KMV consumer shares: the first 8
+  * md5 hex digits of the value's string rendering, parsed as an integer —
+  * reproducible bit-for-bit in DuckDB as
+  * `CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8)) AS BIGINT)`,
+  * which is what makes the whole KMV family oracle-checkable. ONE
+  * definition: the batch sketches, the sketch-partial MV, and the
+  * streaming sketch all oracle against the same DuckDB rendering, so a
+  * drift in any copy (e.g. widening the hex prefix) would silently
+  * desynchronize stream state from batch sketches.
+  */
+object PortableHash {
+
+  /** Uniform hash in [0, 2³²); NULL in → NULL out. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 8), 16, 10).cast(LongType)
+
+  /** NULL values map to the KMV sketches' −1 "no value" skip sentinel. */
+  def hash32OrSkip(c: Column): Column = coalesce(hash32(c), lit(-1L))
+}

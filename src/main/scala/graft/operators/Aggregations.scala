@@ -121,8 +121,7 @@ object Aggregations {
       Tables.read(s, d, "orders")
         .filter(col("o_custkey").isNotNull)
         .select(col("o_orderstatus"),
-          expr("cast(conv(substring(md5(cast(o_custkey as string)), 1, 8), 16, 10) as bigint)")
-            .as("h"))
+          graft.functions.PortableHash.hash32(col("o_custkey")).as("h"))
         .groupBy(col("o_orderstatus"))
         .agg(kmv(col("h")).as("n_distinct_est"))
         .orderBy(asc_nulls_first("o_orderstatus"))
@@ -171,8 +170,7 @@ object Aggregations {
         .filter(col("user_id").isNotNull &&
           col("event_type").isin("click", "purchase"))
         .select(
-          expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
-            .as("hv"),
+          graft.functions.PortableHash.hash32(col("user_id")).as("hv"),
           (col("event_type") === "click").as("in_a"),
           (col("event_type") === "purchase" && col("user_id") % lit(3) =!= 0)
             .as("in_b"))

@@ -1320,7 +1320,11 @@ object SourceOps {
     * returns the merged dir. Factored out so [[CompactionSpec]] can pin
     * the single-exchange plan and the disjoint per-file key ranges.
     */
-  private[operators] def compactMergeDedup(s: SparkSession, d: String): String = {
+  /** The fused merge as an unexecuted frame — the seam [[CompactionSpec]]
+    * plan-checks (the single-exchange property must hold on the REAL
+    * pipeline, not a rebuilt lookalike).
+    */
+  private[operators] def mergeDedupFrame(s: SparkSession, d: String): DataFrame = {
     val in = fragmentedEventsDir(s, d)
     val bytes = new java.io.File(in).listFiles()
       .filter(_.getName.startsWith("part-")).map(_.length).sum
@@ -1338,7 +1342,7 @@ object SourceOps {
     // the sort puts its latest version first, so "keep first row per
     // key" over the sorted iterator IS the ReplacingMergeTree merge —
     // no second shuffle, no window state
-    val merged = sorted.mapPartitions { it =>
+    sorted.mapPartitions { it =>
       var started = false
       var last: Any = null
       it.filter { r =>
@@ -1349,8 +1353,11 @@ object SourceOps {
         keep
       }
     }
+  }
+
+  private[operators] def compactMergeDedup(s: SparkSession, d: String): String = {
     val outDir = graft.util.TempDirs.create("graft_merge_dedup").toString
-    merged.write.mode("overwrite").parquet(outDir)
+    mergeDedupFrame(s, d).write.mode("overwrite").parquet(outDir)
     outDir
   }
 
@@ -1449,7 +1456,15 @@ object SourceOps {
     "op_zonemap_prune",
     (s, d) => {
       val (files, _, lo, hi) = zonemapPrune(s, d)
-      s.read.parquet(files: _*)
+      // zero overlapping files is a VALID answer (a key-span gap under
+      // the box): parquet() with no paths throws on schema inference, so
+      // degrade to an always-false scan of the layout — same schema,
+      // empty result, matching the oracle's empty group-by
+      val base =
+        if (files.isEmpty)
+          s.read.parquet(zonemapLayoutDir(s, d)).filter(lit(false))
+        else s.read.parquet(files: _*)
+      base
         .filter(col("o_orderkey").between(lo, hi))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
@@ -1475,9 +1490,7 @@ object SourceOps {
     * MV; NULL users map to the sketch's −1 skip sentinel.
     */
   private def userHash: Column =
-    coalesce(
-      expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"),
-      lit(-1L))
+    graft.functions.PortableHash.hash32OrSkip(col("user_id"))
 
   /** Day-partitioned per-(day, event_type) KMV minima (k=64) of distinct
     * user hashes as of the base snapshot (event_id % 7 ≠ 0) — the

@@ -725,16 +725,19 @@ object StreamingOps {
     * serial — the KMV estimate itself is not strictly monotone at the
     * exact→saturated boundary, so "max estimate" would be wrong.
     */
-  val streamDistinctUsersKmv: Q = Q(
-    "stream_distinct_users_kmv",
-    (s, d) => {
+  /** The op body with the replay granularity exposed ([[StreamingSpec]]
+    * replays with maxFilesPerTrigger = 1 so the state tuple genuinely
+    * round-trips the state store across micro-batches; the registered op
+    * consumes the corpus at the source's natural pace).
+    */
+  private[graft] def streamDistinctUsersKmvFrames(
+      s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
       import s.implicits._
       import org.apache.spark.sql.streaming.GroupStateTimeout
-      val src = streamedEvents(s, d)
+      val src = streamedEvents(s, d, maxFilesPerTrigger)
         .select(col("event_type"),
-          coalesce(expr(
-            "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"),
-            lit(-1L)).as("hv"))
+          graft.functions.PortableHash.hash32OrSkip(col("user_id")).as("hv"))
         .as[(String, Long)]
       val est = src.groupByKey(_._1)
         .mapGroupsWithState[(Array[Long], Long), (String, Long, Long)](
@@ -752,7 +755,11 @@ object StreamingOps {
         .groupBy(col("event_type"))
         .agg(expr("max_by(est_users, n_upd)").as("est_users"))
         .orderBy(asc_nulls_first("event_type"))
-    },
+  }
+
+  val streamDistinctUsersKmv: Q = Q(
+    "stream_distinct_users_kmv",
+    (s, d) => streamDistinctUsersKmvFrames(s, d),
     Some("""WITH h AS (SELECT DISTINCT event_type,
                    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
                        FROM events WHERE user_id IS NOT NULL),

@@ -97,12 +97,11 @@ class CompactionSpec extends SparkSpec {
     assert(merged.exceptAll(expect).isEmpty && expect.exceptAll(merged).isEmpty,
       "merged state differs from latest-per-key")
     // the fused pass must shuffle ONCE (the range exchange) — fusing is
-    // the point: window dedup would add a hash exchange
-    val sorted = frag
-      .repartitionByRange(4, col("user_id"))
-      .sortWithinPartitions(col("user_id").asc_nulls_first,
-        col("ts_us").desc, col("event_id").desc)
-    val exchanges = sorted.queryExecution.executedPlan.toString()
+    // the point: window dedup would add a hash exchange. Asserted on the
+    // op's REAL pipeline via its frame seam, so a regression that slips
+    // a second shuffle into the op itself cannot pass
+    val exchanges = SourceOps.mergeDedupFrame(spark, sf)
+      .queryExecution.executedPlan.toString()
       .linesIterator.count(_.contains("Exchange"))
     assert(exchanges == 1, s"fused merge must plan exactly one exchange, saw $exchanges")
     // disjoint per-file key ranges — what keeps pruning + merge joins alive
@@ -153,9 +152,7 @@ class CompactionSpec extends SparkSpec {
         (expr("(ts div 1000) div 86400000000") % lit(5) === 2 &&
           col("event_id") % lit(7) === 0))
       .select(expr("(ts div 1000) div 86400000000").as("day"), col("event_type"),
-        coalesce(expr(
-          "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)"),
-          lit(-1L)).as("hv"))
+        graft.functions.PortableHash.hash32OrSkip(col("user_id")).as("hv"))
       .groupBy(col("day"), col("event_type"))
       .agg(kmvM(col("hv")).as("mins"))
       .filter(col("day") % lit(5) === 2) // the touched slice

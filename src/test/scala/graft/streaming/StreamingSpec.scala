@@ -222,13 +222,15 @@ class StreamingSpec extends SparkSpec {
           dir.resolve(s"tmp$i"), table.resolve(s"f$i.parquet"),
           mtime = 1000000L + i * 1000)
       }
-    val got = StreamingOps.streamDistinctUsersKmv.fn(spark, dir.toString)
+    // maxFilesPerTrigger = 1 forces THREE micro-batches, so the
+    // (Array[Long], n_upd) state tuple genuinely round-trips the state
+    // store and the max_by serial selection is exercised (n_upd reaches 3)
+    val got = StreamingOps.streamDistinctUsersKmvFrames(spark, dir.toString, Some(1))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val kmv = udaf(graft.functions.KmvDistinct)
     val expect = spark.read.parquet(table.toString)
-      .select(col("event_type"), expr(
-        "cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
-        .as("hv"))
+      .select(col("event_type"),
+        graft.functions.PortableHash.hash32(col("user_id")).as("hv"))
       .groupBy(col("event_type")).agg(kmv(col("hv")).as("est"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == expect, s"stream $got vs batch $expect")
