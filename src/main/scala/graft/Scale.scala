@@ -70,7 +70,7 @@ object Scale {
     "sink_mv_incremental_refresh", "join_bloom_prescreen",
     "agg_kmv_set_ops",
     "sink_compact_merge_dedup", "op_zonemap_prune", "sink_mv_sketch_refresh",
-    "stream_distinct_users_kmv")
+    "stream_distinct_users_kmv", "llm_ann_pq_topk")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",

@@ -1201,6 +1201,196 @@ object LlmOps {
     e.withColumn("list_id", (lit(0) - best.getField("ni")).cast(IntegerType))
   }
 
+  // -------------------------------------------------------- PQ ANN
+
+  /** PQ geometry (the textbook Jégou et al. config): 64 dims → 8
+    * subspaces × 8 dims, 256 centroids per subspace → one 8-bit code per
+    * subspace, so a vector's code word is 8 bytes = ONE 64-bit long.
+    */
+  private[operators] val PqM = 8
+  private[operators] val PqDsub = 8
+  private[operators] val PqK = 256
+
+  /** Deterministic sampled codebook: per subspace, the subvectors of the
+    * [[PqK]] lowest-`xxhash64(vec_id)` vectors (the same seeding as the
+    * IVF op; a production build would Lloyd-refine per subspace exactly
+    * as [[ivfCentroids]] does — the Spark plumbing is identical, and the
+    * sampled book keeps the op a pure function of the corpus).
+    */
+  private[operators] def pqCodebook(e: DataFrame): Seq[Seq[Array[Float]]] = {
+    val seeds = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(asc("h"), asc("vec_id")).limit(PqK)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray).toSeq
+    (0 until PqM).map(j => seeds.map(v => v.slice(j * PqDsub, (j + 1) * PqDsub)))
+  }
+
+  /** The 64-bit PQ word for one vector: per subspace a k-way L2 argmin
+    * (strict `<` keeps the LOWEST centroid index on ties — deterministic),
+    * bytes packed by shift-or. A plain JIT'd loop, measured against two
+    * expression encodings of the same kernel: higher-order functions
+    * (`zip_with`/`aggregate` per centroid) are interpreted, and an
+    * unrolled `element_at` multiply-add tree with struct-argmin cost
+    * multi-second Catalyst analysis/codegen per pass — fixed overhead
+    * charged to EVERY query at any data size, and it grows with k. The
+    * m·k·dsub flops here JIT to the same machine code codegen would
+    * emit, with zero planning cost.
+    */
+  private[operators] def pqCode(book: Array[Array[Array[Float]]],
+                                v: Array[Float]): Long = {
+    var word = 0L
+    var j = 0
+    while (j < PqM) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < PqK) {
+        val cen = book(j)(c)
+        var d = 0.0
+        var i = 0
+        while (i < PqDsub) {
+          val dd = v(j * PqDsub + i).toDouble - cen(i).toDouble
+          d += dd * dd
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      word |= best.toLong << (8 * j)
+      j += 1
+    }
+    word
+  }
+
+  /** Per-partition batch encode against a BROADCAST codebook (the same
+    * shared-read-only-model shape as [[llmMultimodalFeatures]]'s decoder:
+    * one deserialized book per executor, rows never leave their
+    * partition). Keeps the source embedding alongside the code so
+    * [[pqTrain]] reuses the pass without a self-join.
+    */
+  private[operators] def pqAssign(e: DataFrame, cb: Seq[Seq[Array[Float]]]): DataFrame = {
+    val s = e.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(cb.map(_.toArray).toArray)
+    e.select(col("vec_id"), col("label"), col("embedding"))
+      .as[(Long, String, Array[Float])]
+      .mapPartitions { it =>
+        val book = bc.value
+        it.map { case (id, label, v) => (id, label, pqCode(book, v), v) }
+      }.toDF("vec_id", "label", "code", "embedding") // code: LongType (8 bytes)
+  }
+
+  /** Encode every vector to its code word. The codes table is the entire
+    * search-time representation: 8 bytes/vector vs 256 for the raw
+    * floats — the 32× memory compression that lets 100 TB of embeddings
+    * ADC-scan from RAM.
+    */
+  private[operators] def pqEncode(e: DataFrame, cb: Seq[Seq[Array[Float]]]): DataFrame =
+    pqAssign(e, cb).select(col("vec_id"), col("label"), col("code"))
+
+  /** One Lloyd refinement of the sampled codebook — the training step a
+    * production PQ build runs to convergence, here a FIXED single
+    * iteration for determinism (same discipline as [[ivfCentroids]]):
+    * assign with the sampled book, then per (subspace, code, dim) take
+    * the DECIMAL-exact (order-independent) member mean; empty cells keep
+    * their seed. ONE distributed pass: the full posexplode maps every
+    * coordinate to its (subspace, code, dim) cell, so all m·k·dsub =
+    * 1024 means ride a single hash aggregate to the driver.
+    */
+  private[operators] def pqTrain(e: DataFrame): Seq[Seq[Array[Float]]] = {
+    val cb = pqCodebook(e)
+    val cells = pqAssign(e, cb).select(col("code"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(expr(s"pos div $PqDsub").cast(IntegerType).as("j"),
+        expr(s"shiftright(code, (pos div $PqDsub) * 8) & 255").cast(IntegerType).as("c"),
+        (col("pos") % PqDsub).cast(IntegerType).as("subpos"),
+        col("v"))
+      .groupBy(col("j"), col("c"), col("subpos"))
+      .agg(avg(col("v").cast(DecimalType(24, 10))).as("m"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDecimal(3).floatValue())))
+      .groupBy(_._1)
+    (0 until PqM).map { j =>
+      cb(j).zipWithIndex.map { case (seed, c) =>
+        cells.get((j, c))
+          .fold(seed)(_.map(_._2).sortBy(_._1).map(_._2).toArray)
+      }
+    }
+  }
+
+  /** Driver-side ADC distance table for a query: d(j)(c) = ‖q_j − c‖² —
+    * O(m·k·dsub) work and O(m·k) state regardless of corpus size.
+    */
+  private[operators] def pqDistTable(cb: Seq[Seq[Array[Float]]],
+                                     qvec: Array[Float]): Seq[Seq[Double]] =
+    (0 until PqM).map { j =>
+      val qs = qvec.slice(j * PqDsub, (j + 1) * PqDsub)
+      cb(j).map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < PqDsub) { val dd = qs(i).toDouble - c(i).toDouble; acc += dd * dd; i += 1 }
+        acc
+      }
+    }
+
+  /** ADC score expression over the code word: 8 byte extracts + 8
+    * array-literal lookups + 7 adds — pure codegen, no join, no shuffle;
+    * the asymmetric-distance scan PQ exists for.
+    */
+  private[operators] def pqAdcExpr(dtab: Seq[Seq[Double]]): Column =
+    (0 until PqM).map { j =>
+      element_at(typedLit(dtab(j)),
+        (shiftright(col("code"), 8 * j).bitwiseAND(lit(255L)) + lit(1))
+          .cast(IntegerType))
+    }.reduce(_ + _)
+
+  /** Product-quantization ANN top-k — the MEMORY-side scale path of the
+    * ANN family (LSH prunes candidates by bucket collision, IVF prunes
+    * by partition; PQ compresses the candidate REPRESENTATION so the
+    * exhaustive scan itself becomes cheap): vectors quantize per-subspace
+    * against a shared codebook into 8-byte code words, a query scans
+    * CODES ONLY via the asymmetric-distance (ADC) lookup expression, and
+    * the top-256 ADC candidates re-rank exactly against the raw vectors
+    * (a broadcast of 256 ids — the only time full vectors are touched).
+    * At 100 TB: codes live hot at 32× compression, the ADC scan is
+    * shuffle-free whole-stage codegen, re-rank fetches O(candidates)
+    * vectors. No oracle (approximate recall, float kernel) —
+    * [[graft.operators.LlmOpsSpec]]-pinned: ADC ≡ distance-to-
+    * reconstruction law, recall floor vs the exact top-k, and the 8-byte
+    * representation.
+    */
+  val llmAnnPqTopk: Q = Q(
+    "llm_ann_pq_topk",
+    (s, d) => {
+      val raw = Tables.read(s, d, "embeddings")
+      // Train and encode over UNIT vectors: for unit vectors
+      // ‖a−b‖² = 2·(1−cosθ), so the ADC-L2 candidate order is exactly
+      // the cosine order the re-rank (and the brute-force op) use —
+      // without this, large-norm/high-cosine vectors fall out of the
+      // candidate set and recall degrades for no structural reason.
+      val e = PipelineOps.normalizeEmbeddings(raw)
+        .select(col("vec_id"), col("label"), col("normalized").as("embedding"))
+      val cb = pqTrain(e)
+      val codes = pqEncode(e, cb)
+      val qvec = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      val cand = codes.filter(col("vec_id") =!= 0)
+        .withColumn("adc_dist", round(pqAdcExpr(pqDistTable(cb, qvec)), 4))
+        .orderBy(asc_nulls_first("adc_dist"), asc_nulls_first("vec_id"))
+        .limit(256)
+      // Exact re-rank against the RAW vectors (cosine is scale-invariant,
+      // so the scores are bit-identical to llm_cosine_topk's).
+      val qraw = raw.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).toArray
+      raw.filter(col("vec_id") =!= 0)
+        .join(broadcast(cand.select(col("vec_id"), col("adc_dist"))), "vec_id")
+        .withColumn("qvec", typedLit(qraw))
+        .withColumn("score", round(cosineCols(s)("embedding", "qvec"), 4))
+        .select(col("vec_id"), col("label"), col("adc_dist"), col("score"))
+        .orderBy(desc_nulls_first("score"), asc_nulls_first("vec_id"))
+        .limit(10)
+    },
+    None)
+
   // -------------------------------------------------------- text analysis
 
   /** Token statistics per language (UDTF surface: explode = Catalyst
@@ -2021,7 +2211,7 @@ object LlmOps {
     llmMinhashJaccardEst, llmEditDistanceDup,
     llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
-    llmSemdedupCentroid,
+    llmAnnPqTopk, llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,
     llmStratifiedSample, llmTrainSplit,

@@ -16,8 +16,8 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (220 keys, 197 oracles)") {
-    assert(SparkEntry.queries.size == 220,
+  test("registry matches the SURVEY §2 inventory size (221 keys, 197 oracles)") {
+    assert(SparkEntry.queries.size == 221,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
     assert(SparkEntry.oracleSql.size == 197,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")

@@ -479,4 +479,78 @@ class LlmOpsSpec extends SparkSpec {
       assert(got(id) == (exp._1, exp._2.toLong), s"doc $id: got ${got(id)} want $exp")
     }
   }
+
+  test("PQ ANN: deterministic, exact re-rank scores, recall ≥ 8/10 vs brute force") {
+    val brute = LlmOps.llmCosineTopk.fn(spark, sf)
+      .select("vec_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val pq1 = LlmOps.llmAnnPqTopk.fn(spark, sf)
+      .select("vec_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val pq2 = LlmOps.llmAnnPqTopk.fn(spark, sf)
+      .select("vec_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(pq1.toSeq == pq2.toSeq && pq1.length == 10)
+    // the re-rank is exact cosine over raw vectors, so any id shared with
+    // the brute-force top-10 carries the identical rounded score
+    val bruteMap = brute.toMap
+    pq1.filter(p => bruteMap.contains(p._1)).foreach { case (id, s) =>
+      assert(bruteMap(id) == s, s"vec $id: pq=$s brute=${bruteMap(id)}")
+    }
+    val recall = brute.map(_._1).count(pq1.map(_._1).toSet)
+    assert(recall >= 8, s"recall $recall/10")
+  }
+
+  test("PQ representation is one 64-bit word; ADC expression ≡ distance to reconstruction") {
+    val raw = graft.Tables.read(spark, sf, "embeddings")
+    val e = PipelineOps.normalizeEmbeddings(raw)
+      .select(col("vec_id"), col("label"), col("normalized").as("embedding"))
+    val cb = LlmOps.pqTrain(e)
+    val codes = LlmOps.pqEncode(e, cb)
+    assert(codes.schema("code").dataType ==
+      org.apache.spark.sql.types.LongType) // 8 bytes/vector — the 32× compression
+    assert(codes.columns.toSeq == Seq("vec_id", "label", "code"))
+    // encode is a pure function of (corpus, codebook)
+    val c1 = codes.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val c2 = LlmOps.pqEncode(e, cb).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(c1 == c2)
+    val qvec = e.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val dtab = LlmOps.pqDistTable(cb, qvec)
+    // the codegen'd ADC expression must agree with the driver-side table
+    // sum byte-for-byte, and that sum IS ‖q − reconstruction(code)‖²
+    // summed per-subspace — the asymmetric-distance law PQ rests on
+    codes.withColumn("adc", LlmOps.pqAdcExpr(dtab))
+      .select("code", "adc").collect().foreach { r =>
+        val code = r.getLong(0)
+        val viaTable = (0 until LlmOps.PqM)
+          .map(j => dtab(j)(((code >> (8 * j)) & 255L).toInt)).sum
+        assert(r.getDouble(1) == viaTable, s"code $code")
+        val viaRecon = (0 until LlmOps.PqM).map { j =>
+          val cen = cb(j)(((code >> (8 * j)) & 255L).toInt)
+          var acc = 0.0
+          var i = 0
+          while (i < LlmOps.PqDsub) {
+            val d = qvec(j * LlmOps.PqDsub + i).toDouble - cen(i).toDouble
+            acc += d * d
+            i += 1
+          }
+          acc
+        }.sum
+        assert(r.getDouble(1) == viaRecon, s"code $code")
+      }
+  }
+
+  test("PQ candidate scan is shuffle-free codegen: no UDF, no join before the top-k") {
+    val raw = graft.Tables.read(spark, sf, "embeddings")
+    val e = PipelineOps.normalizeEmbeddings(raw)
+      .select(col("vec_id"), col("label"), col("normalized").as("embedding"))
+    val cb = LlmOps.pqTrain(e)
+    val qvec = e.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val cand = LlmOps.pqEncode(e, cb).filter(col("vec_id") =!= 0)
+      .withColumn("adc_dist", LlmOps.pqAdcExpr(LlmOps.pqDistTable(cb, qvec)))
+      .orderBy(col("adc_dist"), col("vec_id")).limit(256)
+    val plan = cand.queryExecution.executedPlan.toString()
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("ScalaUDF"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
+  }
 }
