@@ -75,6 +75,70 @@ class SkewAndEvolutionSpec extends SparkSpec {
       s"salting should spread the hot key: salted=$saltedMax unsalted=$unsaltedMax")
   }
 
+  test("AQE skew-join splits the hot partition the manual salt otherwise cures") {
+    // Same Zipf-headed events key as the salting test above, run through
+    // Spark's OWN runtime cure: AQE's OptimizeSkewedJoin re-plans the hot
+    // shuffle partition into sub-splits after the map stage publishes its
+    // sizes. This pins WHEN the manual `Skew.saltedJoin` is needed: a
+    // plain shuffle JOIN on a skewed key is AQE's case — no salt required
+    // at any scale, just skew-join left enabled. The salt remains the
+    // only cure where AQE cannot act: skewed AGGREGATIONS (no join to
+    // split), and — found while building this fixture — joins whose
+    // shuffle is not DIRECTLY under the join's sort: the rule's pattern
+    // match rejects any operator in between, so a dim built by
+    // `distinct()` (final HashAggregate above the exchange) silently
+    // disables the split. The dim here is therefore a plain keyed frame.
+    def hotEvents(s: org.apache.spark.sql.SparkSession) =
+      Tables.read(s, sf, "events")
+        .select(col("user_id"), col("event_id"))
+        .withColumn("user_id",
+          when(pmod(col("event_id"), lit(4)) =!= 0, lit(42L)).otherwise(col("user_id")))
+        // ~100 B/row payload, KEPT in the join output so pruning cannot
+        // drop it: the sf0.001 rows are two longs with a constant hot
+        // key — they compress below any byte threshold the detector
+        // could meaningfully use
+        .withColumn("pad", lpad(col("event_id").cast("string"), 100, "x"))
+        // the single-file corpus scans as ONE map task, and AQE splits a
+        // skewed reduce partition at map-output-BLOCK granularity — fan
+        // the map side out first so the hot partition is splittable, as
+        // any real multi-file table would be
+        .repartition(8, col("event_id"))
+    def joinOf(s: org.apache.spark.sql.SparkSession) = {
+      val ev = hotEvents(s)
+      // covers every user id incl. the hot 42; aggregation-free so the
+      // dim side is a bare shuffle under the join (see comment above)
+      val dim = s.range(0, 20000).select(col("id").as("d_key"))
+        .withColumn("d_tag", concat(lit("u"), col("d_key")))
+      ev.join(dim, ev("user_id") === dim("d_key")).select("event_id", "pad", "d_tag")
+    }
+    // AQE-tuned sibling session (conf stays session-local): thresholds
+    // shrink the skew DETECTOR to this corpus' KB-scale partitions — the
+    // production defaults (256 MB / factor 5) express the same rule
+    def session(skewJoin: Boolean) = {
+      val s = spark.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", skewJoin.toString)
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s
+    }
+    val aqe = joinOf(session(skewJoin = true))
+    val rows = aqe.collect().map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    // the FINAL adaptive plan (printed only after execution) must carry
+    // the skew-split marker on the join
+    val plan = aqe.queryExecution.executedPlan.toString()
+    assert(plan.contains("skew=true"), plan.take(1500))
+    // the split is a pure re-plan: rows identical to the undoctored join
+    val control = joinOf(session(skewJoin = false))
+    val controlRows = control.collect()
+      .map(r => (r.getLong(0), r.getString(2))).sorted.toSeq
+    assert(!control.queryExecution.executedPlan.toString().contains("skew=true"))
+    assert(rows == controlRows && rows.nonEmpty)
+  }
+
   test("schema evolution: DDL + conform reproduce auto.evolve semantics") {
     import spark.implicits._
     val v1 = StructType(Seq(
