@@ -77,6 +77,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify: the events TIMESTAMP→epoch-nanos canonicalization
+      // (Tables.canonicalEventTime) is wall-clock arithmetic under the
+      // session time zone — an unpinned zone would time a DIFFERENT query
+      // than the one Verify checks.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -70,7 +70,8 @@ object Scale {
     "sink_mv_incremental_refresh", "join_bloom_prescreen",
     "agg_kmv_set_ops",
     "sink_compact_merge_dedup", "op_zonemap_prune", "sink_mv_sketch_refresh",
-    "stream_distinct_users_kmv", "llm_ann_pq_topk")
+    "stream_distinct_users_kmv", "llm_ann_pq_topk",
+    "src_ts_range_prune")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
@@ -109,6 +110,9 @@ object Scale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify/Bench: the events ts canonicalization is session-
+      // time-zone arithmetic (Tables.canonicalEventTime)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

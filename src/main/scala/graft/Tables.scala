@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Parquet readers for the driver corpus (TESTDATA.md / FIXTURES.md §B).
   *
@@ -8,11 +10,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * push filters and prune columns into the scan; at cluster scale the same
   * call reads a partitioned directory tree and partition-prunes for free.
   *
-  * `events.parquet` stores `ts` as Parquet INT64 TIMESTAMP(NANOS,false).
-  * Spark 4 refuses it ([PARQUET_TYPE_ILLEGAL]) unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true`, which reads it as LongType
-  * (nanoseconds since epoch). The driver-owned sessions don't set the flag,
-  * so it is set dynamically here before any `events` read.
+  * Canonical event-time: every operator and every DuckDB oracle treats
+  * `events.ts` as **epoch nanoseconds in a LongType column**. The driver
+  * corpus has shipped the physical column two ways:
+  *
+  *   - Parquet INT64 TIMESTAMP(NANOS,false) (rounds 1-15). Spark 4 refuses
+  *     it ([PARQUET_TYPE_ILLEGAL]) unless
+  *     `spark.sql.legacy.parquet.nanosAsLong=true`, which reads it as the
+  *     canonical long directly — the flag is still set below for that
+  *     layout.
+  *   - Parquet TIMESTAMP(MICROS) = TimestampNTZ (regenerated 2026-08-13,
+  *     round 16 — the silent schema change behind BENCH_r16's 50 errored
+  *     cells). `canonicalEventTime` rebuilds the canonical long as
+  *     wall-clock micros × 1000.
+  *
+  * The NTZ→epoch conversion is wall-clock arithmetic under the session
+  * time zone; Verify and Bench both pin UTC, which makes it bit-identical
+  * to DuckDB's `epoch_us(ts)` — the convention the oracles already use.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -122,12 +136,61 @@ object Tables {
     }
   }
 
+  /** Normalize an `events` scan to the canonical epoch-nanos LongType `ts`
+    * (see the object Scaladoc). A corpus whose `ts` is already integral —
+    * the NANOS layout under nanosAsLong, Spark-written k× Scale corpora,
+    * spec-authored fixtures — passes through untouched, so the projection
+    * only exists where the physical type actually diverges.
+    */
+  private def canonicalEventTime(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
+
+  /** Events scan with a [loMicros, hiMicros) time-range predicate applied
+    * to the NATIVE `ts` column *before* canonicalization. Filtering the
+    * canonical long instead would wrap the predicate in
+    * `unix_micros(cast(..))` — a non-atomic expression parquet source
+    * filtering cannot consume, so every row group would be read and the
+    * rows dropped post-scan. Against the native column the comparison
+    * pushes as an ordinary `GreaterThanOrEqual/LessThan(ts, …)` source
+    * filter (PlanSpec pins it), which at 100 TB is row-group min/max
+    * pruning over the whole time axis — the same marks-skipping read the
+    * reference sink's primary index performs. Under the long layout the
+    * literals are plain epoch-nanos and push down identically.
+    */
+  def eventsRange(spark: SparkSession, sfDir: String,
+                  loMicros: Long, hiMicros: Long): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case TimestampNTZType | TimestampType =>
+        def ntz(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        // lit(LocalDateTime) is a TimestampNTZ literal; cast to the scan's
+        // own type is constant-folded, so the pushed filter stays atomic
+        val t = raw.schema("ts").dataType
+        canonicalEventTime(raw.filter(
+          col("ts") >= lit(ntz(loMicros)).cast(t) &&
+            col("ts") < lit(ntz(hiMicros)).cast(t)))
+      case _ =>
+        raw.filter(col("ts") >= lit(loMicros * 1000L) &&
+          col("ts") < lit(hiMicros * 1000L))
+    }
+  }
+
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     planCache.computeIfAbsent(
       (sessionKey(spark), sfDir, name),
-      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
+      _ => {
+        val df = spark.read.parquet(s"$sfDir/$name.parquet")
+        if (name == "events") canonicalEventTime(df) else df
+      })
   }
 
   /** Register every corpus table as a temp view, for spark.sql operators. */

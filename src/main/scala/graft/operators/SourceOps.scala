@@ -1609,6 +1609,38 @@ object SourceOps {
             FROM r WHERE rn = least(nd, 64)
             ORDER BY day NULLS FIRST, event_type NULLS FIRST"""))
 
+  /** Time-range pruned events scan — the read path every event-time query
+    * at 100 TB starts from: the [lo, hi) window predicate is applied to
+    * the NATIVE `ts` column via [[Tables.eventsRange]], so it reaches the
+    * parquet source as an atomic pushed filter and row-group min/max
+    * stats skip everything outside the two-day window BEFORE any bytes
+    * decode (PlanSpec pins the pushed range). Canonicalization to
+    * epoch-nanos happens after the pruned scan, so downstream event-time
+    * arithmetic is unchanged. The window is a fixed mid-corpus slice —
+    * 2024-01-10T00:00Z to 2024-01-12T00:00Z — valid at every sf (corpus
+    * spans 2024-01-01..01-30). min/max per group, not sum: a µs-epoch sum
+    * overflows a signed long at large sf.
+    */
+  val srcTsRangePrune: Q = Q(
+    "src_ts_range_prune",
+    (s, d) => {
+      val ev = Tables.eventsRange(s, d,
+        loMicros = 1704844800000000L, hiMicros = 1705017600000000L)
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(expr("ts div 1000")).as("first_us"),
+          max(expr("ts div 1000")).as("last_us"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+                   min(epoch_us(ts)) AS first_us,
+                   max(epoch_us(ts)) AS last_us
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+            GROUP BY event_type
+            ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
@@ -1619,5 +1651,6 @@ object SourceOps {
     opZorderLayout, opZorder3Layout, sinkDynamicPartitionOverwrite,
     srcCsvQuarantine, srcCdcQuarantine, opTableProfile, opDppStarJoin,
     sinkCompactSmallFiles, opTableProfileSketch, sinkMvIncrementalRefresh,
-    sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh)
+    sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh,
+    srcTsRangePrune)
 }

@@ -73,13 +73,24 @@ object StreamRunner {
   def streamTable(spark: SparkSession, sfDir: String, name: String,
                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val child = tunedSession(spark)
-    val schema = graft.Tables.read(child, sfDir, name).schema
+    val batch = graft.Tables.read(child, sfDir, name)
+    val schema = batch.schema
     val src = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
     val dir =
       if (java.nio.file.Files.isDirectory(src)) src
       else sourceDirs.computeIfAbsent(s"$sfDir/$name", _ => {
         val d = graft.util.TempDirs.create(s"graft_stream_src_$name")
-        java.nio.file.Files.createSymbolicLink(d.resolve(s"$name.parquet"), src)
+        if (child.read.parquet(src.toString).schema == schema)
+          java.nio.file.Files.createSymbolicLink(d.resolve(s"$name.parquet"), src)
+        else
+          // Tables.read normalized the batch view (events `ts` → canonical
+          // epoch-nanos long) but the raw file holds a different physical
+          // type, which the file-stream source cannot read under the
+          // normalized schema. Materialize the normalized rows once per
+          // JVM — written directly INTO `d` (the source lists only the
+          // directory's immediate files; `_SUCCESS` is filtered as a
+          // hidden file).
+          batch.write.mode("overwrite").parquet(d.toString)
         d
       })
     val reader = child.readStream.schema(schema)

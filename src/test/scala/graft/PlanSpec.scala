@@ -28,6 +28,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThan(o_total"), p)
   }
 
+  test("src_ts_range_prune pushes the native ts range into the events scan") {
+    val p = plan(operators.SourceOps.srcTsRangePrune.fn(spark, sf))
+    assert(p.contains("PushedFilters:"), p)
+    // both bounds must reach the source as atomic ts comparisons —
+    // a canonical-long filter would appear as unix_micros(...) post-scan
+    assert(p.contains("GreaterThanOrEqual(ts"), p)
+    assert(p.contains("LessThan(ts"), p)
+  }
+
   test("op_project_compute prunes the scan to the 4 needed columns") {
     val p = scanOf(Expressions.opProjectCompute.fn(spark, sf), "ReadSchema")
     assert(p.contains("l_orderkey"), p)

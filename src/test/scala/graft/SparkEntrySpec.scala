@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (221 keys, 197 oracles)") {
-    assert(SparkEntry.queries.size == 221,
+  test("registry matches the SURVEY §2 inventory size (222 keys, 198 oracles)") {
+    assert(SparkEntry.queries.size == 222,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 197,
+    assert(SparkEntry.oracleSql.size == 198,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
