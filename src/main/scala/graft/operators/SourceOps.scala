@@ -1020,8 +1020,7 @@ object SourceOps {
     // size the output from the REAL input byte count, not a row guess:
     // nOut = ceil(bytes / 1 MiB) — at 100 TB the same arithmetic with a
     // 512 MiB target yields ~200k right-sized files instead of billions
-    val bytes = new java.io.File(in).listFiles()
-      .filter(f => f.getName.startsWith("part-")).map(_.length).sum
+    val bytes = graft.util.Fs.partFileBytes(s, in)
     val nOut = math.max(1, math.ceil(bytes / (1024.0 * 1024.0)).toInt)
     val outDir = graft.util.TempDirs.create("graft_compacted").toString
     s.read.parquet(in)
@@ -1182,8 +1181,7 @@ object SourceOps {
       // "untouched partitions only"
       val untouched = filterByTouchedDays(mv0, touched, keep = false)
         .select(col("day"), col("event_type"), col("s").cast(DecimalType(28, 2)), col("n"))
-      val wrotePartitions = Option(new java.io.File(refreshDir).listFiles())
-        .exists(_.exists(f => f.isDirectory && f.getName.startsWith("day=")))
+      val wrotePartitions = graft.util.Fs.hasChildDir(s, refreshDir, "day=")
       val mvNew =
         if (!wrotePartitions) untouched
         else s.read.parquet(refreshDir)
@@ -1326,8 +1324,7 @@ object SourceOps {
     */
   private[operators] def mergeDedupFrame(s: SparkSession, d: String): DataFrame = {
     val in = fragmentedEventsDir(s, d)
-    val bytes = new java.io.File(in).listFiles()
-      .filter(_.getName.startsWith("part-")).map(_.length).sum
+    val bytes = graft.util.Fs.partFileBytes(s, in)
     val nOut = math.max(1, math.ceil(bytes / (1024.0 * 1024.0)).toInt)
     val frag = s.read.parquet(in)
     val keyIdx = frag.schema.fieldIndex("user_id")
@@ -1572,8 +1569,7 @@ object SourceOps {
       // same empty-refresh guard as the exact MV: a refresh that wrote
       // no day= partitions publishes untouched-only instead of a
       // schema-inference failure
-      val wrotePartitions = Option(new java.io.File(refreshDir).listFiles())
-        .exists(_.exists(f => f.isDirectory && f.getName.startsWith("day=")))
+      val wrotePartitions = graft.util.Fs.hasChildDir(s, refreshDir, "day=")
       val mvNew =
         if (!wrotePartitions) untouched
         else s.read.parquet(refreshDir)
