@@ -71,7 +71,7 @@ object Scale {
     "agg_kmv_set_ops",
     "sink_compact_merge_dedup", "op_zonemap_prune", "sink_mv_sketch_refresh",
     "stream_distinct_users_kmv", "llm_ann_pq_topk",
-    "src_ts_range_prune")
+    "src_ts_range_prune", "op_zonemap_incremental")
   private val pairOps = Seq(
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",

@@ -1483,6 +1483,98 @@ object SourceOps {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority NULLS FIRST"""))
 
+  /** Fixture + index state for the INCREMENTAL zone map: value is
+    * (layout dir, updated per-file (path, min, max) index, delta file
+    * paths, total file count). One build per corpus dir per JVM.
+    */
+  private val zonemapIncrState = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(String, Long, Long)], Seq[String], Int)]()
+
+  /** Zone-map maintenance under a late append — the index-refresh half
+    * [[opZonemapPrune]] leaves implicit: a 16-file range layout is
+    * indexed, then a 2-file UNSORTED tail (`o_orderkey % 10 = 3`, each
+    * file spanning the whole key range — the realistic shape of a
+    * streaming append) lands AFTER the index was built. The refresh
+    * lists the directory, diffs against the files the index already
+    * covers, and scans ONLY the delta — index maintenance cost ∝ appended
+    * bytes, never ∝ table size, the same delta discipline as the MV
+    * refreshes. At 100 TB this is the manifest-diff loop every lakehouse
+    * table service runs; a full rebuild would rescan the key column of
+    * every file on every append.
+    */
+  private[operators] def zonemapIncremental(s: SparkSession, d: String)
+      : (String, Seq[(String, Long, Long)], Seq[String], Int) =
+    zonemapIncrState.computeIfAbsent(d, _ => {
+      val dir = graft.util.TempDirs.create("graft_zonemap_incr")
+        .resolve("orders").toString
+      val orders = Tables.read(s, d, "orders")
+      orders.repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(dir)
+      def stats(df: DataFrame): Seq[(String, Long, Long)] =
+        df.groupBy(input_file_name().as("file"))
+          .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val baseIdx = stats(s.read.parquet(dir))
+      orders.filter(col("o_orderkey") % lit(10) === 3)
+        .repartition(2).write.mode("append").parquet(dir)
+      // diff by file NAME (part-file names are UUID-unique): the index's
+      // paths come from input_file_name, the listing from the FileSystem
+      // API — their scheme spellings (file:/ vs file:///) may differ
+      val indexed = baseIdx.map(_._1.split('/').last).toSet
+      val all = graft.util.Fs.listPartFiles(s, dir)
+      val delta = all.filterNot(p => indexed(p.split('/').last))
+      val deltaIdx = stats(s.read.parquet(delta: _*))
+      (dir, baseIdx ++ deltaIdx, delta, all.size)
+    })
+
+  /** Incremental zone-map pruned scan: the key-box query of
+    * [[opZonemapPrune]] answered from the POST-APPEND index — proving the
+    * delta-maintained index stays correct for unsorted tail files (both
+    * append files overlap every box, so they are always selected and
+    * their rows filtered by the residual predicate; CompactionSpec pins
+    * the 2-file delta scan and the strict-subset read).
+    */
+  val opZonemapIncremental: Q = Q(
+    "op_zonemap_incremental",
+    (s, d) => {
+      val (dir, idx, _, _) = zonemapIncremental(s, d)
+      val gmn = idx.map(_._2).min
+      val gmx = idx.map(_._3).max
+      val lo = gmn + (gmx - gmn) * 2 / 5
+      val hi = gmn + (gmx - gmn) / 2
+      val sel = idx.filter(f => f._3 >= lo && f._2 <= hi).map(_._1)
+      val base =
+        if (sel.isEmpty) s.read.parquet(dir).filter(lit(false))
+        else s.read.parquet(sel: _*)
+      base.filter(col("o_orderkey").between(lo, hi))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_price"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(asc_nulls_first("o_orderpriority"))
+    },
+    // logical table = base layout ∪ late tail; the tail duplicates the
+    // `% 10 = 3` slice, so the oracle reproduces it by UNION ALL — and
+    // the global (mn, mx) equal the base table's, keeping the box
+    // arithmetic identical to op_zonemap_prune's
+    Some("""WITH t AS (SELECT * FROM orders
+                       UNION ALL
+                       SELECT * FROM orders WHERE o_orderkey % 10 = 3),
+            b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx
+                  FROM t)
+            SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price,
+                   min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+            FROM t, b
+            WHERE o_orderkey >= mn + (mx - mn) * 2 // 5
+              AND o_orderkey <= mn + (mx - mn) // 2
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority NULLS FIRST"""))
+
   /** Portable md5-derived 32-bit hash of `user_id` for the KMV sketch
     * MV; NULL users map to the sketch's −1 skip sentinel.
     */
@@ -1648,5 +1740,5 @@ object SourceOps {
     srcCsvQuarantine, srcCdcQuarantine, opTableProfile, opDppStarJoin,
     sinkCompactSmallFiles, opTableProfileSketch, sinkMvIncrementalRefresh,
     sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh,
-    srcTsRangePrune)
+    srcTsRangePrune, opZonemapIncremental)
 }

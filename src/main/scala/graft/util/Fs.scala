@@ -25,6 +25,16 @@ object Fs {
       .map(_.getLen).sum
   }
 
+  /** Immediate `part-*` data file paths of `dir` (fully qualified, the
+    * spelling `spark.read.parquet(paths: _*)` accepts).
+    */
+  def listPartFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val (fs, p) = resolve(spark, dir)
+    fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).toSeq
+  }
+
   /** Whether `dir` exists and contains at least one immediate child
     * directory named `prefix*` — the did-the-partitioned-write-publish-
     * anything probe (a write of an empty frame leaves only _SUCCESS).

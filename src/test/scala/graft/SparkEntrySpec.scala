@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (222 keys, 198 oracles)") {
-    assert(SparkEntry.queries.size == 222,
+  test("registry matches the SURVEY §2 inventory size (223 keys, 199 oracles)") {
+    assert(SparkEntry.queries.size == 223,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 198,
+    assert(SparkEntry.oracleSql.size == 199,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -163,6 +163,30 @@ class CompactionSpec extends SparkSpec {
       "refreshed sketch partials differ from the single-pass recompute")
   }
 
+  test("incremental zone map scans only the 2-file delta and indexes every file") {
+    val (dir, idx, delta, total) = SourceOps.zonemapIncremental(spark, sf)
+    assert(delta.size == 2, s"late tail should be 2 files, delta was $delta")
+    assert(idx.size == total,
+      s"index covers ${idx.size} of $total files after refresh")
+    assert(total == 18, s"expected 16 base + 2 appended files, got $total")
+    // the box query reads a strict subset, and BOTH unsorted tail files
+    // are selected (each spans the whole key range) — the index stays
+    // correct for appends that ignore the sort layout
+    val gmn = idx.map(_._2).min; val gmx = idx.map(_._3).max
+    val lo = gmn + (gmx - gmn) * 2 / 5; val hi = gmn + (gmx - gmn) / 2
+    val sel = idx.filter(f => f._3 >= lo && f._2 <= hi).map(_._1)
+    assert(sel.size < total, s"box query selected all $total files — no pruning")
+    val deltaNames = delta.map(_.split('/').last).toSet
+    assert(sel.count(p => deltaNames(p.split('/').last)) == 2,
+      "full-span tail files must stay visible to every box query")
+    // pruned read ≡ full-scan filter on the same directory
+    val full = spark.read.parquet(dir)
+      .filter(col("o_orderkey").between(lo, hi)).count()
+    val pruned = spark.read.parquet(sel: _*)
+      .filter(col("o_orderkey").between(lo, hi)).count()
+    assert(pruned == full, s"pruned read lost rows: $pruned vs $full")
+  }
+
   test("sketch estimates are within 20% of exact distincts at k=256") {
     val est = SourceOps.opTableProfileSketch.fn(spark, sf)
       .select(col("column_name"), col("n_distinct_est")).collect()
