@@ -73,6 +73,7 @@ object Scale {
     "stream_distinct_users_kmv", "llm_ann_pq_topk",
     "src_ts_range_prune", "op_zonemap_incremental")
   private val pairOps = Seq(
+    "llm_dedup_keep_best",
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
     "llm_substring_dedup", "graph_pagerank", "stream_stream_join",

@@ -519,6 +519,92 @@ object LlmOps {
     },
     None)
 
+  /** Quality-aware cluster resolution, fully ORACLE-CHECKED — the keep
+    * policy production dedup actually ships (keep the HIGHEST-QUALITY
+    * member of each near-dup cluster, not the smallest id): exact-Jaccard
+    * pairs ([[jaccardPairs]], deterministic) → connected components
+    * ([[dedupClusterRep]]: budget-gated union-find / min-label
+    * propagation, min-id cluster labels) → per-cluster rank by
+    * (quality DESC, doc_id). This upgrades the cluster step of the dedup
+    * family from spec-only to hash-checked: the DuckDB oracle reproduces
+    * the components with a recursive-CTE min-label closure over the SAME
+    * portable edge set, so every cluster id, size, and keep decision is
+    * compared bit-for-bit. (The sibling `llm_dedup_cluster_rep` stays the
+    * scale demonstration on banded simhash pairs, which are not
+    * SQL-portable.) At 100 TB the added policy cost is one window over
+    * the cluster table — tiny next to the pair join that feeds it.
+    *
+    * Scoped to the deterministic `doc_id % 5 = 1` shard: the oracle's
+    * ground-truth closure is inherently quadratic in clique size, and
+    * this corpus's synthetic template families grow into ~2000-member
+    * near-dup cliques at sf0.1 (≈1M exact-Jaccard pairs) — the
+    * full-corpus closure does not terminate in useful time, which is
+    * precisely why the ENGINE resolves components with union-find /
+    * propagation / star-contraction instead of transitive closure. The
+    * shard keeps the oracle at seconds for every sf while the engine
+    * path being checked is the identical full machinery.
+    */
+  val llmDedupKeepBest: Q = Q(
+    "llm_dedup_keep_best",
+    (s, d) => {
+      val shard = col("doc_id") % lit(5) === 1
+      val pairs = jaccardPairs(s, docTokens(s, d).filter(shard))
+        .select(col("id1"), col("id2"))
+      val docs = Tables.read(s, d, "documents").filter(shard).select(col("doc_id"))
+      val clusters = dedupClusterRep(pairs, docs)
+        .select(col("doc_id"), col("cluster"), col("cluster_size"))
+      val q = qualityScored(s, d).select(col("doc_id"), col("quality"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality").desc, col("doc_id").asc)
+      clusters.join(q, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("cluster"), col("cluster_size"),
+          col("quality"), (col("rk") === 1).as("keep"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    // the `cc.label < e.src` guard prunes useless closure rows (a label
+    // ≥ the receiving node can never be its component minimum — the node
+    // already holds itself)
+    Some("""WITH RECURSIVE
+            docs AS (SELECT * FROM documents WHERE doc_id % 5 = 1),
+            toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM docs),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                             CAST(COUNT(*) AS BIGINT) AS inter
+                      FROM toks a JOIN toks b
+                        ON a.tok = b.tok AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            pairs AS (SELECT id1, id2 FROM inter
+                      JOIN sizes s1 ON id1 = s1.doc_id
+                      JOIN sizes s2 ON id2 = s2.doc_id
+                      WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.9),
+            edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                      UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+            cc AS (SELECT doc_id AS node, doc_id AS label FROM docs
+                   UNION
+                   SELECT e.src AS node, cc.label FROM edges e JOIN cc ON cc.node = e.dst
+                   WHERE cc.label < e.src),
+            lab AS (SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node),
+            csz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster),
+            q AS (SELECT doc_id,
+                         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                                 / len(string_split(text, ' ')) * 0.4
+                               + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                    x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                                    / len(string_split(text, ' '))) * 0.3
+                               + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
+                                       1.0) * 0.3,
+                               6) AS quality
+                  FROM documents),
+            r AS (SELECT l.doc_id, l.cluster, csz.cluster_size, q.quality,
+                         row_number() OVER (PARTITION BY l.cluster
+                                            ORDER BY q.quality DESC, l.doc_id) AS rk
+                  FROM lab l JOIN csz USING(cluster) JOIN q USING(doc_id))
+            SELECT doc_id, cluster, CAST(cluster_size AS BIGINT) AS cluster_size,
+                   quality, rk = 1 AS keep
+            FROM r ORDER BY doc_id NULLS FIRST"""))
+
   /** Component engine behind `llm_dedup_cluster_rep` (unit-test seam).
     *
     * Two paths behind one contract (the same budget-gated duality as the
@@ -2207,7 +2293,7 @@ object LlmOps {
     llmDedupExactText, llmDedupExactDigest, llmCrossSourceDedup,
     llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
-    llmDedupSimhash, llmDedupClusterRep, llmSubstringDedup,
+    llmDedupSimhash, llmDedupClusterRep, llmDedupKeepBest, llmSubstringDedup,
     llmMinhashJaccardEst, llmEditDistanceDup,
     llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
