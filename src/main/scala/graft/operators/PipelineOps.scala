@@ -1653,7 +1653,126 @@ object PipelineOps {
             SELECT a, b, cnt FROM g
             ORDER BY cnt DESC, a, b LIMIT 20"""))
 
+  /** The END-TO-END corpus build — the stages every pretraining data
+    * pipeline runs (quality gate → exact dedup → decontamination → mix
+    * cap), composed into ONE declarative plan whose output is the
+    * per-document LINEAGE table a 100 TB data platform persists for
+    * audit: every doc with its stage verdicts and the final keep bit,
+    * not just the survivors. Each stage reuses the proven single-op
+    * machinery ([[graft.operators.LlmOps.qualityScored]], the
+    * exact-digest window, the 5-gram eval-overlap screen, the
+    * min-cell mix cap of [[llmMixRebalance]]), so Catalyst pipelines
+    * the whole build: digests and 64-bit shingle hashes through the
+    * shuffles — never document bodies — one window per stage, and an
+    * O(#cells) driver scalar for the cap. The oracle composes the same
+    * stage CTEs, so every verdict bit is hash-checked end-to-end.
+    */
+  val llmCorpusBuildE2e: Q = Q(
+    "llm_corpus_build_e2e",
+    (s, d) => {
+      val docs = Tables.read(s, d, "documents")
+      val quality = LlmOps.qualityScored(s, d).select(col("doc_id"), col("quality"))
+      val canon = docs
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+        .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_canonical"))
+      val sh = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(t) >= 5
+               THEN transform(sequence(1, size(t) - 4),
+                              i -> xxhash64(concat_ws(' ', slice(t, i, 5))))
+               ELSE CAST(array() AS array<bigint>) END""")).as("sh"))
+        .distinct()
+        .truncated
+      val evalSh = sh.filter(col("doc_id") % 50 === 0)
+        .select(col("sh")).distinct().withColumn("hit", lit(1))
+      val contam = sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalSh), Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg((count(col("hit")) > 0).as("contaminated"))
+      val lineage = docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(quality, "doc_id")
+        .join(canon, "doc_id")
+        .withColumn("is_eval", col("doc_id") % 50 === 0)
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+        .withColumn("passed_quality", col("quality") >= 0.64)
+        .withColumn("survivor",
+          col("passed_quality") && col("is_canonical") &&
+            !col("is_eval") && !col("contaminated"))
+        .truncated // three joins feed two consumers below — cut the replay
+      val wCell = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(expr(LlmOps.scrambleSql), col("doc_id"))
+      val surv = lineage.filter(col("survivor"))
+        .withColumn("rk", row_number().over(wCell))
+        .truncated
+      // O(#cells) driver scalar, like llm_mix_rebalance's size table
+      val target = surv.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n")).agg(min(col("n"))).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+      val kept = surv.filter(col("rk") <= target)
+        .select(col("doc_id"), lit(true).as("kept_final"))
+      lineage.join(kept, Seq("doc_id"), "left")
+        .withColumn("kept_final", coalesce(col("kept_final"), lit(false)))
+        .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+          col("passed_quality"), col("is_canonical"), col("is_eval"),
+          col("contaminated"), col("survivor"), col("kept_final"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH q AS (SELECT doc_id,
+                   round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                           / len(string_split(text, ' ')) * 0.4
+                         + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                              x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                              / len(string_split(text, ' '))) * 0.3
+                         + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
+                                 1.0) * 0.3,
+                         6) AS quality
+                 FROM documents),
+            canon AS (SELECT doc_id,
+                             doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                               AS is_canonical
+                      FROM documents),
+            toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i
+                    FROM toks),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh
+                   FROM pos),
+            ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+            cont AS (SELECT s.doc_id, count(e.sh) > 0 AS contaminated
+                     FROM sh s LEFT JOIN ev e USING (sh)
+                     WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id),
+            lineage AS (SELECT d.doc_id, d.lang, d.source, q.quality,
+                               q.quality >= 0.64 AS passed_quality,
+                               c.is_canonical,
+                               d.doc_id % 50 = 0 AS is_eval,
+                               COALESCE(ct.contaminated, false) AS contaminated
+                        FROM documents d
+                        JOIN q USING (doc_id) JOIN canon c USING (doc_id)
+                        LEFT JOIN cont ct USING (doc_id)),
+            l2 AS (SELECT *, passed_quality AND is_canonical
+                             AND NOT is_eval AND NOT contaminated AS survivor
+                   FROM lineage),
+            surv AS (SELECT *, row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rk
+                     FROM l2 WHERE survivor),
+            tgt AS (SELECT min(n) AS target
+                    FROM (SELECT count(*) AS n FROM surv GROUP BY lang, source)),
+            kept AS (SELECT doc_id, true AS kept_final
+                     FROM surv, tgt WHERE rk <= target)
+            SELECT l2.doc_id, l2.lang, l2.source, l2.quality,
+                   l2.passed_quality, l2.is_canonical, l2.is_eval,
+                   l2.contaminated, l2.survivor,
+                   COALESCE(k.kept_final, false) AS kept_final
+            FROM l2 LEFT JOIN kept k USING (doc_id)
+            ORDER BY l2.doc_id NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
+    llmCorpusBuildE2e,
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,

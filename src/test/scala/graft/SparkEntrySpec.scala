@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (224 keys, 200 oracles)") {
-    assert(SparkEntry.queries.size == 224,
+  test("registry matches the SURVEY §2 inventory size (225 keys, 201 oracles)") {
+    assert(SparkEntry.queries.size == 225,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 200,
+    assert(SparkEntry.oracleSql.size == 201,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
