@@ -212,12 +212,13 @@ object Bench {
     // the compact line must SURVIVE a tail-capture window even on a
     // mass-failure round: BENCH_r16's 50-name errors array pushed this
     // line past the window and beheaded it into unparseable JSON at the
-    // exact moment parseability mattered most. Cap the inline list; the
-    // count and the full list live in n_errors / the full line / the file.
+    // exact moment parseability mattered most. Cap the inline list;
+    // truncation is self-describing (len(errors) < n_errors), and the
+    // full list lives in the full line / the file.
     val errCap = 12
     val errsCapped = failed.take(errCap).map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","raw_total":$rawTotal,$protocolJson,"n_queries":${results.size},"queries":$slowest,"queries_truncated_to":$slowestN,"full_json":"${outPath}","n_errors":${failed.size},"errors":$errsCapped,"errors_truncated_to":$errCap,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","raw_total":$rawTotal,$protocolJson,"n_queries":${results.size},"queries":$slowest,"queries_truncated_to":$slowestN,"full_json":"${outPath}","n_errors":${failed.size},"errors":$errsCapped,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.functions.{col, expr, lit, unix_micros}
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Parquet readers for the driver corpus (TESTDATA.md / FIXTURES.md §B).
@@ -24,9 +24,11 @@ import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
   *     cells). `canonicalEventTime` rebuilds the canonical long as
   *     wall-clock micros × 1000.
   *
-  * The NTZ→epoch conversion is wall-clock arithmetic under the session
-  * time zone; Verify and Bench both pin UTC, which makes it bit-identical
-  * to DuckDB's `epoch_us(ts)` — the convention the oracles already use.
+  * The NTZ→epoch conversion is built from wall-clock FIELDS, so it is
+  * session-time-zone-independent and bit-identical to DuckDB's
+  * `epoch_us(ts)` (the convention the oracles already use) on every
+  * session; the repo's own sessions additionally pin UTC for rendering
+  * parity of the other timestamp columns.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -141,11 +143,28 @@ object Tables {
     * the NANOS layout under nanosAsLong, Spark-written k× Scale corpora,
     * spec-authored fixtures — passes through untouched, so the projection
     * only exists where the physical type actually diverges.
+    *
+    * The NTZ branch is built from WALL-CLOCK FIELDS (`unix_date`/`hour`/
+    * `minute`/`date_part('SECOND')` of an NTZ are zone-free by
+    * definition), NOT `unix_micros(cast(ts as timestamp))` — the cast
+    * routes through the session time zone, so a harness session built
+    * without `spark.sql.session.timeZone=UTC` on a non-UTC host would
+    * silently shift every canonical ts by the zone offset. This spelling
+    * gives the same bits on EVERY session (CanonicalEventTimeSpec pins it
+    * under a non-UTC session); the repo's own sessions still pin UTC for
+    * rendering parity.
     */
   private def canonicalEventTime(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts").map(_.dataType) match {
-      case Some(TimestampNTZType) | Some(TimestampType) =>
-        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", expr(
+          """(unix_date(cast(ts as date)) * cast(86400000000 as bigint)
+             + cast(hour(ts) as bigint) * 3600000000
+             + cast(minute(ts) as bigint) * 60000000
+             + cast(date_part('SECOND', ts) * 1000000 as bigint)) * 1000"""))
+      case Some(TimestampType) =>
+        // an LTZ column is an instant; unix_micros is zone-free on it
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
       case _ => df
     }
 

@@ -76,23 +76,27 @@ object StreamRunner {
     val batch = graft.Tables.read(child, sfDir, name)
     val schema = batch.schema
     val src = java.nio.file.Paths.get(s"$sfDir/$name.parquet")
-    val dir =
-      if (java.nio.file.Files.isDirectory(src)) src
-      else sourceDirs.computeIfAbsent(s"$sfDir/$name", _ => {
+    // one cached decision per (sfDir, table) per JVM, for BOTH source
+    // shapes: when the raw physical schema matches the canonical batch
+    // view, stream the raw layout (a directory as-is, a single file via
+    // symlink — the file-stream source demands a directory); when it
+    // diverges (events `ts` canonicalized to epoch-nanos long), the raw
+    // layout cannot be read under the canonical schema in EITHER shape,
+    // so materialize the normalized rows once — written directly INTO the
+    // temp dir (the source lists only immediate files; `_SUCCESS` is
+    // filtered as hidden).
+    val dir = sourceDirs.computeIfAbsent(s"$sfDir/$name", _ => {
+      val rawMatches = child.read.parquet(src.toString).schema == schema
+      if (rawMatches && java.nio.file.Files.isDirectory(src)) src
+      else {
         val d = graft.util.TempDirs.create(s"graft_stream_src_$name")
-        if (child.read.parquet(src.toString).schema == schema)
+        if (rawMatches)
           java.nio.file.Files.createSymbolicLink(d.resolve(s"$name.parquet"), src)
         else
-          // Tables.read normalized the batch view (events `ts` → canonical
-          // epoch-nanos long) but the raw file holds a different physical
-          // type, which the file-stream source cannot read under the
-          // normalized schema. Materialize the normalized rows once per
-          // JVM — written directly INTO `d` (the source lists only the
-          // directory's immediate files; `_SUCCESS` is filtered as a
-          // hidden file).
           batch.write.mode("overwrite").parquet(d.toString)
         d
-      })
+      }
+    })
     val reader = child.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(dir.toString)

@@ -50,6 +50,26 @@ class CanonicalEventTimeSpec extends SparkSpec {
       s"min ts $mn is not 2024-01 epoch-nanos")
   }
 
+  test("canonicalization is session-time-zone independent") {
+    import spark.implicits._
+    val d = graft.util.TempDirs.create("canon_tz")
+    val wall = LocalDateTime.of(2024, 1, 1, 0, 0, 7, 179575000)
+    Seq((1L, wall, 10L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", $"ts".cast(TimestampNTZType))
+      .write.parquet(d.resolve("events.parquet").toString)
+    // a sibling session deliberately NOT pinned to UTC: the wall-clock
+    // field construction must yield the identical canonical nanos — the
+    // silent 8-hour shift a session-zone cast would introduce is the
+    // failure mode this pins
+    val offZone = spark.newSession()
+    offZone.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    val got = Tables.read(offZone, d.toString, "events")
+    assert(got.schema("ts").dataType == LongType)
+    assert(got.select("ts").collect().head.getLong(0) == 1704067207179575000L,
+      "canonical ts must not depend on the session time zone")
+  }
+
   test("streamed events source carries the canonical schema too") {
     val ss = graft.streaming.StreamRunner
       .streamTable(spark, sf, "events")

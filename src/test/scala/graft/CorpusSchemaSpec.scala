@@ -7,9 +7,9 @@ import org.apache.spark.sql.types._
   * TIMESTAMP(MICROS)); every cell failed individually with an opaque
   * DATATYPE_MISMATCH and nothing named the root cause. This spec pins the
   * LOGICAL schema of every corpus table as presented by `Tables.read` —
-  * the contract all 222 operators and 198 oracles are written against —
-  * so the next regeneration fails ONE test with a message that names the
-  * drifted column, old type, and new type.
+  * the contract the whole registry (SparkEntrySpec pins its size) is
+  * written against — so the next regeneration fails ONE test with a
+  * message that names the drifted column, old type, and new type.
   *
   * Pinned logical (post-canonicalization) types, not physical parquet
   * types: the physical layer is allowed to drift as long as Tables
