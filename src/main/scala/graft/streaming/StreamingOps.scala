@@ -773,10 +773,78 @@ object StreamingOps {
             FROM r WHERE rn = least(nd, 64)
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Continuous materialized-view maintenance — the STREAMING counterpart
+    * of `sink_mv_incremental_refresh`: each micro-batch aggregates to
+    * (sum, count) partials per (day, event_type) and MERGES them into the
+    * durable MV state (same listing-derived version chain as
+    * [[streamForeachBatchUpsert]] — idempotent replay), so the MV is
+    * always queryable and each batch costs ∝ batch rows, never MV size.
+    * (sum, count) partials are associative-commutative, so ANY batch
+    * split yields the identical final MV — the prefix-equivalence
+    * property the DuckDB oracle hash-checks as one full-corpus
+    * recompute; [[graft.streaming]] StreamingSpec additionally pins the
+    * multi-batch replay (maxFilesPerTrigger=1) against the single-batch
+    * result. `value` is decimal-cast per row BEFORE summation, so the
+    * merge arithmetic is exact and engine-portable. At 100 TB the merge
+    * is a partial-agg shuffle of O(|MV|) partials per batch — the
+    * standard continuous-aggregation shape — with state one keyed table,
+    * never the event log.
+    */
+  private[streaming] def mvMaintainedState(s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val base = graft.util.TempDirs.create("graft_stream_mv").toString
+    val cp = s"$base/checkpoint"
+    val stateBase = s"$base/state"
+    val src = streamedEvents(s, d, maxFilesPerTrigger)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        col("event_type"), col("value"))
+    val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      val partial = batch.groupBy(col("day"), col("event_type"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("s"),
+          count(lit(1)).as("n"))
+        // pin the stored schema: sum(DECIMAL(18,2)) widens per merge
+        // round otherwise, drifting the state schema version to version
+        .select(col("day"), col("event_type"),
+          col("s").cast(DecimalType(28, 2)).as("s"), col("n"))
+      val prev = latestVersionBelow(stateBase, id) match {
+        case Some(v) => batch.sparkSession.read.parquet(s"$stateBase/v$v")
+        case None    => partial.limit(0)
+      }
+      prev.unionByName(partial)
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("s")).cast(DecimalType(28, 2)).as("s"),
+          sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(s"$stateBase/v$id")
+    }
+    val query = src.writeStream
+      .foreachBatch(mergeBatch)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val last = latestVersionBelow(stateBase, Long.MaxValue)
+      .getOrElse(throw new IllegalStateException(s"no MV state under $stateBase"))
+    s.read.parquet(s"$stateBase/v$last")
+      .select(col("event_type"), col("day"),
+        col("n").cast(LongType).as("n_rows"),
+        col("s").cast(DoubleType).as("total_value"))
+      .orderBy(asc_nulls_first("day"), asc_nulls_first("event_type"))
+  }
+
+  val streamMvMaintenance: Q = Q(
+    "stream_mv_maintenance",
+    (s, d) => mvMaintainedState(s, d),
+    Some("""SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY event_type, epoch_us(ts) // 86400000000
+            ORDER BY day NULLS FIRST, event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     streamTumblingCount, streamSlidingSum, streamSessionWindow,
     streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert,
     streamStatefulRunningMax, streamFlatmapTypeCounts, streamStreamJoin,
     streamStreamLeftOuter, streamStreamFullOuter, streamStaticJoin,
-    streamSnapshotHandoff, streamDistinctUsersKmv)
+    streamSnapshotHandoff, streamDistinctUsersKmv, streamMvMaintenance)
 }

@@ -238,4 +238,24 @@ class StreamingSpec extends SparkSpec {
     val est = got("click")
     assert(est > 100 && est < 220, s"estimate $est wildly off 150")
   }
+
+  test("stream_mv_maintenance: 4-batch replay merges to the one-shot MV") {
+    // 4-file layout → 4 micro-batches at maxFilesPerTrigger=1: the merge
+    // must be batch-split-invariant ((sum, count) partials are
+    // associative-commutative; decimal-cast before summation keeps the
+    // arithmetic exact under ANY grouping)
+    val dir = graft.util.TempDirs.create("mv_maint_fixture")
+    Tables.read(spark, sf, "events")
+      .repartition(4)
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val multi = graft.streaming.StreamingOps
+      .mvMaintainedState(spark, dir.toString, Some(1))
+    val oneShot = Tables.read(spark, dir.toString, "events")
+      .groupBy(expr("(ts div 1000) div 86400000000").as("day"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("event_type"), col("day"), col("n_rows"), col("total_value"))
+    assert(multi.exceptAll(oneShot).isEmpty && oneShot.exceptAll(multi).isEmpty,
+      "multi-batch MV state differs from the single-pass aggregate")
+  }
 }
