@@ -1729,6 +1729,80 @@ object SourceOps {
             GROUP BY event_type
             ORDER BY event_type NULLS FIRST"""))
 
+  /** Versioned snapshot chain for the time-travel read: v0 = base orders
+    * (generation 0); v1 = v0 with an upsert delta applied (keys
+    * `o_orderkey % 7 = 3` re-priced +1000.0, status 'U', generation 1,
+    * latest-per-key by generation); v2 = v1 with keys `% 11 = 5`
+    * deleted. One build per corpus dir per JVM; each version is a full
+    * queryable parquet snapshot — the storage shape of a lakehouse
+    * commit log where versions share unchanged files by reference (the
+    * sharing is the format's concern; the READ semantics are what this
+    * op reproduces).
+    */
+  private val timeTravelDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[operators] def timeTravelChainDir(s: SparkSession, d: String): String =
+    timeTravelDirs.computeIfAbsent(d, _ => {
+      val base = graft.util.TempDirs.create("graft_time_travel").toString
+      val v0 = Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("generation", lit(0L))
+      v0.write.parquet(s"$base/v0")
+      // +1000.0, not ×1.1: an integer shift leaves the price's fractional
+      // bits untouched, so the later DECIMAL(18,2) casts round identically
+      // on both engines (a product mints new half-cent ties, and Spark
+      // rounds HALF_UP where DuckDB rounds HALF_EVEN)
+      val delta1 = v0.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"), lit(1L).as("generation"))
+      val v1 = Upsert.latestByKey(v0.unionByName(delta1),
+        Seq(col("o_orderkey")), Seq(col("generation")))
+      v1.write.parquet(s"$base/v1")
+      v1.filter(col("o_orderkey") % 11 =!= 5).write.parquet(s"$base/v2")
+      base
+    })
+
+  /** Time-travel read — the lakehouse `VERSION AS OF` surface
+    * (Delta/Iceberg snapshot reads; the reference's analogue is querying
+    * ReplacingMergeTree state as of an earlier merge): against a 3-deep
+    * version chain (base → upsert delta → delete delta), read the MIDDLE
+    * version — upserts visible, later deletes NOT — and aggregate it.
+    * The AS-OF read is an O(1) manifest lookup + an ordinary pruned scan
+    * of that snapshot's files; cost does not depend on chain length,
+    * and time-travel queries get the same pushdown/pruning as head
+    * reads. The oracle reconstructs v1 relationally (base ∪ delta,
+    * latest-per-key by generation), so the materialized snapshot is
+    * hash-checked against its logical definition.
+    */
+  val srcTimeTravelRead: Q = Q(
+    "src_time_travel_read",
+    (s, d) => {
+      val base = timeTravelChainDir(s, d)
+      s.read.parquet(s"$base/v1")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"))
+    },
+    Some("""WITH v0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                               0 AS generation
+                        FROM orders),
+            delta AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                             o_totalprice + 1000.0 AS o_totalprice, 1 AS generation
+                      FROM v0 WHERE o_orderkey % 7 = 3),
+            ranked AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                                    ORDER BY generation DESC) AS rn
+                       FROM (SELECT * FROM v0 UNION ALL SELECT * FROM delta)),
+            v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM ranked WHERE rn = 1)
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM v1 GROUP BY o_orderstatus
+            ORDER BY o_orderstatus NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
@@ -1740,5 +1814,5 @@ object SourceOps {
     srcCsvQuarantine, srcCdcQuarantine, opTableProfile, opDppStarJoin,
     sinkCompactSmallFiles, opTableProfileSketch, sinkMvIncrementalRefresh,
     sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh,
-    srcTsRangePrune, opZonemapIncremental)
+    srcTsRangePrune, opZonemapIncremental, srcTimeTravelRead)
 }
