@@ -185,16 +185,24 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema("ts").dataType match {
-      case TimestampNTZType | TimestampType =>
-        def ntz(us: Long) = java.time.LocalDateTime.ofEpochSecond(
-          Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
-          java.time.ZoneOffset.UTC)
-        // lit(LocalDateTime) is a TimestampNTZ literal; cast to the scan's
-        // own type is constant-folded, so the pushed filter stays atomic
-        val t = raw.schema("ts").dataType
+      case tsType @ (TimestampNTZType | TimestampType) =>
+        // Each bound is a literal ALREADY of the scan's type, so it pushes
+        // atomically and never consults the session time zone: an NTZ bound
+        // is a LocalDateTime (wall-clock fields, zone-free by definition);
+        // an LTZ bound is an Instant (an absolute point — `cast(NTZ lit)`
+        // here would route through the session zone and silently shift the
+        // pushed window on a non-UTC session, the one zone leak
+        // canonicalEventTime's contract forbids).
+        def bound(us: Long) = tsType match {
+          case TimestampType => lit(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+          case _ => lit(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC))
+        }
         canonicalEventTime(raw.filter(
-          col("ts") >= lit(ntz(loMicros)).cast(t) &&
-            col("ts") < lit(ntz(hiMicros)).cast(t)))
+          col("ts") >= bound(loMicros) && col("ts") < bound(hiMicros)))
       case _ =>
         raw.filter(col("ts") >= lit(loMicros * 1000L) &&
           col("ts") < lit(hiMicros * 1000L))

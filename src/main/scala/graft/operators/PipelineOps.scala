@@ -1666,6 +1666,16 @@ object PipelineOps {
     * shuffles — never document bodies — one window per stage, and an
     * O(#cells) driver scalar for the cap. The oracle composes the same
     * stage CTEs, so every verdict bit is hash-checked end-to-end.
+    *
+    * Accepted collision bound (same disclosure discipline as
+    * [[graft.operators.LlmOps.llmDedupExactDigest]]): the
+    * decontamination stage joins on `xxhash64(5-gram)` — 8-byte shuffle
+    * keys, the 100 TB design — while the oracle joins the raw shingle
+    * strings. A 64-bit collision between an eval shingle and a non-eval
+    * shingle would flip that doc's `contaminated` bit engine-side only;
+    * by birthday bound that is ~2^-64 × |eval| × |non-eval| distinct
+    * shingles ≈ 1e-4 at 10× the bench corpus — accepted, not a latent
+    * oracle bug, and the md5-keyed stages are immune (2^-128).
     */
   val llmCorpusBuildE2e: Q = Q(
     "llm_corpus_build_e2e",
@@ -1687,8 +1697,19 @@ object PipelineOps {
         .truncated
       val evalSh = sh.filter(col("doc_id") % 50 === 0)
         .select(col("sh")).distinct().withColumn("hit", lit(1))
+      // The eval-shingle set grows linearly with the corpus (~2% of all
+      // distinct 5-grams), so a FORCED broadcast would become a driver
+      // OOM at 100 TB rather than degrading. Budget-gate it like the
+      // other ops: broadcast only when a cheap bounded probe (over the
+      // already-truncated shingle table) proves it small; past the
+      // budget leave the hint off and let AQE pick the shuffle join.
+      val evalBudget = 5000000L
+      val evalSide =
+        if (evalSh.limit((evalBudget + 1).toInt).count() <= evalBudget)
+          broadcast(evalSh)
+        else evalSh
       val contam = sh.filter(col("doc_id") % 50 =!= 0)
-        .join(broadcast(evalSh), Seq("sh"), "left")
+        .join(evalSide, Seq("sh"), "left")
         .groupBy(col("doc_id"))
         .agg((count(col("hit")) > 0).as("contaminated"))
       val lineage = docs.select(col("doc_id"), col("lang"), col("source"))

@@ -1412,28 +1412,26 @@ object SourceOps {
 
   /** Build the per-file zone map and prune it for the mid-corpus key
     * box: returns (selected files, total files, lo, hi) — the spec seam
-    * for the pruning the oracle can't see. The zone-map build is one
-    * column-pruned scan of the key column (a production build reads
-    * parquet footers only; the semantics are identical); the map itself
-    * is O(#files) driver state — the same budget class as a catalog's
-    * file manifest, and at 100 TB it persists as its own tiny table
-    * instead of being rebuilt per query.
+    * for the pruning the oracle can't see. The zone-map build reads
+    * parquet FOOTER statistics only ([[graft.util.Fs.footerLongStats]])
+    * — no data pages are touched, so build cost is O(#files) metadata
+    * reads regardless of table bytes; the map itself is O(#files)
+    * driver state — the same budget class as a catalog's file manifest,
+    * and at 100 TB it persists as its own tiny table instead of being
+    * rebuilt per query.
     */
   private[operators] def zonemapPrune(s: SparkSession, d: String)
       : (Seq[String], Int, Long, Long) = {
     val dir = zonemapLayoutDir(s, d)
-    val zm = s.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
-      .collect()
-    val gmn = zm.map(_.getLong(1)).min
-    val gmx = zm.map(_.getLong(2)).max
+    val zm = graft.util.Fs.footerLongStats(
+      s, graft.util.Fs.listPartFiles(s, dir), "o_orderkey")
+    val gmn = zm.map(_._2).min
+    val gmx = zm.map(_._3).max
     // deterministic data-derived box: the [40%, 50%] slice of the key
     // span, integer arithmetic so the oracle reproduces it exactly
     val lo = gmn + (gmx - gmn) * 2 / 5
     val hi = gmn + (gmx - gmn) / 2
-    val sel = zm.filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
-      .map(_.getString(0)).toSeq
+    val sel = zm.filter(f => f._3 >= lo && f._2 <= hi).map(_._1)
     (sel, zm.length, lo, hi)
   }
 
@@ -1496,11 +1494,13 @@ object SourceOps {
     * file spanning the whole key range — the realistic shape of a
     * streaming append) lands AFTER the index was built. The refresh
     * lists the directory, diffs against the files the index already
-    * covers, and scans ONLY the delta — index maintenance cost ∝ appended
-    * bytes, never ∝ table size, the same delta discipline as the MV
-    * refreshes. At 100 TB this is the manifest-diff loop every lakehouse
-    * table service runs; a full rebuild would rescan the key column of
-    * every file on every append.
+    * covers, and reads ONLY the delta files' parquet FOOTERS
+    * ([[graft.util.Fs.footerLongStats]] — no data pages) — index
+    * maintenance cost ∝ appended FILES, never ∝ table size or even
+    * appended bytes, the same delta discipline as the MV refreshes. At
+    * 100 TB this is the manifest-diff loop every lakehouse table
+    * service runs; a full rebuild would re-footer every file on every
+    * append.
     */
   private[operators] def zonemapIncremental(s: SparkSession, d: String)
       : (String, Seq[(String, Long, Long)], Seq[String], Int) =
@@ -1511,20 +1511,17 @@ object SourceOps {
       orders.repartitionByRange(16, col("o_orderkey"))
         .sortWithinPartitions("o_orderkey")
         .write.mode("overwrite").parquet(dir)
-      def stats(df: DataFrame): Seq[(String, Long, Long)] =
-        df.groupBy(input_file_name().as("file"))
-          .agg(min(col("o_orderkey")).as("mn"), max(col("o_orderkey")).as("mx"))
-          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-      val baseIdx = stats(s.read.parquet(dir))
+      val baseIdx = graft.util.Fs.footerLongStats(
+        s, graft.util.Fs.listPartFiles(s, dir), "o_orderkey")
       orders.filter(col("o_orderkey") % lit(10) === 3)
         .repartition(2).write.mode("append").parquet(dir)
-      // diff by file NAME (part-file names are UUID-unique): the index's
-      // paths come from input_file_name, the listing from the FileSystem
-      // API — their scheme spellings (file:/ vs file:///) may differ
+      // diff by file NAME (part-file names are UUID-unique), so the
+      // index diff is robust to scheme-spelling drift (file:/ vs
+      // file:///) between listings
       val indexed = baseIdx.map(_._1.split('/').last).toSet
       val all = graft.util.Fs.listPartFiles(s, dir)
       val delta = all.filterNot(p => indexed(p.split('/').last))
-      val deltaIdx = stats(s.read.parquet(delta: _*))
+      val deltaIdx = graft.util.Fs.footerLongStats(s, delta, "o_orderkey")
       (dir, baseIdx ++ deltaIdx, delta, all.size)
     })
 

@@ -776,9 +776,17 @@ object StreamingOps {
   /** Continuous materialized-view maintenance — the STREAMING counterpart
     * of `sink_mv_incremental_refresh`: each micro-batch aggregates to
     * (sum, count) partials per (day, event_type) and MERGES them into the
-    * durable MV state (same listing-derived version chain as
-    * [[streamForeachBatchUpsert]] — idempotent replay), so the MV is
-    * always queryable and each batch costs ∝ batch rows, never MV size.
+    * durable MV state, TOUCHED PARTITIONS ONLY — the same
+    * refresh-cost-∝-touched-data shape as the batch sibling. State is a
+    * PER-DAY version chain (`state/day=<day>/v<batchId>/`): a batch
+    * lists its touched days (an O(#touched) driver scalar, like the
+    * batch sibling's touched-day list), partition-reads just those
+    * days' newest versions strictly below the batch id, merges, and
+    * writes ONLY those days under the batch's version — untouched days
+    * pass through by reference, so each batch READS and WRITES ∝ batch
+    * rows, never MV size. Replay is idempotent by construction: a
+    * replayed batch re-reads versions strictly below its id (never its
+    * own crashed partial write) and deterministically rewrites them.
     * (sum, count) partials are associative-commutative, so ANY batch
     * split yields the identical final MV — the prefix-equivalence
     * property the DuckDB oracle hash-checks as one full-corpus
@@ -786,10 +794,20 @@ object StreamingOps {
     * multi-batch replay (maxFilesPerTrigger=1) against the single-batch
     * result. `value` is decimal-cast per row BEFORE summation, so the
     * merge arithmetic is exact and engine-portable. At 100 TB the merge
-    * is a partial-agg shuffle of O(|MV|) partials per batch — the
-    * standard continuous-aggregation shape — with state one keyed table,
+    * is a partial-agg shuffle of O(batch) partials plus a pruned read
+    * and write of the touched day partitions — the standard continuous
+    * aggregation shape — with state one day-partitioned keyed table,
     * never the event log.
     */
+  /** Hive-default-partition spelling for a NULL day (what
+    * `partitionBy("day")` itself writes), so a null-day batch routes
+    * through the same per-day chain as any other day.
+    */
+  private val NullDayDir = "__HIVE_DEFAULT_PARTITION__"
+
+  private def dayDirName(day: Option[Long]): String =
+    day.map(_.toString).getOrElse(NullDayDir)
+
   private[streaming] def mvMaintainedState(s: SparkSession, d: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val base = graft.util.TempDirs.create("graft_stream_mv").toString
@@ -799,6 +817,7 @@ object StreamingOps {
       .select(expr("(ts div 1000) div 86400000000").as("day"),
         col("event_type"), col("value"))
     val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      val ss = batch.sparkSession
       val partial = batch.groupBy(col("day"), col("event_type"))
         .agg(sum(col("value").cast(DecimalType(18, 2))).as("s"),
           count(lit(1)).as("n"))
@@ -806,15 +825,38 @@ object StreamingOps {
         // round otherwise, drifting the state schema version to version
         .select(col("day"), col("event_type"),
           col("s").cast(DecimalType(28, 2)).as("s"), col("n"))
-      val prev = latestVersionBelow(stateBase, id) match {
-        case Some(v) => batch.sparkSession.read.parquet(s"$stateBase/v$v")
-        case None    => partial.limit(0)
-      }
-      prev.unionByName(partial)
-        .groupBy(col("day"), col("event_type"))
-        .agg(sum(col("s")).cast(DecimalType(28, 2)).as("s"),
-          sum(col("n")).as("n"))
-        .write.mode("overwrite").parquet(s"$stateBase/v$id")
+        .persist()
+      try {
+        val touched: Seq[Option[Long]] = partial.select(col("day")).distinct()
+          .collect().toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        if (touched.nonEmpty) {
+          val prevParts = touched.flatMap { day =>
+            val dayDir = s"$stateBase/day=${dayDirName(day)}"
+            latestVersionBelow(dayDir, id).map { v =>
+              ss.read.parquet(s"$dayDir/v$v")
+                .withColumn("day", day.map(lit(_)).getOrElse(lit(null)).cast(LongType))
+                .select(col("day"), col("event_type"), col("s"), col("n"))
+            }
+          }
+          val merged = prevParts.foldLeft(partial.toDF())(_ unionByName _)
+            .groupBy(col("day"), col("event_type"))
+            .agg(sum(col("s")).cast(DecimalType(28, 2)).as("s"),
+              sum(col("n")).as("n"))
+          // one job writes all touched days; the per-day moves publish
+          // them into each day's chain (deterministic per id → replay
+          // simply rewrites v<id>)
+          val scratch = s"$stateBase/.batch_b$id"
+          merged.write.partitionBy("day").mode("overwrite").parquet(scratch)
+          touched.foreach { day =>
+            val from = Paths.get(scratch, s"day=${dayDirName(day)}")
+            val to = Paths.get(stateBase, s"day=${dayDirName(day)}", s"v$id")
+            deleteRecursively(to)
+            Files.createDirectories(to.getParent)
+            Files.move(from, to)
+          }
+          deleteRecursively(Paths.get(scratch))
+        }
+      } finally partial.unpersist()
     }
     val query = src.writeStream
       .foreachBatch(mergeBatch)
@@ -822,14 +864,44 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    val last = latestVersionBelow(stateBase, Long.MaxValue)
-      .getOrElse(throw new IllegalStateException(s"no MV state under $stateBase"))
-    s.read.parquet(s"$stateBase/v$last")
+    // current MV = per day, the newest committed version of that day
+    val stateDir = Paths.get(stateBase)
+    val dayDirs: Seq[String] =
+      if (!Files.isDirectory(stateDir)) Seq.empty
+      else {
+        val stream = Files.list(stateDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("day=")).toSeq
+        } finally stream.close()
+      }
+    if (dayDirs.isEmpty)
+      throw new IllegalStateException(s"no MV state under $stateBase")
+    val perDay = dayDirs.map { dn =>
+      val dayVal = dn.stripPrefix("day=")
+      val v = latestVersionBelow(s"$stateBase/$dn", Long.MaxValue)
+        .getOrElse(throw new IllegalStateException(s"no version under $stateBase/$dn"))
+      s.read.parquet(s"$stateBase/$dn/v$v")
+        .withColumn("day",
+          (if (dayVal == NullDayDir) lit(null) else lit(dayVal.toLong)).cast(LongType))
+    }
+    perDay.reduce(_ unionByName _)
       .select(col("event_type"), col("day"),
         col("n").cast(LongType).as("n_rows"),
         col("s").cast(DoubleType).as("total_value"))
       .orderBy(asc_nulls_first("day"), asc_nulls_first("event_type"))
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.delete)
+      } finally stream.close()
+    }
 
   val streamMvMaintenance: Q = Q(
     "stream_mv_maintenance",

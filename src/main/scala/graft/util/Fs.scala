@@ -35,6 +35,54 @@ object Fs {
       .map(_.getPath.toString).toSeq
   }
 
+  /** Per-file (path, min, max) of an INT64 column read from parquet
+    * FOOTER statistics alone — the zone-map build that touches no data
+    * pages, so index (re)build cost is O(#files) metadata reads
+    * regardless of table bytes (the production claim `op_zonemap_prune`'s
+    * doc makes; at cluster scale the per-file loop distributes as a
+    * mapPartitions over the path list, same statistics calls). Row-group
+    * stats are merged per file; all-null row groups contribute nothing.
+    * A file with NO usable statistics for the column throws loudly: the
+    * callers derive data-global query bounds from these stats, and a
+    * silent sentinel range would desynchronize them from the oracle's
+    * true min/max. (A production zone map would instead mark such a file
+    * always-selected — selection correctness never depends on the map —
+    * but Spark-written INT64 parquet always carries min/max.)
+    */
+  def footerLongStats(spark: SparkSession, paths: Seq[String], column: String)
+      : Seq[(String, Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    paths.flatMap { ps =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(ps), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        if (blocks.forall(_.getRowCount == 0L)) None // rowless: never selectable
+        else {
+          var mn = Long.MaxValue
+          var mx = Long.MinValue
+          var any = false
+          blocks.foreach { block =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == column)
+              .foreach { chunk =>
+                val st = chunk.getStatistics
+                if (st != null && !st.isEmpty && st.hasNonNullValue) {
+                  mn = math.min(mn, st.genericGetMin.asInstanceOf[Number].longValue)
+                  mx = math.max(mx, st.genericGetMax.asInstanceOf[Number].longValue)
+                  any = true
+                }
+              }
+          }
+          if (!any) throw new IllegalStateException(
+            s"no footer statistics for column $column in $ps")
+          Some((ps, mn, mx))
+        }
+      } finally reader.close()
+    }
+  }
+
   /** Whether `dir` exists and contains at least one immediate child
     * directory named `prefix*` — the did-the-partitioned-write-publish-
     * anything probe (a write of an empty frame leaves only _SUCCESS).

@@ -70,6 +70,36 @@ class CanonicalEventTimeSpec extends SparkSpec {
       "canonical ts must not depend on the session time zone")
   }
 
+  test("eventsRange bounds are session-time-zone independent on both timestamp layouts") {
+    import spark.implicits._
+    // 2024-01-01T00:00:07.179575Z, as both an NTZ wall-clock and an instant
+    val us = 1704067207179575L
+    val wall = LocalDateTime.of(2024, 1, 1, 0, 0, 7, 179575000)
+    val inst = java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+    val dNtz = graft.util.TempDirs.create("range_tz_ntz")
+    Seq((1L, wall, 10L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", $"ts".cast(TimestampNTZType))
+      .write.parquet(dNtz.resolve("events.parquet").toString)
+    val dLtz = graft.util.TempDirs.create("range_tz_ltz")
+    Seq((1L, inst, 10L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dLtz.resolve("events.parquet").toString)
+    assert(spark.read.parquet(dLtz.resolve("events.parquet").toString)
+      .schema("ts").dataType == TimestampType)
+    // a session NOT pinned to UTC: a zone-dependent bound would shift the
+    // pushed window by -8h and flip which of these two queries sees the row
+    val offZone = spark.newSession()
+    offZone.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    for (d <- Seq(dNtz, dLtz)) {
+      val hit = Tables.eventsRange(offZone, d.toString, us - 1000000L, us + 1000000L)
+      assert(hit.count() == 1L, s"±1s window around the row must match in $d")
+      assert(hit.select("ts").collect().head.getLong(0) == us * 1000L)
+      val miss = Tables.eventsRange(offZone, d.toString, us + 1000000L, us + 2000000L)
+      assert(miss.count() == 0L, s"disjoint window must not match in $d")
+    }
+  }
+
   test("streamed events source carries the canonical schema too") {
     val ss = graft.streaming.StreamRunner
       .streamTable(spark, sf, "events")
