@@ -1520,6 +1520,62 @@ object LlmOps {
             FROM documents GROUP BY lang, source
             ORDER BY lang NULLS FIRST, source NULLS FIRST"""))
 
+  /** Per-source distribution-drift monitor — KL(source ‖ corpus) over
+    * the unigram token distribution, the "did a feed's content shift"
+    * alarm every continuously-ingesting training pipeline runs (a
+    * scraper gone wrong shows up as a KL spike long before a human
+    * reads samples). KL(Pₛ‖P) = Σₜ (n_st/Nₛ)·ln((n_st·N)/(Nₛ·n_t));
+    * per-token terms are exact-rational ln's rounded to 6 decimals and
+    * carried as DECIMAL weighted by the INTEGER n_st, so the per-source
+    * sum is merge-order independent and the one double division per
+    * source comes last ([[graft.operators.PipelineOps.llmUnigramLogprob]]
+    * discipline). Distributed shape: one explode, three hash aggs, an
+    * AQE-sized token join against the |vocab|-row count table (never on
+    * the driver), the per-source totals broadcast (O(#sources) rows).
+    */
+  val llmSourceKlDrift: Q = Q(
+    "llm_source_kl_drift",
+    (s, d) => {
+      val toks = Tables.read(s, d, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      val st = toks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("n_st"))
+        .truncated // feeds the term join AND the per-source totals
+      val srcTot = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+      val vocab = st.groupBy(col("token")).agg(sum(col("n_st")).as("n_t"))
+      val tot = vocab.agg(sum(col("n_t")).as("n"))
+      val terms = st
+        .join(vocab, "token")
+        .join(broadcast(srcTot), "source")
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("n_st"), col("n_s"),
+          round(expr("ln((CAST(n_st AS DOUBLE) * n) / (CAST(n_s AS DOUBLE) * n_t))"), 6)
+            .cast(DecimalType(20, 6)).as("lnr"))
+      terms.groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          sum(col("n_st") * col("lnr")).as("num"))
+        .select(col("source"), col("n_tokens"),
+          (col("num").cast(DoubleType) / col("n_tokens")).as("kl_nats"))
+        .orderBy(asc_nulls_first("source"))
+    },
+    Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+                       FROM documents),
+            st AS (SELECT source, token, count(*) AS n_st FROM t GROUP BY 1, 2),
+            srct AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),
+            v AS (SELECT token, sum(n_st) AS n_t FROM st GROUP BY 1),
+            tot AS (SELECT sum(n_t) AS n FROM v),
+            terms AS (SELECT st.source, st.n_st, srct.n_s,
+                             CAST(round(ln((CAST(st.n_st AS DOUBLE) * tot.n)
+                                           / (CAST(srct.n_s AS DOUBLE) * v.n_t)), 6)
+                                  AS DECIMAL(20,6)) AS lnr
+                      FROM st JOIN v USING (token)
+                              JOIN srct USING (source)
+                              CROSS JOIN tot)
+            SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_st * lnr) AS DOUBLE) / max(n_s) AS kl_nats
+            FROM terms GROUP BY source
+            ORDER BY source NULLS FIRST"""))
+
   /** Per-document quality scoring: token count, type-token ratio, stopword
     * ratio, average token length, combined score — pure integer counts +
     * per-row double arithmetic, identical expression tree on both engines.
@@ -2302,7 +2358,8 @@ object LlmOps {
     llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,
     llmStratifiedSample, llmTrainSplit,
     llmDocFingerprint, llmMultimodalJoin,
-    llmMultimodalFeatures, tsUserValueSeries, tsResampleFfill, llmTtrStats)
+    llmMultimodalFeatures, tsUserValueSeries, tsResampleFfill, llmTtrStats,
+    llmSourceKlDrift)
 }
 
 /** Output row of the multimodal feature extraction (stubbed decode). */

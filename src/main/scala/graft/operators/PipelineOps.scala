@@ -324,6 +324,38 @@ object PipelineOps {
                      AS n_redactions
             FROM events ORDER BY event_id NULLS FIRST"""))
 
+  /** Text normalization — the canonical-form stage every dedup/quality
+    * pipeline runs BEFORE digesting (casefold, strip punctuation,
+    * collapse whitespace): without it trivial formatting variants defeat
+    * exact dedup. Pure map-side codegen (lower + two regexp_replace +
+    * trim per row, no shuffle — the scale-right shape of a per-doc
+    * transform); the output carries the post-normalization md5 so the
+    * hash gate pins every byte of the normalized form, plus before/after
+    * char counts for the shrinkage audit. The character classes are
+    * ASCII-literal (`[^a-z0-9 ]`, `' +'`), identical under Java regex
+    * and RE2, so both engines normalize bit-identically.
+    */
+  val llmTextNormalize: Q = Q(
+    "llm_text_normalize",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").as("n_chars_raw"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")).as("norm"))
+        .select(col("doc_id"), col("n_chars_raw"),
+          length(col("norm")).cast(LongType).as("n_chars_norm"),
+          md5(col("norm").cast("binary")).as("norm_digest"))
+        .orderBy(asc_nulls_first("doc_id")),
+    Some("""WITH n AS (SELECT doc_id, n_chars AS n_chars_raw,
+                   trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                       FROM documents)
+            SELECT doc_id, n_chars_raw,
+                   CAST(len(norm) AS BIGINT) AS n_chars_norm,
+                   md5(norm) AS norm_digest
+            FROM n ORDER BY doc_id NULLS FIRST"""))
+
   /** Tokenizer-vocabulary build: rank tokens by corpus frequency and
     * assign contiguous ids, with each token's cumulative corpus coverage
     * — the frequency-table step a BPE/unigram trainer starts from. One
@@ -1802,5 +1834,5 @@ object PipelineOps {
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
     tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, tsFunnelStages,
-    tsRollingDau, tsActiveStreak)
+    tsRollingDau, tsActiveStreak, llmTextNormalize)
 }

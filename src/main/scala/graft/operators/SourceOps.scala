@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.{Q, Tables}
 import graft.sources.{CdcEnvelope, TypeMap}
 import graft.streaming.StreamRunner
+import graft.util.Checkpoints.Truncate
 
 /** SURVEY §2.1 — sources / sinks / CDC core. */
 object SourceOps {
@@ -519,6 +520,64 @@ object SourceOps {
           col("valid_from_us"), col("valid_to_us"), col("is_current"))
         .orderBy(asc_nulls_first("user_id"), asc("valid_from_us"),
           asc("event_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+                       FROM events)
+            SELECT user_id, event_id, value,
+                   ts_us AS valid_from_us,
+                   lead(ts_us) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS valid_to_us,
+                   lead(ts_us) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) IS NULL AS is_current
+            FROM e
+            ORDER BY user_id NULLS FIRST, valid_from_us, event_id"""))
+
+  /** Incremental SCD2 maintenance — the APPLY half [[opScd2Intervals]]
+    * leaves implicit: a historized dimension exists as of a cutoff
+    * (mid-window: min day + 15), then a late delta batch (the rows past
+    * the cutoff) is applied WITHOUT rebuilding history. Keys absent from
+    * the delta pass through untouched; for touched keys, closed
+    * intervals pass through as-is and only the OPEN (is_current) row
+    * joins the delta in a re-windowing — so apply cost ∝ delta keys
+    * (one semi/anti key join + a window over touched-current ∪ delta),
+    * never dimension size, the same delta discipline as the MV
+    * refreshes. At 100 TB the pass-throughs are partition/file
+    * references, not rewrites. The oracle is the FULL-history SCD2
+    * window over all events, so the hash gate proves incrementally
+    * applied state ≡ complete rebuild — the invariant every warehouse
+    * SCD2 merge job must hold.
+    */
+  val sinkScd2Apply: Q = Q(
+    "sink_scd2_apply",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      def scd2(rows: DataFrame): DataFrame = rows
+        .withColumn("valid_from_us", col("ts_us"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      val ev = Tables.read(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("ts div 1000").as("ts_us"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+      // O(1) driver scalar, reproduced by the oracle's own min-day agg
+      val cut = ev.agg(min(col("day"))).head.getLong(0) + 15L
+      val base = scd2(ev.filter(col("day") < cut)
+        .select(col("user_id"), col("event_id"), col("value"), col("ts_us")))
+        .truncated // the apply references base three ways — cut the replay
+      val delta = ev.filter(col("day") >= cut)
+        .select(col("user_id"), col("event_id"), col("value"), col("ts_us"))
+      val touched = delta.select(col("user_id")).distinct()
+      val untouched = base.join(touched, Seq("user_id"), "left_anti")
+      val touchedBase = base.join(touched, Seq("user_id"), "left_semi")
+      val closed = touchedBase.filter(!col("is_current"))
+      val reopened = touchedBase.filter(col("is_current"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("valid_from_us").as("ts_us"))
+      untouched.unionByName(closed).unionByName(scd2(reopened.unionByName(delta)))
+        .orderBy(asc_nulls_first("user_id"), asc("valid_from_us"), asc("event_id"))
     },
     Some("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
                        FROM events)
@@ -1800,6 +1859,181 @@ object SourceOps {
             FROM v1 GROUP BY o_orderstatus
             ORDER BY o_orderstatus NULLS FIRST"""))
 
+  /** Fixture + result state for the retention vacuum: value is
+    * (per-version manifests, head file list, deleted orphan dirs,
+    * all data dirs before vacuum). One build+vacuum per corpus per JVM.
+    *
+    * The chain SHARES untouched buckets by reference — the storage shape
+    * [[timeTravelChainDir]]'s full-snapshot copies abstract away, and the
+    * one that makes vacuum a real operation (deleting a version must not
+    * delete files the head still references):
+    *   v0 = orders bucketed by `o_orderkey % 4` → dirs b0_g0..b3_g0;
+    *   v1 = bucket 1 re-priced (+1000.0, status 'U') → b1_g1, manifest
+    *        references b0_g0, b1_g1, b2_g0, b3_g0;
+    *   v2 = keys `% 8 = 6` deleted (all live in bucket 2) → b2_g2.
+    */
+  private val vacuumState = new java.util.concurrent.ConcurrentHashMap[
+    String, (Map[Int, Seq[String]], Seq[String], Seq[String], Seq[String])]()
+
+  private[operators] def vacuumChain(s: SparkSession, d: String)
+      : (Map[Int, Seq[String]], Seq[String], Seq[String], Seq[String]) =
+    vacuumState.computeIfAbsent(d, _ => {
+      val base = graft.util.TempDirs.create("graft_vacuum").toString
+      val orders = Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      def bdir(name: String) = s"$base/data/$name"
+      (0 to 3).foreach(k => orders.filter(col("o_orderkey") % 4 === k)
+        .write.parquet(bdir(s"b${k}_g0")))
+      orders.filter(col("o_orderkey") % 4 === 1)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"))
+        .write.parquet(bdir("b1_g1"))
+      orders.filter(col("o_orderkey") % 4 === 2 && col("o_orderkey") % 8 =!= 6)
+        .write.parquet(bdir("b2_g2"))
+      val manifests = Map(
+        0 -> Seq("b0_g0", "b1_g0", "b2_g0", "b3_g0").map(bdir),
+        1 -> Seq("b0_g0", "b1_g1", "b2_g0", "b3_g0").map(bdir),
+        2 -> Seq("b0_g0", "b1_g1", "b2_g2", "b3_g0").map(bdir))
+      val all = java.nio.file.Files.list(java.nio.file.Paths.get(s"$base/data"))
+      val allDirs = try {
+        import scala.jdk.CollectionConverters._
+        all.iterator().asScala.map(_.toString).toSeq.sorted
+      } finally all.close()
+      // vacuum, retention = head only: an O(#files) manifest-diff against
+      // the union of RETAINED manifests (here just v2's), then orphan
+      // deletion — no data is read, the same metadata budget class as the
+      // zone-map refresh
+      val live = manifests(2).map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet
+      val orphans = allDirs.filterNot(p =>
+        live(java.nio.file.Paths.get(p).getFileName.toString))
+      orphans.foreach { p =>
+        val path = java.nio.file.Paths.get(p)
+        val walk = java.nio.file.Files.walk(path)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        } finally walk.close()
+      }
+      (manifests, manifests(2), orphans, allDirs)
+    })
+
+  /** Fixture + index for the bloom skip index: (layout dir, per-file
+    * serialized bloom sketches). One build per corpus per JVM.
+    */
+  private val bloomIdxState = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(String, Array[Byte])])]()
+
+  /** 16-file doc_id-range layout of documents + a per-file bloom over
+    * `xxhash64(md5(text))` — the content-digest point-lookup index. The
+    * build is ONE scan (at 100 TB it rides the layout write itself, or
+    * parquet's own column bloom filters); the index is O(#files × KB)
+    * driver state, the zone-map budget class.
+    */
+  private[operators] def bloomSkipIndex(s: SparkSession, d: String)
+      : (String, Seq[(String, Array[Byte])]) =
+    bloomIdxState.computeIfAbsent(d, _ => {
+      val dir = graft.util.TempDirs.create("graft_bloom_idx")
+        .resolve("documents").toString
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      Tables.read(s, d, "documents")
+        .repartitionByRange(16, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.parquet(dir)
+      val idx = s.read.parquet(dir)
+        .groupBy(input_file_name().as("file"))
+        .agg(expr(
+          "graft_bloom_agg(xxhash64(md5(cast(text as binary))), 5000L, 65536L)")
+          .as("bf"))
+        .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
+      (dir, idx)
+    })
+
+  /** Bloom-filter skip index point lookup — the reference sink's
+    * `bloom_filter` SKIP INDEX (ClickHouse data-skipping indexes for
+    * point predicates on non-sort columns) on a lake layout: the layout
+    * is ordered by `doc_id`, but the query is "fetch the document(s)
+    * with THIS content digest" — a predicate the doc_id zone map cannot
+    * skip for. A per-file bloom over the content-digest hash answers
+    * which files MIGHT contain the probe; only those are scanned, the
+    * exact digest predicate filters residually, so correctness never
+    * depends on the sketch (false positives cost a wasted scan, false
+    * negatives cannot occur — BloomSkipSpec pins both the strict-subset
+    * read and the no-false-negative draw). The probe digest is derived
+    * from a deterministic mid-corpus doc (min doc_id + 42), so the
+    * DuckDB oracle reproduces the whole lookup relationally. At 100 TB
+    * this is the digest-keyed point-fetch every dedup audit trail runs,
+    * without maintaining a digest-sorted second copy of the corpus.
+    */
+  val opBloomSkipIndex: Q = Q(
+    "op_bloom_skip_index",
+    (s, d) => {
+      val (dir, idx) = bloomSkipIndex(s, d)
+      // probe digest + its xxhash64, each an O(1)-row driver lookup (the
+      // hash via a 1-row query so driver and build hash identically)
+      val docs = Tables.read(s, d, "documents")
+      val probeId = docs.agg(min(col("doc_id"))).head.getLong(0) + 42L
+      val probe = docs.filter(col("doc_id") === probeId)
+        .select(md5(col("text").cast("binary"))).head.getString(0)
+      val probeHash = s.range(1)
+        .select(xxhash64(lit(probe))).head.getLong(0)
+      val sel = idx.filter { case (_, bytes) =>
+        org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes))
+          .mightContainLong(probeHash)
+      }.map(_._1)
+      val base =
+        if (sel.isEmpty) s.read.parquet(dir).filter(lit(false))
+        else s.read.parquet(sel: _*)
+      base.filter(md5(col("text").cast("binary")) === probe)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH p AS (SELECT md5(text) AS probe FROM documents
+                       WHERE doc_id = (SELECT min(doc_id) + 42 FROM documents))
+            SELECT doc_id, lang, source, n_chars
+            FROM documents, p
+            WHERE md5(text) = p.probe
+            ORDER BY doc_id NULLS FIRST"""))
+
+  /** Retention vacuum over a version chain with FILE SHARING — the
+    * lakehouse `VACUUM` (Delta `VACUUM`, Iceberg `expireSnapshots`) that
+    * completes [[srcTimeTravelRead]]'s chain story: versions v0–v2 share
+    * untouched bucket files by reference; vacuuming to retention = head
+    * diffs the data listing against the union of retained manifests and
+    * deletes only ORPHANED files (b1_g0, b2_g0 — superseded and
+    * unreferenced), never files the head still shares (b0_g0, b3_g0
+    * survive from v0). The op reads the head THROUGH the post-vacuum
+    * manifest and aggregates; the oracle derives the same state
+    * logically (update on bucket 1, delete of the `% 8 = 6` slice), so
+    * the hash gate proves vacuum deleted nothing the head needs.
+    * VacuumSpec pins the other half — the orphans are really gone and
+    * are exactly the superseded set. At 100 TB vacuum is this same
+    * O(#files) manifest diff; the deletes are metadata ops.
+    */
+  val sinkVacuumRetention: Q = Q(
+    "sink_vacuum_retention",
+    (s, d) => {
+      val (_, head, _, _) = vacuumChain(s, d)
+      s.read.parquet(head: _*)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total_price"))
+        .orderBy(asc_nulls_first("o_orderstatus"))
+    },
+    Some("""WITH t AS (SELECT CASE WHEN o_orderkey % 4 = 1 THEN 'U'
+                                   ELSE o_orderstatus END AS o_orderstatus,
+                              CASE WHEN o_orderkey % 4 = 1
+                                   THEN o_totalprice + 1000.0
+                                   ELSE o_totalprice END AS o_totalprice
+                       FROM orders WHERE o_orderkey % 8 <> 6)
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM t GROUP BY o_orderstatus
+            ORDER BY o_orderstatus NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     srcSnapshotScan, srcJdbcSnapshot, srcJsonPayloadExtract,
     srcCdcEnvelopeUnwrap, srcKafkaStream, opTopicRouteRegex,
@@ -1811,5 +2045,6 @@ object SourceOps {
     srcCsvQuarantine, srcCdcQuarantine, opTableProfile, opDppStarJoin,
     sinkCompactSmallFiles, opTableProfileSketch, sinkMvIncrementalRefresh,
     sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh,
-    srcTsRangePrune, opZonemapIncremental, srcTimeTravelRead)
+    srcTsRangePrune, opZonemapIncremental, srcTimeTravelRead,
+    sinkScd2Apply, sinkVacuumRetention, opBloomSkipIndex)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (227 keys, 203 oracles)") {
-    assert(SparkEntry.queries.size == 227,
+  test("registry matches the SURVEY §2 inventory size (232 keys, 208 oracles)") {
+    assert(SparkEntry.queries.size == 232,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 203,
+    assert(SparkEntry.oracleSql.size == 208,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Round-18 operators: incremental SCD2 apply, retention vacuum over a
+  * file-sharing version chain, bloom skip index, text normalization,
+  * per-source KL drift. Each op's VALUES are already DuckDB-hash-checked
+  * (all five are oracle-registered); these tests pin the properties the
+  * oracle cannot see — pass-through/file-level behavior, subset reads,
+  * sketch guarantees.
+  */
+class Round18Spec extends SparkSpec {
+
+  test("sink_scd2_apply: incremental apply equals full rebuild on a crafted delta") {
+    import spark.implicits._
+    // keys: 1 = base-only (must pass through untouched), 2 = base+delta
+    // (current row must close at the first delta ts), 3 = delta-only
+    // (new key appears with its own intervals). Cutoff = min day + 15;
+    // days here are 0 (base) and 20 (delta).
+    val d0 = 0L
+    val d20 = 20L * 86400000000L
+    val dir = graft.util.TempDirs.create("scd2_apply_fixture")
+    Seq(
+      (10L, d0 + 1000L, 1L, "click", 1.0, "{}"),
+      (11L, d0 + 2000L, 1L, "click", 2.0, "{}"),
+      (12L, d0 + 1000L, 2L, "click", 3.0, "{}"),
+      (13L, d20 + 1000L, 2L, "click", 4.0, "{}"),
+      (14L, d20 + 1000L, 3L, "click", 5.0, "{}"),
+      (15L, d20 + 2000L, 3L, "click", 6.0, "{}")
+    ).toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val got = SourceOps.sinkScd2Apply.fn(spark, dir.toString).collect()
+    // full rebuild via the plain historization op on the same corpus
+    val want = SourceOps.opScd2Intervals.fn(spark, dir.toString)
+      .select(got.head.schema.fieldNames.map(col): _*).collect()
+    assert(got.toSeq == want.toSeq,
+      s"incremental apply diverged from full rebuild:\n${got.toSeq}\nvs\n${want.toSeq}")
+    // and the crafted closure really happened: key 2's base row closed at
+    // the first delta ts, key 1 untouched (open), key 3 two intervals
+    val byKey = got.groupBy(_.getLong(0))
+    assert(byKey(1L).count(_.getBoolean(5)) == 1 && byKey(1L).length == 2)
+    val k2 = byKey(2L).sortBy(r => r.getLong(3))
+    assert(k2.head.get(4) == d20 + 1000L, "base current row must close at first delta ts")
+    assert(byKey(3L).length == 2 && byKey(3L).count(_.getBoolean(5)) == 1)
+  }
+
+  test("sink_vacuum_retention: orphans deleted, shared files survive, head intact") {
+    val (manifests, head, orphans, allDirs) = SourceOps.vacuumChain(spark, sf)
+    def name(p: String) = java.nio.file.Paths.get(p).getFileName.toString
+    assert(allDirs.map(name).toSet ==
+      Set("b0_g0", "b1_g0", "b2_g0", "b3_g0", "b1_g1", "b2_g2"))
+    // orphans are EXACTLY the superseded-and-unreferenced dirs
+    assert(orphans.map(name).toSet == Set("b1_g0", "b2_g0"), s"orphans $orphans")
+    orphans.foreach(p => assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+      s"orphan $p must be deleted from disk"))
+    // files the head still references survive — including ones shared
+    // with v0 (b0_g0, b3_g0): vacuum must never break the head
+    manifests(2).foreach(p => assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+      s"live $p must survive vacuum"))
+    // head readable and row-exact vs the logical definition
+    val n = spark.read.parquet(head: _*).count()
+    val expect = Tables.read(spark, sf, "orders")
+      .filter(col("o_orderkey") % 8 =!= 6).count()
+    assert(n == expect, s"head rows $n != logical $expect")
+    // v0 is gone as a QUERYABLE version: its manifest now dangles
+    assert(manifests(0).exists(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p))))
+  }
+
+  test("op_bloom_skip_index: strict-subset read with no false negative") {
+    val (dir, idx) = SourceOps.bloomSkipIndex(spark, sf)
+    assert(idx.size > 1, "layout must have multiple files for skipping to mean anything")
+    val docs = Tables.read(spark, sf, "documents")
+    val probeId = docs.agg(min(col("doc_id"))).head.getLong(0) + 42L
+    val probe = docs.filter(col("doc_id") === probeId)
+      .select(md5(col("text").cast("binary"))).head.getString(0)
+    val probeHash = spark.range(1).select(xxhash64(lit(probe))).head.getLong(0)
+    val sel = idx.filter { case (_, bytes) =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(bytes)).mightContainLong(probeHash)
+    }.map(_._1)
+    // no false negative: scanning ONLY the selected files finds every
+    // doc a full scan finds
+    val viaIndex = spark.read.parquet(sel: _*)
+      .filter(md5(col("text").cast("binary")) === probe)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val full = spark.read.parquet(dir)
+      .filter(md5(col("text").cast("binary")) === probe)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(viaIndex == full && full.contains(probeId))
+    // skipping: a point probe on a near-unique digest must not select
+    // every file (16 files, 1 true positive, fp rate ~ bits/n bounded)
+    assert(sel.size < idx.size,
+      s"bloom index selected all ${idx.size} files — no skipping happened")
+  }
+
+  test("llm_text_normalize is idempotent") {
+    import spark.implicits._
+    val texts = Seq("Hello,  World!!", "a  b   c", "MiXeD-case_42", " trim me ")
+    val once = texts.toDF("text")
+      .select(trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")).as("n"))
+    val twice = once
+      .select(trim(regexp_replace(
+        regexp_replace(lower(col("n")), "[^a-z0-9 ]", " "), " +", " ")).as("n"))
+    assert(once.collect().toSeq == twice.collect().toSeq)
+  }
+
+  test("llm_source_kl_drift: KL is non-negative and finite for every source") {
+    val rows = LlmOps.llmSourceKlDrift.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val kl = r.getDouble(2)
+      // Gibbs' inequality up to the 1e-6 per-term rounding the op documents
+      assert(!kl.isNaN && !kl.isInfinite && kl >= -1e-4,
+        s"source ${r.getString(0)} KL $kl out of range")
+    }
+  }
+}
