@@ -569,6 +569,7 @@ object SourceOps {
         .truncated // the apply references base three ways — cut the replay
       val delta = ev.filter(col("day") >= cut)
         .select(col("user_id"), col("event_id"), col("value"), col("ts_us"))
+        .truncated // referenced by the touched-key list AND the re-window
       val touched = delta.select(col("user_id")).distinct()
       val untouched = base.join(touched, Seq("user_id"), "left_anti")
       val touchedBase = base.join(touched, Seq("user_id"), "left_semi")
