@@ -1520,6 +1520,65 @@ object LlmOps {
             FROM documents GROUP BY lang, source
             ORDER BY lang NULLS FIRST, source NULLS FIRST"""))
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03 — the
+    * MOSS algorithm): per document, hash every 3-token shingle, then
+    * keep the MINIMUM hash of each sliding window of 4 consecutive
+    * shingles, deduplicated — a fingerprint set with guaranteed
+    * position coverage (any match of ≥ 6 tokens shares a fingerprint)
+    * at ~2/(w+1) the density of full shingling, which is what makes
+    * substring-level dedup affordable at corpus scale. Determinism
+    * across engines: hash and position are PACKED into one integer
+    * (`h·10⁶ + pos`, exact in int64) so the window `min` resolves hash
+    * ties to the leftmost position identically everywhere — no
+    * arg_min tie ambiguity; the hash is the portable md5-derived
+    * 32-bit. Shape: one map-side shingle explode, ONE doc-keyed window
+    * (the ts_sessionize shuffle class), distinct. Rows per doc ≈
+    * 2·tokens/(w+1), never quadratic.
+    */
+  val llmWinnowFingerprint: Q = Q(
+    "llm_winnow_fingerprint",
+    (s, d) => {
+      val grams = Tables.read(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("doc_id"),
+          (size(col("tk")) - 2).cast(LongType).as("ng"),
+          explode(expr("sequence(1, size(tk) - 2)")).as("j"),
+          col("tk"))
+        .select(col("doc_id"), col("ng"), col("j"),
+          (graft.functions.PortableHash.hash32(
+            concat_ws(" ", expr("slice(tk, j, 3)"))) * lit(1000000L)
+            + col("j")).as("comb"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+        .rowsBetween(0, 3)
+      grams
+        .withColumn("fp", min(col("comb")).over(w))
+        .filter(col("j") <= col("ng") - 3)
+        .select(col("doc_id"),
+          expr("fp div 1000000").as("fp_hash"),
+          expr("fp % 1000000").as("fp_pos"))
+        .distinct()
+        .orderBy(asc_nulls_first("doc_id"), asc("fp_pos"), asc("fp_hash"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents WHERE len(string_split(text, ' ')) >= 3),
+            g AS (SELECT doc_id, len(tk) - 2 AS ng,
+                         unnest(range(1, len(tk) - 1)) AS j, tk
+                  FROM t),
+            h AS (SELECT doc_id, ng, j,
+                         CAST(('0x' || substr(md5(array_to_string(tk[j:j+2], ' ')), 1, 8))
+                              AS BIGINT) * 1000000 + j AS comb
+                  FROM g),
+            w AS (SELECT doc_id, ng, j,
+                         min(comb) OVER (PARTITION BY doc_id ORDER BY j
+                                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                  FROM h)
+            SELECT DISTINCT doc_id,
+                   CAST(fp // 1000000 AS BIGINT) AS fp_hash,
+                   CAST(fp % 1000000 AS BIGINT) AS fp_pos
+            FROM w WHERE j <= ng - 3
+            ORDER BY doc_id NULLS FIRST, fp_pos, fp_hash"""))
+
   /** Per-source distribution-drift monitor — KL(source ‖ corpus) over
     * the unigram token distribution, the "did a feed's content shift"
     * alarm every continuously-ingesting training pipeline runs (a
@@ -2359,7 +2418,7 @@ object LlmOps {
     llmStratifiedSample, llmTrainSplit,
     llmDocFingerprint, llmMultimodalJoin,
     llmMultimodalFeatures, tsUserValueSeries, tsResampleFfill, llmTtrStats,
-    llmSourceKlDrift)
+    llmSourceKlDrift, llmWinnowFingerprint)
 }
 
 /** Output row of the multimodal feature extraction (stubbed decode). */

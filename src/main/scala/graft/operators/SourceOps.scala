@@ -1,5 +1,7 @@
 package graft.operators
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1997,6 +1999,94 @@ object SourceOps {
             WHERE md5(text) = p.probe
             ORDER BY doc_id NULLS FIRST"""))
 
+  /** Fixture + result state for write-audit-publish: (manifest path,
+    * audit log of (candidate, check, passed), published data dir).
+    */
+  private val wapState = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Seq[(String, String, Boolean)], String)]()
+
+  /** One WAP cycle: stage `candidate` under `base/staging/<name>`, run
+    * the intrinsic audits (non-empty; no NULL day; (day, event_type)
+    * unique — ONE aggregate pass over the staged files), and publish by
+    * pointing the manifest at the staged dir ONLY if every audit holds.
+    * Returns the audit rows.
+    */
+  private def wapCycle(s: SparkSession, base: String, name: String,
+                       candidate: DataFrame): Seq[(String, String, Boolean)] = {
+    val stageDir = s"$base/staging/$name"
+    candidate.write.mode("overwrite").parquet(stageDir)
+    val staged = s.read.parquet(stageDir)
+    val m = staged.agg(
+      count(lit(1)).as("rows"),
+      sum(when(col("day").isNull, 1L).otherwise(0L)).as("null_days"),
+      count_distinct(col("day"), col("event_type")).as("keys")).head()
+    val audits = Seq(
+      (name, "non_empty", m.getLong(0) > 0L),
+      (name, "no_null_day", m.getLong(1) == 0L),
+      (name, "key_unique", m.getLong(2) == m.getLong(0)))
+    if (audits.forall(_._3)) {
+      val tmp = Paths.get(s"$base/MANIFEST.tmp")
+      Files.write(tmp, stageDir.getBytes("UTF-8"))
+      Files.move(tmp, Paths.get(s"$base/MANIFEST"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    audits
+  }
+
+  /** Write-audit-publish — the lakehouse WAP pattern (Iceberg's
+    * `write.wap.enabled` branch-audit-cherry-pick flow; dbt/Delta blue-
+    * green table swaps) that completes the table-service family next to
+    * [[srcTimeTravelRead]] and [[sinkVacuumRetention]]: every rebuild of
+    * a published table is STAGED to its own directory, AUDITED there
+    * (one aggregate pass: non-empty, no NULL partition key, key
+    * uniqueness), and only a fully-green audit atomically repoints the
+    * manifest — readers never observe a half-written or corrupt table.
+    * The fixture runs two cycles: a good daily-aggregate build
+    * (publishes), then a CORRUPT rebuild with a duplicated day slice
+    * (key-uniqueness audit fails → manifest untouched). The op reads
+    * THROUGH the manifest, so the oracle hash-checks that the corrupt
+    * candidate never leaked; Round18Spec pins the staged-but-unpublished
+    * directory and the audit log. At 100 TB: audits are one agg over the
+    * staged files, publish is an O(1) metadata swap.
+    */
+  private[operators] def wapPublish(s: SparkSession, d: String)
+      : (String, Seq[(String, String, Boolean)], String) =
+    wapState.computeIfAbsent(d, _ => {
+      val base = graft.util.TempDirs.create("graft_wap").toString
+      val daily = Tables.read(s, d, "events")
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast(DecimalType(18, 2)))
+            .cast(DecimalType(28, 2)).as("total_value"))
+      val a1 = wapCycle(s, base, "v_good", daily)
+      // the corrupt rebuild: an upstream join bug duplicates the
+      // day % 5 = 2 slice → key-uniqueness audit must catch it
+      val corrupt = daily.unionByName(daily.filter(col("day") % 5 === 2))
+      val a2 = wapCycle(s, base, "v_corrupt", corrupt)
+      val published = new String(Files.readAllBytes(
+        Paths.get(s"$base/MANIFEST")), "UTF-8")
+      (s"$base/MANIFEST", a1 ++ a2, published)
+    })
+
+  val sinkWapPublish: Q = Q(
+    "sink_wap_publish",
+    (s, d) => {
+      val (_, _, publishedDir) = wapPublish(s, d)
+      s.read.parquet(publishedDir)
+        .select(col("day"), col("event_type"), col("n_rows"),
+          col("total_value").cast(DoubleType).as("total_value"))
+        .orderBy(asc_nulls_first("day"), asc_nulls_first("event_type"))
+    },
+    Some("""SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY day NULLS FIRST, event_type NULLS FIRST"""))
+
   /** Retention vacuum over a version chain with FILE SHARING — the
     * lakehouse `VACUUM` (Delta `VACUUM`, Iceberg `expireSnapshots`) that
     * completes [[srcTimeTravelRead]]'s chain story: versions v0–v2 share
@@ -2047,5 +2137,5 @@ object SourceOps {
     sinkCompactSmallFiles, opTableProfileSketch, sinkMvIncrementalRefresh,
     sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh,
     srcTsRangePrune, opZonemapIncremental, srcTimeTravelRead,
-    sinkScd2Apply, sinkVacuumRetention, opBloomSkipIndex)
+    sinkScd2Apply, sinkVacuumRetention, opBloomSkipIndex, sinkWapPublish)
 }

@@ -830,25 +830,34 @@ object StreamingOps {
         val touched: Seq[Option[Long]] = partial.select(col("day")).distinct()
           .collect().toSeq.map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
         if (touched.nonEmpty) {
-          val prevParts = touched.flatMap { day =>
+          // prev state for the touched days: their newest versions
+          // strictly below this batch id, ONE multi-path scan (the data
+          // files keep the `day` column — the partition dir name is
+          // routing metadata, not the only copy of the value)
+          val prevDirs = touched.flatMap { day =>
             val dayDir = s"$stateBase/day=${dayDirName(day)}"
-            latestVersionBelow(dayDir, id).map { v =>
-              ss.read.parquet(s"$dayDir/v$v")
-                .withColumn("day", day.map(lit(_)).getOrElse(lit(null)).cast(LongType))
-                .select(col("day"), col("event_type"), col("s"), col("n"))
-            }
+            latestVersionBelow(dayDir, id).map(v => s"$dayDir/v$v")
           }
-          val merged = prevParts.foldLeft(partial.toDF())(_ unionByName _)
+          val prev =
+            if (prevDirs.isEmpty) partial.toDF().limit(0)
+            else ss.read.parquet(prevDirs: _*)
+              .select(col("day"), col("event_type"), col("s"), col("n"))
+          val merged = partial.toDF().unionByName(prev)
             .groupBy(col("day"), col("event_type"))
             .agg(sum(col("s")).cast(DecimalType(28, 2)).as("s"),
               sum(col("n")).as("n"))
-          // one job writes all touched days; the per-day moves publish
-          // them into each day's chain (deterministic per id → replay
-          // simply rewrites v<id>)
+          // one job writes all touched days (day duplicated into the
+          // routing column so the files keep it); the per-day moves
+          // publish them into each day's chain (deterministic per id →
+          // replay simply rewrites v<id>)
           val scratch = s"$stateBase/.batch_b$id"
-          merged.write.partitionBy("day").mode("overwrite").parquet(scratch)
+          // cluster by day first so each touched partition is written by
+          // one task as one file (the dynamic-partition-write discipline;
+          // unclustered, every shuffle partition opens every day dir)
+          merged.repartition(col("day")).withColumn("day_p", col("day"))
+            .write.partitionBy("day_p").mode("overwrite").parquet(scratch)
           touched.foreach { day =>
-            val from = Paths.get(scratch, s"day=${dayDirName(day)}")
+            val from = Paths.get(scratch, s"day_p=${dayDirName(day)}")
             val to = Paths.get(stateBase, s"day=${dayDirName(day)}", s"v$id")
             deleteRecursively(to)
             Files.createDirectories(to.getParent)
@@ -878,15 +887,12 @@ object StreamingOps {
       }
     if (dayDirs.isEmpty)
       throw new IllegalStateException(s"no MV state under $stateBase")
-    val perDay = dayDirs.map { dn =>
-      val dayVal = dn.stripPrefix("day=")
+    val headDirs = dayDirs.map { dn =>
       val v = latestVersionBelow(s"$stateBase/$dn", Long.MaxValue)
         .getOrElse(throw new IllegalStateException(s"no version under $stateBase/$dn"))
-      s.read.parquet(s"$stateBase/$dn/v$v")
-        .withColumn("day",
-          (if (dayVal == NullDayDir) lit(null) else lit(dayVal.toLong)).cast(LongType))
+      s"$stateBase/$dn/v$v"
     }
-    perDay.reduce(_ unionByName _)
+    s.read.parquet(headDirs: _*)
       .select(col("event_type"), col("day"),
         col("n").cast(LongType).as("n_rows"),
         col("s").cast(DoubleType).as("total_value"))

@@ -108,6 +108,49 @@ class Round18Spec extends SparkSpec {
     assert(once.collect().toSeq == twice.collect().toSeq)
   }
 
+  test("sink_wap_publish: corrupt candidate is staged but never published") {
+    val (manifest, audits, publishedDir) = SourceOps.wapPublish(spark, sf)
+    // the good build passed every audit and owns the manifest
+    assert(audits.filter(_._1 == "v_good").forall(_._3))
+    assert(publishedDir.endsWith("v_good"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(manifest)), "UTF-8") == publishedDir)
+    // the corrupt build was staged (files exist for forensics)...
+    val corruptDir = publishedDir.stripSuffix("v_good") + "v_corrupt"
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(corruptDir)),
+      "corrupt candidate must remain staged for inspection")
+    // ...but its key-uniqueness audit failed, so it never published
+    val corrupt = audits.filter(_._1 == "v_corrupt").map(a => a._2 -> a._3).toMap
+    assert(corrupt("non_empty") && corrupt("no_null_day") && !corrupt("key_unique"),
+      s"unexpected corrupt-candidate audits: $corrupt")
+    // reading through the manifest sees the GOOD row count, not the
+    // duplicated slice
+    val published = spark.read.parquet(publishedDir).count()
+    val staged = spark.read.parquet(corruptDir).count()
+    assert(staged > published, "fixture must actually duplicate rows")
+  }
+
+  test("llm_winnow_fingerprint: coverage guarantee and density") {
+    // winnowing guarantee: every window of w=4 consecutive 3-shingles
+    // contributes at least one fingerprint → fingerprint positions are
+    // never more than w apart within a doc
+    val fps = LlmOps.llmWinnowFingerprint.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    byDoc.foreach { case (doc, ps) =>
+      ps.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(1) - pair(0) <= 4,
+          s"doc $doc: fingerprint gap ${pair(1) - pair(0)} > w")
+      }
+    }
+    // density ≈ 2/(w+1): far fewer fingerprints than shingles
+    val nShingles = graft.Tables.read(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.expr(
+        "sum(greatest(size(split(text, ' ')) - 2, 0))")).head.getLong(0)
+    assert(fps.length < nShingles,
+      s"${fps.length} fingerprints not sparser than $nShingles shingles")
+  }
+
   test("llm_source_kl_drift: KL is non-negative and finite for every source") {
     val rows = LlmOps.llmSourceKlDrift.fn(spark, sf).collect()
     assert(rows.nonEmpty)
