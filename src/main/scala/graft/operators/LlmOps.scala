@@ -1528,12 +1528,13 @@ object LlmOps {
     * at ~2/(w+1) the density of full shingling, which is what makes
     * substring-level dedup affordable at corpus scale. Determinism
     * across engines: hash and position are PACKED into one integer
-    * (`h·10⁶ + pos`, exact in int64) so the window `min` resolves hash
-    * ties to the leftmost position identically everywhere — no
-    * arg_min tie ambiguity; the hash is the portable md5-derived
-    * 32-bit. Shape: one map-side shingle explode, ONE doc-keyed window
-    * (the ts_sessionize shuffle class), distinct. Rows per doc ≈
-    * 2·tokens/(w+1), never quadratic.
+    * (`h·2³¹ + pos`, exact in int64: h < 2³², pos < 2³¹ — any document
+    * whose token positions fit an int, i.e. every real document) so the
+    * window `min` resolves hash ties to the leftmost position
+    * identically everywhere — no arg_min tie ambiguity; the hash is the
+    * portable md5-derived 32-bit. Shape: one map-side shingle explode,
+    * ONE doc-keyed window (the ts_sessionize shuffle class), distinct.
+    * Rows per doc ≈ 2·tokens/(w+1), never quadratic.
     */
   val llmWinnowFingerprint: Q = Q(
     "llm_winnow_fingerprint",
@@ -1547,7 +1548,7 @@ object LlmOps {
           col("tk"))
         .select(col("doc_id"), col("ng"), col("j"),
           (graft.functions.PortableHash.hash32(
-            concat_ws(" ", expr("slice(tk, j, 3)"))) * lit(1000000L)
+            concat_ws(" ", expr("slice(tk, j, 3)"))) * lit(2147483648L)
             + col("j")).as("comb"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("j"))
         .rowsBetween(0, 3)
@@ -1555,8 +1556,8 @@ object LlmOps {
         .withColumn("fp", min(col("comb")).over(w))
         .filter(col("j") <= col("ng") - 3)
         .select(col("doc_id"),
-          expr("fp div 1000000").as("fp_hash"),
-          expr("fp % 1000000").as("fp_pos"))
+          expr("fp div 2147483648").as("fp_hash"),
+          expr("fp % 2147483648").as("fp_pos"))
         .distinct()
         .orderBy(asc_nulls_first("doc_id"), asc("fp_pos"), asc("fp_hash"))
     },
@@ -1567,15 +1568,15 @@ object LlmOps {
                   FROM t),
             h AS (SELECT doc_id, ng, j,
                          CAST(('0x' || substr(md5(array_to_string(tk[j:j+2], ' ')), 1, 8))
-                              AS BIGINT) * 1000000 + j AS comb
+                              AS BIGINT) * 2147483648 + j AS comb
                   FROM g),
             w AS (SELECT doc_id, ng, j,
                          min(comb) OVER (PARTITION BY doc_id ORDER BY j
                                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
                   FROM h)
             SELECT DISTINCT doc_id,
-                   CAST(fp // 1000000 AS BIGINT) AS fp_hash,
-                   CAST(fp % 1000000 AS BIGINT) AS fp_pos
+                   CAST(fp // 2147483648 AS BIGINT) AS fp_hash,
+                   CAST(fp % 2147483648 AS BIGINT) AS fp_pos
             FROM w WHERE j <= ng - 3
             ORDER BY doc_id NULLS FIRST, fp_pos, fp_hash"""))
 
@@ -1591,12 +1592,16 @@ object LlmOps {
     * discipline). Distributed shape: one explode, three hash aggs, an
     * AQE-sized token join against the |vocab|-row count table (never on
     * the driver), the per-source totals broadcast (O(#sources) rows).
+    * A NULL source labels as the sentinel feed `__null__` so the
+    * misconfigured-ingest case a drift alarm exists for is MONITORED,
+    * not silently dropped by equi-join null semantics.
     */
   val llmSourceKlDrift: Q = Q(
     "llm_source_kl_drift",
     (s, d) => {
       val toks = Tables.read(s, d, "documents")
-        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .select(coalesce(col("source"), lit("__null__")).as("source"),
+          explode(split(col("text"), " ")).as("token"))
       val st = toks.groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("n_st"))
         .truncated // feeds the term join AND the per-source totals
@@ -1617,7 +1622,8 @@ object LlmOps {
           (col("num").cast(DoubleType) / col("n_tokens")).as("kl_nats"))
         .orderBy(asc_nulls_first("source"))
     },
-    Some("""WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS token
+    Some("""WITH t AS (SELECT COALESCE(source, '__null__') AS source,
+                              unnest(string_split(text, ' ')) AS token
                        FROM documents),
             st AS (SELECT source, token, count(*) AS n_st FROM t GROUP BY 1, 2),
             srct AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -331,25 +331,34 @@ object PipelineOps {
     * trim per row, no shuffle — the scale-right shape of a per-doc
     * transform); the output carries the post-normalization md5 so the
     * hash gate pins every byte of the normalized form, plus before/after
-    * char counts for the shrinkage audit. The character classes are
-    * ASCII-literal (`[^a-z0-9 ]`, `' +'`), identical under Java regex
-    * and RE2, so both engines normalize bit-identically.
+    * char counts for the shrinkage audit. Cross-engine bit-identity:
+    * non-alphanumerics — INCLUDING every non-ASCII codepoint — are
+    * spaced out BEFORE `lower()`, so casefolding only ever sees ASCII
+    * and the Java-full vs utf8proc-simple Unicode case-mapping
+    * divergence (e.g. U+0130 'İ') can never reach the digest; the
+    * character classes themselves (`[^a-zA-Z0-9 ]`, `' +'`) read
+    * identically under Java regex and RE2.
     */
+  /** The normalization expression itself — shared with Round18Spec so
+    * the idempotence pin exercises the REAL op expression, not a copy.
+    */
+  private[operators] def normalizeText(c: Column): Column =
+    lower(trim(regexp_replace(
+      regexp_replace(c, "[^a-zA-Z0-9 ]", " "), " +", " ")))
+
   val llmTextNormalize: Q = Q(
     "llm_text_normalize",
     (s, d) =>
       Tables.read(s, d, "documents")
         .select(col("doc_id"), col("n_chars").as("n_chars_raw"),
-          trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-            " +", " ")).as("norm"))
+          normalizeText(col("text")).as("norm"))
         .select(col("doc_id"), col("n_chars_raw"),
           length(col("norm")).cast(LongType).as("n_chars_norm"),
           md5(col("norm").cast("binary")).as("norm_digest"))
         .orderBy(asc_nulls_first("doc_id")),
     Some("""WITH n AS (SELECT doc_id, n_chars AS n_chars_raw,
-                   trim(regexp_replace(regexp_replace(lower(text),
-                          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+                   lower(trim(regexp_replace(regexp_replace(text,
+                          '[^a-zA-Z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm
                        FROM documents)
             SELECT doc_id, n_chars_raw,
                    CAST(len(norm) AS BIGINT) AS n_chars_norm,

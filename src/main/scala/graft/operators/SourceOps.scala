@@ -572,9 +572,16 @@ object SourceOps {
       val delta = ev.filter(col("day") >= cut)
         .select(col("user_id"), col("event_id"), col("value"), col("ts_us"))
         .truncated // referenced by the touched-key list AND the re-window
-      val touched = delta.select(col("user_id")).distinct()
-      val untouched = base.join(touched, Seq("user_id"), "left_anti")
-      val touchedBase = base.join(touched, Seq("user_id"), "left_semi")
+      // NULL-SAFE key routing (<=>): the SCD2 window partitions NULL keys
+      // into ONE partition, so a NULL-keyed delta must close the
+      // NULL-keyed base current row exactly like any other key — a plain
+      // equi-join would silently route NULL base rows to "untouched" and
+      // leave two open intervals, diverging from the full rebuild
+      val touched = delta.select(col("user_id").as("t_user_id")).distinct()
+      val untouched = base.join(touched,
+        col("user_id") <=> col("t_user_id"), "left_anti")
+      val touchedBase = base.join(touched,
+        col("user_id") <=> col("t_user_id"), "left_semi")
       val closed = touchedBase.filter(!col("is_current"))
       val reopened = touchedBase.filter(col("is_current"))
         .select(col("user_id"), col("event_id"), col("value"),
@@ -1909,15 +1916,8 @@ object SourceOps {
       val live = manifests(2).map(p => java.nio.file.Paths.get(p).getFileName.toString).toSet
       val orphans = allDirs.filterNot(p =>
         live(java.nio.file.Paths.get(p).getFileName.toString))
-      orphans.foreach { p =>
-        val path = java.nio.file.Paths.get(p)
-        val walk = java.nio.file.Files.walk(path)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .iterator().asScala.foreach(java.nio.file.Files.delete)
-        } finally walk.close()
-      }
+      orphans.foreach(p =>
+        graft.util.TempDirs.deleteRecursively(java.nio.file.Paths.get(p)))
       (manifests, manifests(2), orphans, allDirs)
     })
 
@@ -2016,9 +2016,12 @@ object SourceOps {
     val stageDir = s"$base/staging/$name"
     candidate.write.mode("overwrite").parquet(stageDir)
     val staged = s.read.parquet(stageDir)
+    // coalesce the null-count: over an EMPTY candidate sum() is NULL, and
+    // the empty build must surface as a red non_empty audit, not an NPE
     val m = staged.agg(
       count(lit(1)).as("rows"),
-      sum(when(col("day").isNull, 1L).otherwise(0L)).as("null_days"),
+      coalesce(sum(when(col("day").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("null_days"),
       count_distinct(col("day"), col("event_type")).as("keys")).head()
     val audits = Seq(
       (name, "non_empty", m.getLong(0) > 0L),

@@ -900,14 +900,7 @@ object StreamingOps {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      val stream = Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        stream.sorted(java.util.Comparator.reverseOrder[Path]())
-          .iterator().asScala.foreach(Files.delete)
-      } finally stream.close()
-    }
+    graft.util.TempDirs.deleteRecursively(p)
 
   val streamMvMaintenance: Q = Q(
     "stream_mv_maintenance",

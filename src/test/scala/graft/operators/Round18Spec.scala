@@ -17,18 +17,22 @@ class Round18Spec extends SparkSpec {
     import spark.implicits._
     // keys: 1 = base-only (must pass through untouched), 2 = base+delta
     // (current row must close at the first delta ts), 3 = delta-only
-    // (new key appears with its own intervals). Cutoff = min day + 15;
+    // (new key appears with its own intervals), NULL = base+delta (the
+    // window groups NULLs into ONE partition, so the null-safe key
+    // routing must close the NULL base row too). Cutoff = min day + 15;
     // days here are 0 (base) and 20 (delta).
     val d0 = 0L
     val d20 = 20L * 86400000000L
     val dir = graft.util.TempDirs.create("scd2_apply_fixture")
     Seq(
-      (10L, d0 + 1000L, 1L, "click", 1.0, "{}"),
-      (11L, d0 + 2000L, 1L, "click", 2.0, "{}"),
-      (12L, d0 + 1000L, 2L, "click", 3.0, "{}"),
-      (13L, d20 + 1000L, 2L, "click", 4.0, "{}"),
-      (14L, d20 + 1000L, 3L, "click", 5.0, "{}"),
-      (15L, d20 + 2000L, 3L, "click", 6.0, "{}")
+      (10L, d0 + 1000L, Some(1L), "click", 1.0, "{}"),
+      (11L, d0 + 2000L, Some(1L), "click", 2.0, "{}"),
+      (12L, d0 + 1000L, Some(2L), "click", 3.0, "{}"),
+      (13L, d20 + 1000L, Some(2L), "click", 4.0, "{}"),
+      (14L, d20 + 1000L, Some(3L), "click", 5.0, "{}"),
+      (15L, d20 + 2000L, Some(3L), "click", 6.0, "{}"),
+      (16L, d0 + 1000L, None, "click", 7.0, "{}"),
+      (17L, d20 + 1000L, None, "click", 8.0, "{}")
     ).toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
       .withColumn("ts", col("ts_us") * 1000L).drop("ts_us")
       .write.parquet(dir.resolve("events.parquet").toString)
@@ -39,12 +43,16 @@ class Round18Spec extends SparkSpec {
     assert(got.toSeq == want.toSeq,
       s"incremental apply diverged from full rebuild:\n${got.toSeq}\nvs\n${want.toSeq}")
     // and the crafted closure really happened: key 2's base row closed at
-    // the first delta ts, key 1 untouched (open), key 3 two intervals
-    val byKey = got.groupBy(_.getLong(0))
-    assert(byKey(1L).count(_.getBoolean(5)) == 1 && byKey(1L).length == 2)
-    val k2 = byKey(2L).sortBy(r => r.getLong(3))
+    // the first delta ts, key 1 untouched (open), key 3 two intervals,
+    // and the NULL key behaves exactly like key 2 (one closed, one open)
+    val byKey = got.groupBy(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(byKey(Some(1L)).count(_.getBoolean(5)) == 1 && byKey(Some(1L)).length == 2)
+    val k2 = byKey(Some(2L)).sortBy(r => r.getLong(3))
     assert(k2.head.get(4) == d20 + 1000L, "base current row must close at first delta ts")
-    assert(byKey(3L).length == 2 && byKey(3L).count(_.getBoolean(5)) == 1)
+    assert(byKey(Some(3L)).length == 2 && byKey(Some(3L)).count(_.getBoolean(5)) == 1)
+    val kn = byKey(None).sortBy(r => r.getLong(3))
+    assert(kn.length == 2 && kn.head.get(4) == d20 + 1000L && kn.last.getBoolean(5),
+      "NULL-keyed base current row must close at the NULL-keyed delta ts")
   }
 
   test("sink_vacuum_retention: orphans deleted, shared files survive, head intact") {
@@ -96,15 +104,15 @@ class Round18Spec extends SparkSpec {
       s"bloom index selected all ${idx.size} files — no skipping happened")
   }
 
-  test("llm_text_normalize is idempotent") {
+  test("llm_text_normalize is idempotent (the op's own expression, corpus + edge rows)") {
     import spark.implicits._
-    val texts = Seq("Hello,  World!!", "a  b   c", "MiXeD-case_42", " trim me ")
+    val edges = Seq("Hello,  World!!", "a  b   c", "MiXeD-case_42",
+      " trim me ", "İstanbul — naïve café")
+    val texts = graft.Tables.read(spark, sf, "documents")
+      .select(col("text")).as[String].collect().toSeq ++ edges
     val once = texts.toDF("text")
-      .select(trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")).as("n"))
-    val twice = once
-      .select(trim(regexp_replace(
-        regexp_replace(lower(col("n")), "[^a-z0-9 ]", " "), " +", " ")).as("n"))
+      .select(PipelineOps.normalizeText(col("text")).as("n"))
+    val twice = once.select(PipelineOps.normalizeText(col("n")).as("n"))
     assert(once.collect().toSeq == twice.collect().toSeq)
   }
 
