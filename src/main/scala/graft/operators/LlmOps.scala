@@ -1536,31 +1536,37 @@ object LlmOps {
     * ONE doc-keyed window (the ts_sessionize shuffle class), distinct.
     * Rows per doc ≈ 2·tokens/(w+1), never quadratic.
     */
+  /** The fingerprint table itself — (doc_id, fp_hash, fp_pos), shared
+    * by the registered op and [[llmWinnowDedupPairs]].
+    */
+  private[operators] def winnowFps(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+        (size(col("tk")) - 2).cast(LongType).as("ng"),
+        explode(expr("sequence(1, size(tk) - 2)")).as("j"),
+        col("tk"))
+      .select(col("doc_id"), col("ng"), col("j"),
+        (graft.functions.PortableHash.hash32(
+          concat_ws(" ", expr("slice(tk, j, 3)"))) * lit(2147483648L)
+          + col("j")).as("comb"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("j"))
+      .rowsBetween(0, 3)
+    grams
+      .withColumn("fp", min(col("comb")).over(w))
+      .filter(col("j") <= col("ng") - 3)
+      .select(col("doc_id"),
+        expr("fp div 2147483648").as("fp_hash"),
+        expr("fp % 2147483648").as("fp_pos"))
+      .distinct()
+  }
+
   val llmWinnowFingerprint: Q = Q(
     "llm_winnow_fingerprint",
-    (s, d) => {
-      val grams = Tables.read(s, d, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 3)
-        .select(col("doc_id"),
-          (size(col("tk")) - 2).cast(LongType).as("ng"),
-          explode(expr("sequence(1, size(tk) - 2)")).as("j"),
-          col("tk"))
-        .select(col("doc_id"), col("ng"), col("j"),
-          (graft.functions.PortableHash.hash32(
-            concat_ws(" ", expr("slice(tk, j, 3)"))) * lit(2147483648L)
-            + col("j")).as("comb"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("j"))
-        .rowsBetween(0, 3)
-      grams
-        .withColumn("fp", min(col("comb")).over(w))
-        .filter(col("j") <= col("ng") - 3)
-        .select(col("doc_id"),
-          expr("fp div 2147483648").as("fp_hash"),
-          expr("fp % 2147483648").as("fp_pos"))
-        .distinct()
-        .orderBy(asc_nulls_first("doc_id"), asc("fp_pos"), asc("fp_hash"))
-    },
+    (s, d) =>
+      winnowFps(Tables.read(s, d, "documents"))
+        .orderBy(asc_nulls_first("doc_id"), asc("fp_pos"), asc("fp_hash")),
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
                        FROM documents WHERE len(string_split(text, ' ')) >= 3),
             g AS (SELECT doc_id, len(tk) - 2 AS ng,
@@ -1579,6 +1585,59 @@ object LlmOps {
                    CAST(fp % 2147483648 AS BIGINT) AS fp_pos
             FROM w WHERE j <= ng - 3
             ORDER BY doc_id NULLS FIRST, fp_pos, fp_hash"""))
+
+  /** Winnowing candidate pairs — the fingerprints of
+    * [[llmWinnowFingerprint]] put to their intended use (MOSS's second
+    * half): docs sharing ≥ 2 fingerprint hashes are substring-overlap
+    * candidates. The join is an inverted-index equi-join ON THE
+    * FINGERPRINT BUCKETS — Σ bucket² work, the same scale discipline as
+    * the banded-LSH families, and winnowing keeps buckets sparse by
+    * construction (~2/(w+1) of shingle density; measured join work at
+    * sf0.1 is 13.7 k candidate pairs from 20 k fingerprints). Scoped to
+    * the deterministic `doc_id % 5 = 1` shard like
+    * [[llmDedupKeepBest]], purely so the oracle's self-join stays
+    * seconds at every sf — the engine path is the full machinery.
+    */
+  val llmWinnowDedupPairs: Q = Q(
+    "llm_winnow_dedup_pairs",
+    (s, d) => {
+      val fps = winnowFps(Tables.read(s, d, "documents")
+          .filter(col("doc_id") % 5 === 1))
+        .select(col("doc_id"), col("fp_hash")).distinct()
+        .truncated // both sides of the self-join
+      val a = fps.select(col("doc_id").as("id1"), col("fp_hash"))
+      val b = fps.select(col("doc_id").as("id2"), col("fp_hash"))
+      a.join(b, Seq("fp_hash"))
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 2)
+        .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents
+                       WHERE doc_id % 5 = 1
+                         AND len(string_split(text, ' ')) >= 3),
+            g AS (SELECT doc_id, len(tk) - 2 AS ng,
+                         unnest(range(1, len(tk) - 1)) AS j, tk
+                  FROM t),
+            h AS (SELECT doc_id, ng, j,
+                         CAST(('0x' || substr(md5(array_to_string(tk[j:j+2], ' ')), 1, 8))
+                              AS BIGINT) * 2147483648 + j AS comb
+                  FROM g),
+            w AS (SELECT doc_id, ng, j,
+                         min(comb) OVER (PARTITION BY doc_id ORDER BY j
+                                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                  FROM h),
+            fps AS (SELECT DISTINCT doc_id, fp // 2147483648 AS fp_hash
+                    FROM w WHERE j <= ng - 3)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   CAST(count(*) AS BIGINT) AS shared_fps
+            FROM fps a JOIN fps b USING (fp_hash)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+            HAVING count(*) >= 2
+            ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
 
   /** Per-source distribution-drift monitor — KL(source ‖ corpus) over
     * the unigram token distribution, the "did a feed's content shift"
@@ -2424,7 +2483,7 @@ object LlmOps {
     llmStratifiedSample, llmTrainSplit,
     llmDocFingerprint, llmMultimodalJoin,
     llmMultimodalFeatures, tsUserValueSeries, tsResampleFfill, llmTtrStats,
-    llmSourceKlDrift, llmWinnowFingerprint)
+    llmSourceKlDrift, llmWinnowFingerprint, llmWinnowDedupPairs)
 }
 
 /** Output row of the multimodal feature extraction (stubbed decode). */

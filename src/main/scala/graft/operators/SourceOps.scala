@@ -1999,6 +1999,82 @@ object SourceOps {
             WHERE md5(text) = p.probe
             ORDER BY doc_id NULLS FIRST"""))
 
+  /** MERGE INTO — the canonical three-branch warehouse merge (ANSI
+    * MERGE; Delta/Iceberg `MERGE INTO`), the branch-conditional
+    * generalization of the CDC apply ops: a source delta carries an op
+    * column, and WHEN MATCHED AND op='U' updates, WHEN MATCHED AND
+    * op='D' deletes, WHEN NOT MATCHED (op='I') inserts — in ONE pass.
+    * Physical shape is the join-based merge every lakehouse engine
+    * runs: a single full-outer key join of target and source, then a
+    * per-row CASE selects the surviving (status, price) — one shuffle
+    * on the merge key; at 100 TB engines prune it further with a
+    * touched-file pre-join, which is [[opZonemapPrune]]'s machinery.
+    * The delta is derived deterministically (updates `% 7 = 3` with
+    * +1000.0 re-price, deletes `% 11 = 5`, inserts = re-keyed `% 13 =
+    * 1` rows above max key via one O(1) scalar), so the oracle states
+    * the merged table relationally and the hash gate checks every
+    * surviving row of all three branches.
+    */
+  val sinkMergeInto: Q = Q(
+    "sink_merge_into",
+    (s, d) => {
+      val target = Tables.read(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .truncated // referenced by the max probe, 3 branches, and the join
+      // O(1) driver scalar, reproduced by the oracle's own max() agg
+      val maxKey = target.agg(max(col("o_orderkey"))).head.getLong(0)
+      val src = target.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey").as("s_key"), lit("U").as("op"),
+          (col("o_totalprice") + 1000.0).as("s_price"))
+        .unionByName(target.filter(col("o_orderkey") % 11 === 5)
+          .select(col("o_orderkey").as("s_key"), lit("D").as("op"),
+            lit(null).cast(DoubleType).as("s_price")))
+        .unionByName(target.filter(col("o_orderkey") % 13 === 1)
+          .select((col("o_orderkey") + maxKey).as("s_key"), lit("I").as("op"),
+            col("o_totalprice").as("s_price")))
+        // deterministic clause precedence for keys matching several
+        // branches (e.g. % 7 = 3 AND % 11 = 5): 'U' > 'D' — the update
+        // wins and carries its re-price; insert keys are disjoint (> max)
+        .groupBy(col("s_key"))
+        .agg(max(col("op")).as("op"), max(col("s_price")).as("s_price"))
+      target.join(src, col("o_orderkey") === col("s_key"), "full_outer")
+        .filter(!(col("op") === "D" && col("o_orderkey").isNotNull) ||
+          col("op").isNull)
+        .select(
+          coalesce(col("o_orderkey"), col("s_key")).as("o_orderkey"),
+          when(col("op") === "U", lit("U"))
+            .when(col("op") === "I" && col("o_orderkey").isNull, lit("I"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+          coalesce(col("s_price"), col("o_totalprice")).as("o_totalprice"))
+        .orderBy(asc_nulls_first("o_orderkey"))
+    },
+    Some("""WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+            updates AS (SELECT o_orderkey AS s_key, 'U' AS op,
+                               o_totalprice + 1000.0 AS s_price
+                        FROM orders WHERE o_orderkey % 7 = 3),
+            deletes AS (SELECT o_orderkey AS s_key, 'D' AS op,
+                               CAST(NULL AS DOUBLE) AS s_price
+                        FROM orders WHERE o_orderkey % 11 = 5),
+            inserts AS (SELECT o_orderkey + mx.mk AS s_key, 'I' AS op,
+                               o_totalprice AS s_price
+                        FROM orders, mx WHERE o_orderkey % 13 = 1),
+            src AS (SELECT s_key, max(op) AS op, max(s_price) AS s_price
+                    FROM (SELECT * FROM updates UNION ALL
+                          SELECT * FROM deletes UNION ALL
+                          SELECT * FROM inserts)
+                    GROUP BY s_key),
+            merged AS (SELECT COALESCE(t.o_orderkey, s.s_key) AS o_orderkey,
+                              CASE WHEN s.op = 'U' THEN 'U'
+                                   WHEN s.op = 'I' AND t.o_orderkey IS NULL THEN 'I'
+                                   ELSE t.o_orderstatus END AS o_orderstatus,
+                              COALESCE(s.s_price, t.o_totalprice) AS o_totalprice,
+                              t.o_orderkey AS t_key, s.op AS op
+                       FROM orders t FULL JOIN src s ON t.o_orderkey = s.s_key)
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM merged
+            WHERE NOT (op = 'D' AND t_key IS NOT NULL) OR op IS NULL
+            ORDER BY o_orderkey NULLS FIRST"""))
+
   /** Fixture + result state for write-audit-publish: (manifest path,
     * audit log of (candidate, check, passed), published data dir).
     */
@@ -2140,5 +2216,6 @@ object SourceOps {
     sinkCompactSmallFiles, opTableProfileSketch, sinkMvIncrementalRefresh,
     sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh,
     srcTsRangePrune, opZonemapIncremental, srcTimeTravelRead,
-    sinkScd2Apply, sinkVacuumRetention, opBloomSkipIndex, sinkWapPublish)
+    sinkScd2Apply, sinkVacuumRetention, opBloomSkipIndex, sinkWapPublish,
+    sinkMergeInto)
 }

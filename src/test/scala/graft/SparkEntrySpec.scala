@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (234 keys, 210 oracles)") {
-    assert(SparkEntry.queries.size == 234,
+  test("registry matches the SURVEY §2 inventory size (236 keys, 212 oracles)") {
+    assert(SparkEntry.queries.size == 236,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 210,
+    assert(SparkEntry.oracleSql.size == 212,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -159,6 +159,43 @@ class Round18Spec extends SparkSpec {
       s"${fps.length} fingerprints not sparser than $nShingles shingles")
   }
 
+  test("sink_merge_into: all three branches and the overlap precedence") {
+    val target = graft.Tables.read(spark, sf, "orders")
+    val maxKey = target.agg(max(col("o_orderkey"))).head.getLong(0)
+    val out = SourceOps.sinkMergeInto.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val targetKeys = target.select(col("o_orderkey"))
+      .collect().map(_.getLong(0)).toSet
+    targetKeys.foreach { k =>
+      if (k % 7 == 3)      assert(out(k) == "U", s"update branch lost key $k")
+      else if (k % 11 == 5) assert(!out.contains(k), s"delete branch kept key $k")
+      else                  assert(out.contains(k), s"untouched key $k vanished")
+    }
+    // overlap precedence: a key hit by BOTH update and delete clauses
+    // (≡ 38 mod 77) survives as an update
+    targetKeys.filter(k => k % 77 == 38).foreach(k =>
+      assert(out(k) == "U", s"overlap key $k must resolve update-over-delete"))
+    // inserts land above the original key space, tagged 'I'
+    val inserted = out.keys.filter(_ > maxKey)
+    assert(inserted.nonEmpty && inserted.forall(out(_) == "I"))
+  }
+
+  test("llm_winnow_dedup_pairs: every candidate pair shares a literal 3-gram") {
+    val pairs = LlmOps.llmWinnowDedupPairs.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val grams = graft.Tables.read(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 1)
+      .select(col("doc_id"), expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)),
+             i -> concat_ws(' ', slice(split(text, ' '), i, 3)))""").as("g"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[String](1).toSet).toMap
+    pairs.foreach { case (a, b) =>
+      assert(grams(a).intersect(grams(b)).nonEmpty,
+        s"candidate pair ($a, $b) shares no literal 3-gram — fingerprint lied")
+    }
+  }
+
   test("llm_source_kl_drift: KL is non-negative and finite for every source") {
     val rows = LlmOps.llmSourceKlDrift.fn(spark, sf).collect()
     assert(rows.nonEmpty)
