@@ -1012,7 +1012,94 @@ object Aggregations {
              min(CASE WHEN cum * 20 >= tot * 19 THEN l_quantity END) AS q95
       FROM c GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""")
 
+  /** DDSketch quantiles (Masson et al., VLDB'19) — the MERGEABLE
+    * relative-error quantile sketch production metrics pipelines run
+    * (Datadog's sketch): values land in geometric buckets
+    * `idx = ⌈ln(v)/ln(γ)⌉` (γ = 1.02 ⇒ ≤ 1% relative error), the
+    * sketch is the O(#buckets) count vector — fully mergeable across
+    * partitions/streams as plain count addition, which is why the whole
+    * computation is TWO hash aggs + one tiny per-type window, no global
+    * sort (`agg_exact_quantiles` is the exact-rank contrast). Zeros get
+    * the standard dedicated zero-count (they rank below every positive
+    * bucket). Determinism discipline: the two transcendentals
+    * (`ln` ratio, `γ^idx` back-map) are rounded to 6 decimals before
+    * ceil / before output, and ranks are INTEGER arithmetic
+    * (`⌈n·p/100⌉ = (n·p + 99) div 100`), so both engines pick identical
+    * buckets. Output: per event_type, n and the p50/p95/p99 estimates.
+    */
+  val aggDdsketchQuantile: Q = Q(
+    "agg_ddsketch_quantile",
+    (s, d) => {
+      import s.implicits._
+      val b = Tables.read(s, d, "events")
+        .select(col("event_type"),
+          when(col("value") > 0,
+            ceil(round(log(col("value")) / log(lit(1.02)), 6)).cast(LongType))
+            .as("idx"))
+      val c = b.groupBy(col("event_type"), col("idx"))
+        .agg(count(lit(1)).as("n"))
+        .truncated // feeds totals AND the cumulative pick
+      val tot = c.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("total"),
+          sum(when(col("idx").isNull, col("n")).otherwise(0L)).as("zc"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = c.filter(col("idx").isNotNull)
+        .withColumn("cum", sum(col("n")).over(wc))
+      val ps = Seq(50L, 95L, 99L).toDF("p")
+      val picked = tot.crossJoin(ps)
+        .withColumn("rank", expr("(total * p + 99) div 100"))
+        .join(cum, Seq("event_type"), "left")
+        .filter(col("zc") + coalesce(col("cum"), lit(0L)) >= col("rank"))
+        .groupBy(col("event_type"), col("p"), col("zc"), col("rank"))
+        .agg(min(col("idx")).as("idx"))
+        .withColumn("est",
+          when(col("zc") >= col("rank"), lit(0.0))
+            .otherwise(round(lit(2.0) * pow(lit(1.02), col("idx")) / lit(2.02), 6)))
+      picked.groupBy(col("event_type"))
+        .agg(max(when(col("p") === 50, col("est"))).as("p50"),
+          max(when(col("p") === 95, col("est"))).as("p95"),
+          max(when(col("p") === 99, col("est"))).as("p99"))
+        .join(tot.select(col("event_type"), col("total").as("n_rows")), "event_type")
+        .select(col("event_type"), col("n_rows"), col("p50"), col("p95"), col("p99"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    Some("""WITH b AS (SELECT event_type,
+                   CASE WHEN value > 0
+                        THEN CAST(ceil(round(ln(value) / ln(1.02), 6)) AS BIGINT)
+                   END AS idx
+                       FROM events),
+            c AS (SELECT event_type, idx, count(*) AS n FROM b GROUP BY 1, 2),
+            tot AS (SELECT event_type, sum(n) AS total,
+                           coalesce(sum(n) FILTER (idx IS NULL), 0) AS zc
+                    FROM c GROUP BY 1),
+            cum AS (SELECT event_type, idx,
+                           sum(n) OVER (PARTITION BY event_type ORDER BY idx
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM c WHERE idx IS NOT NULL),
+            ps AS (SELECT unnest([50, 95, 99]) AS p),
+            picked AS (SELECT t.event_type, ps.p, t.zc,
+                              (t.total * ps.p + 99) // 100 AS rank,
+                              min(cum.idx) AS idx
+                       FROM tot t CROSS JOIN ps
+                       LEFT JOIN cum ON cum.event_type = t.event_type
+                       WHERE t.zc + coalesce(cum.cum, 0) >= (t.total * ps.p + 99) // 100
+                       GROUP BY t.event_type, ps.p, t.zc, t.total),
+            est AS (SELECT event_type, p,
+                           CASE WHEN zc >= rank THEN 0.0
+                                ELSE round(2.0 * power(1.02, idx) / 2.02, 6)
+                           END AS est
+                    FROM picked)
+            SELECT e.event_type, CAST(t.total AS BIGINT) AS n_rows,
+                   max(CASE WHEN p = 50 THEN est END) AS p50,
+                   max(CASE WHEN p = 95 THEN est END) AS p95,
+                   max(CASE WHEN p = 99 THEN est END) AS p99
+            FROM est e JOIN tot t USING (event_type)
+            GROUP BY e.event_type, t.total
+            ORDER BY e.event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
+    aggDdsketchQuantile,
     aggTypeCooccurrence, aggExactQuantiles,
     aggGlobal, aggHashGroupby, aggStringAggOrdered, aggCountDistinct,
     aggApproxDistinct, aggMinMaxAvg, aggMedianPercentile, aggGroupingSets,

@@ -902,6 +902,135 @@ object StreamingOps {
   private def deleteRecursively(p: Path): Unit =
     graft.util.TempDirs.deleteRecursively(p)
 
+  /** Continuous SCD2 maintenance — the streaming counterpart of
+    * `sink_scd2_apply`, closing the pairing the MV ops have
+    * (`sink_mv_incremental_refresh` ↔ [[streamMvMaintenance]]): the
+    * historized dimension lives as a BUCKET-chained state table
+    * (`state/bucket=<user_id % 16>/v<batchId>/`, NULL keys in the `-1`
+    * chain), and each micro-batch rewrites ONLY the buckets it touches.
+    * Within a touched bucket, keys absent from the batch pass through;
+    * keys present are rebuilt by re-windowing their FULL history ∪ the
+    * batch rows — which makes the result correct under ANY batch split,
+    * including late rows that land between already-closed intervals (the
+    * one case the batch sibling's after-the-cutoff contract excludes).
+    * Work per batch ∝ touched buckets + touched keys' history; replay is
+    * idempotent (versions strictly below the batch id, deterministic
+    * rewrite — the [[mvMaintainedState]] discipline). The oracle is the
+    * full-history SCD2 window SQL, so the hash gate proves continuous
+    * maintenance ≡ complete rebuild; StreamingSpec pins the multi-batch
+    * replay against the single-batch result. At 100 TB the bucket count
+    * is the knob you raise with dimension size — rewrite granularity is
+    * bucket-level, exactly like any bucketed lakehouse dimension.
+    */
+  private val Scd2Buckets = 16
+
+  private[streaming] def scd2MaintainedState(s: SparkSession, d: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val base = graft.util.TempDirs.create("graft_stream_scd2").toString
+    val cp = s"$base/checkpoint"
+    val stateBase = s"$base/state"
+    val stateCols = Seq(col("user_id"), col("event_id"), col("value"),
+      col("valid_from_us"), col("valid_to_us"), col("is_current"), col("bucket"))
+    def scd2(rows: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      rows
+        .withColumn("valid_from_us", col("ts_us"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .select(stateCols: _*)
+    }
+    val src = streamedEvents(s, d, maxFilesPerTrigger)
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+    val mergeBatch: (DataFrame, Long) => Unit = (batch, id) => {
+      val ss = batch.sparkSession
+      val rows = batch
+        .withColumn("bucket",
+          coalesce(pmod(col("user_id"), lit(Scd2Buckets.toLong)), lit(-1L)))
+        .persist()
+      try {
+        val touched = rows.select(col("bucket")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        if (touched.nonEmpty) {
+          val prevDirs = touched.flatMap { b =>
+            latestVersionBelow(s"$stateBase/bucket=$b", id)
+              .map(v => s"$stateBase/bucket=$b/v$v")
+          }
+          val prev =
+            if (prevDirs.isEmpty) scd2(rows).limit(0)
+            else ss.read.parquet(prevDirs: _*).select(stateCols: _*)
+          val batchKeys = rows.select(col("user_id").as("t_user_id")).distinct()
+          val passThrough = prev.join(batchKeys,
+            col("user_id") <=> col("t_user_id"), "left_anti")
+          // touched keys rebuild from FULL history ∪ batch: correct under
+          // any split, late rows included
+          val hist = prev.join(batchKeys,
+              col("user_id") <=> col("t_user_id"), "left_semi")
+            .select(col("user_id"), col("event_id"), col("value"),
+              col("valid_from_us").as("ts_us"), col("bucket"))
+            .unionByName(rows.select(col("user_id"), col("event_id"),
+              col("value"), col("ts_us"), col("bucket")))
+          val newState = passThrough.unionByName(scd2(hist))
+          val scratch = s"$stateBase/.batch_b$id"
+          newState.repartition(col("bucket"))
+            .withColumn("bucket_p", col("bucket"))
+            .write.partitionBy("bucket_p").mode("overwrite").parquet(scratch)
+          touched.foreach { b =>
+            val from = Paths.get(scratch, s"bucket_p=$b")
+            val to = Paths.get(stateBase, s"bucket=$b", s"v$id")
+            deleteRecursively(to)
+            Files.createDirectories(to.getParent)
+            if (Files.exists(from)) Files.move(from, to)
+            else Files.createDirectories(to) // bucket emptied: commit empty
+          }
+          deleteRecursively(Paths.get(scratch))
+        }
+      } finally rows.unpersist()
+    }
+    val query = src.writeStream
+      .foreachBatch(mergeBatch)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val stateDir = Paths.get(stateBase)
+    val bucketDirs: Seq[String] =
+      if (!Files.isDirectory(stateDir)) Seq.empty
+      else {
+        val stream = Files.list(stateDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("bucket=")).toSeq
+        } finally stream.close()
+      }
+    if (bucketDirs.isEmpty)
+      throw new IllegalStateException(s"no SCD2 state under $stateBase")
+    val headDirs = bucketDirs.flatMap { bn =>
+      latestVersionBelow(s"$stateBase/$bn", Long.MaxValue)
+        .map(v => s"$stateBase/$bn/v$v")
+    }
+    s.read.parquet(headDirs: _*)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy(asc_nulls_first("user_id"), asc("valid_from_us"), asc("event_id"))
+  }
+
+  val streamScd2Apply: Q = Q(
+    "stream_scd2_apply",
+    (s, d) => scd2MaintainedState(s, d),
+    Some("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us
+                       FROM events)
+            SELECT user_id, event_id, value,
+                   ts_us AS valid_from_us,
+                   lead(ts_us) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) AS valid_to_us,
+                   lead(ts_us) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id) IS NULL AS is_current
+            FROM e
+            ORDER BY user_id NULLS FIRST, valid_from_us, event_id"""))
+
   val streamMvMaintenance: Q = Q(
     "stream_mv_maintenance",
     (s, d) => mvMaintainedState(s, d),
@@ -917,5 +1046,6 @@ object StreamingOps {
     streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert,
     streamStatefulRunningMax, streamFlatmapTypeCounts, streamStreamJoin,
     streamStreamLeftOuter, streamStreamFullOuter, streamStaticJoin,
-    streamSnapshotHandoff, streamDistinctUsersKmv, streamMvMaintenance)
+    streamSnapshotHandoff, streamDistinctUsersKmv, streamMvMaintenance,
+    streamScd2Apply)
 }

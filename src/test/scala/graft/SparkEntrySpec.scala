@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (236 keys, 212 oracles)") {
-    assert(SparkEntry.queries.size == 236,
+  test("registry matches the SURVEY §2 inventory size (238 keys, 214 oracles)") {
+    assert(SparkEntry.queries.size == 238,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 212,
+    assert(SparkEntry.oracleSql.size == 214,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -196,6 +196,29 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  test("agg_ddsketch_quantile: estimates within the 1% relative-error guarantee") {
+    val est = Aggregations.aggDdsketchQuantile.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val vals = graft.Tables.read(spark, sf, "events")
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    def exact(xs: Array[Double], p: Long): Double = xs((((xs.length * p + 99) / 100) - 1).toInt)
+    val gamma = 1.02
+    val bound = (gamma - 1) / (gamma + 1) + 1e-6
+    vals.foreach { case (t, xs) =>
+      val (p50, p95, p99) = est(t)
+      Seq((p50, 50L), (p95, 95L), (p99, 99L)).foreach { case (e, p) =>
+        val x = exact(xs, p)
+        if (x > 0)
+          assert(math.abs(e - x) / x <= bound,
+            s"$t p$p: est $e vs exact $x exceeds DDSketch bound $bound")
+        else assert(e == 0.0)
+      }
+    }
+  }
+
   test("llm_source_kl_drift: KL is non-negative and finite for every source") {
     val rows = LlmOps.llmSourceKlDrift.fn(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -258,4 +258,29 @@ class StreamingSpec extends SparkSpec {
     assert(multi.exceptAll(oneShot).isEmpty && oneShot.exceptAll(multi).isEmpty,
       "multi-batch MV state differs from the single-pass aggregate")
   }
+
+  test("stream_scd2_apply: 4-batch replay with interleaved times equals full rebuild") {
+    // repartition(4) scatters rows RANDOMLY across the 4 micro-batch
+    // files, so later batches carry event times EARLIER than already-
+    // closed intervals — the late-data case the full-history rebuild of
+    // touched keys must absorb
+    val dir = graft.util.TempDirs.create("scd2_stream_fixture")
+    Tables.read(spark, sf, "events")
+      .repartition(4)
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val multi = graft.streaming.StreamingOps
+      .scd2MaintainedState(spark, dir.toString, Some(1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val oneShot = Tables.read(spark, dir.toString, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+    assert(multi.exceptAll(oneShot).isEmpty && oneShot.exceptAll(multi).isEmpty,
+      "multi-batch SCD2 state differs from the full-history rebuild")
+  }
 }
