@@ -1542,6 +1542,75 @@ object PipelineOps {
               FROM documents)
             ORDER BY doc_id NULLS FIRST, epoch"""))
 
+  /** Classical seasonal decomposition (STL-lite, the moving-average
+    * flavor of Cleveland et al.'s STL): daily total value splits into
+    * TREND (centered 7-day moving average — NULL at the 3-day edges
+    * where the window is incomplete, deterministically), SEASONAL (the
+    * weekday mean of the detrended series) and RESIDUAL — the
+    * decomposition an anomaly gate should run on business-cycled data
+    * (`ts_weekday_profile` is the profile half; this emits the full
+    * per-day split). Aggregate-first: ONE corpus hash agg to the
+    * O(#days) daily table, then every window/join runs on |days| rows.
+    * Determinism: daily totals are exact DECIMAL sums; each division
+    * (by 7, by the weekday count) is one double op rounded to 6 dp, and
+    * residual = v − trend − seasonal is computed FROM the rounded
+    * components, so both engines emit identical bits. Weekday is epoch
+    * `day % 7` — pure integer, no calendar library.
+    */
+  val tsSeasonalDecompose: Q = Q(
+    "ts_seasonal_decompose",
+    (s, d) => {
+      val daily = Tables.read(s, d, "events")
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(28, 2)).as("v"))
+      val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val t = daily
+        .withColumn("trend",
+          when(count(lit(1)).over(wTrend) === 7,
+            round(sum(col("v")).over(wTrend).cast(DoubleType) / 7.0, 6)))
+        .withColumn("detr",
+          round(col("v").cast(DoubleType) - col("trend"), 6)
+            .cast(DecimalType(28, 6)))
+        .withColumn("weekday", pmod(col("day"), lit(7L)))
+        .truncated // feeds the weekday means AND the final join
+      val seas = t.filter(col("detr").isNotNull)
+        .groupBy(col("weekday"))
+        .agg(round(sum(col("detr")).cast(DoubleType) / count(col("detr")), 6)
+          .as("seasonal"))
+      t.join(broadcast(seas), Seq("weekday"), "left")
+        .select(col("day"), col("v").cast(DoubleType).as("total_value"),
+          col("trend"),
+          when(col("trend").isNotNull, col("seasonal")).as("seasonal"),
+          when(col("trend").isNotNull,
+            round(col("v").cast(DoubleType) - col("trend") - col("seasonal"), 6))
+            .as("residual"))
+        .orderBy(asc_nulls_first("day"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS v
+                           FROM events GROUP BY 1),
+            t AS (SELECT day, v,
+                         CASE WHEN count(*) OVER w7 = 7
+                              THEN round(CAST(sum(v) OVER w7 AS DOUBLE) / 7.0, 6)
+                         END AS trend,
+                         day % 7 AS weekday
+                  FROM daily
+                  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            t2 AS (SELECT *, CAST(round(CAST(v AS DOUBLE) - trend, 6)
+                                  AS DECIMAL(28,6)) AS detr FROM t),
+            seas AS (SELECT weekday,
+                            round(CAST(sum(detr) AS DOUBLE) / count(detr), 6)
+                              AS seasonal
+                     FROM t2 WHERE detr IS NOT NULL GROUP BY 1)
+            SELECT t2.day, CAST(t2.v AS DOUBLE) AS total_value, t2.trend,
+                   CASE WHEN t2.trend IS NOT NULL THEN s.seasonal END AS seasonal,
+                   CASE WHEN t2.trend IS NOT NULL
+                        THEN round(CAST(t2.v AS DOUBLE) - t2.trend - s.seasonal, 6)
+                   END AS residual
+            FROM t2 LEFT JOIN seas s USING (weekday)
+            ORDER BY day NULLS FIRST"""))
+
   /** Day-of-week seasonality profile — the decomposition step before any
     * anomaly gate on business-cycled data (a Monday spike is seasonality,
     * not drift): per (series, weekday) volume and mean vs the series'
@@ -1843,5 +1912,5 @@ object PipelineOps {
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
     tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, tsFunnelStages,
-    tsRollingDau, tsActiveStreak, llmTextNormalize)
+    tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose)
 }

@@ -1999,6 +1999,93 @@ object SourceOps {
             WHERE md5(text) = p.probe
             ORDER BY doc_id NULLS FIRST"""))
 
+  /** Data-quality constraint audit — the Deequ / dbt-test / Great-
+    * Expectations pattern every warehouse sync runs before publishing:
+    * declared constraints checked in bulk, emitting one audit row per
+    * constraint with violation and checked counts (the audit TABLE is
+    * the contract — alerting thresholds read it, WAP-style gates join
+    * it). Checks: range (l_quantity ∈ [1, 50], l_discount ∈ [0, 0.1]),
+    * domain (o_orderstatus ∈ {F, O, P}), NOT NULL (o_custkey), key
+    * uniqueness (o_orderkey), referential containment (l_orderkey ⊆
+    * orders). Scale shape: ALL per-row predicates on one table fuse
+    * into ONE conditional-sum aggregate scan of that table (never one
+    * scan per check); uniqueness is one keyed agg; the FK check is a
+    * left-anti join that AQE sizes — 100 TB cost is two table scans +
+    * one join, independent of how many row-level constraints are
+    * declared.
+    */
+  val opConstraintAudit: Q = Q(
+    "op_constraint_audit",
+    (s, d) => {
+      import s.implicits._
+      val li = Tables.read(s, d, "lineitem")
+      val ord = Tables.read(s, d, "orders").truncated // agg + dup + FK legs
+      // NULL counts as a violation of range/domain constraints (standard
+      // constraint semantics; `|| isNull` matches the oracle's OR IS NULL)
+      val liAgg = li.agg(
+        count(lit(1)).as("n_li"),
+        sum(when(!col("l_quantity").between(1, 50) || col("l_quantity").isNull,
+          1L).otherwise(0L)).as("qty_bad"),
+        sum(when(!col("l_discount").between(0.0, 0.1) || col("l_discount").isNull,
+          1L).otherwise(0L)).as("disc_bad")
+      ).head()
+      val ordAgg = ord.agg(
+        count(lit(1)).as("n_ord"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P") ||
+          col("o_orderstatus").isNull, 1L).otherwise(0L)).as("st_bad"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("cust_null")
+      ).head()
+      val dupKeys = ord.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).agg(coalesce(sum(col("c")), lit(0L))).head().getLong(0)
+      val fkOrphans = li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .count()
+      Seq(
+        ("fk_lineitem_orders", fkOrphans, liAgg.getLong(0)),
+        ("not_null_o_custkey", ordAgg.getLong(2), ordAgg.getLong(0)),
+        ("range_l_discount", liAgg.getLong(2), liAgg.getLong(0)),
+        ("range_l_quantity", liAgg.getLong(1), liAgg.getLong(0)),
+        ("status_domain", ordAgg.getLong(1), ordAgg.getLong(0)),
+        ("unique_o_orderkey", dupKeys, ordAgg.getLong(0))
+      ).toDF("check_name", "n_violations", "n_checked")
+        .orderBy(asc_nulls_first("check_name"))
+    },
+    Some("""SELECT 'fk_lineitem_orders' AS check_name,
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+                     AS n_violations,
+                   (SELECT count(*) FROM lineitem) AS n_checked
+            UNION ALL
+            SELECT 'not_null_o_custkey',
+                   (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+                   (SELECT count(*) FROM orders)
+            UNION ALL
+            SELECT 'range_l_discount',
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_discount NOT BETWEEN 0.0 AND 0.1
+                       OR l_discount IS NULL),
+                   (SELECT count(*) FROM lineitem)
+            UNION ALL
+            SELECT 'range_l_quantity',
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_quantity NOT BETWEEN 1 AND 50 OR l_quantity IS NULL),
+                   (SELECT count(*) FROM lineitem)
+            UNION ALL
+            SELECT 'status_domain',
+                   (SELECT count(*) FROM orders
+                    WHERE o_orderstatus NOT IN ('F', 'O', 'P')
+                       OR o_orderstatus IS NULL),
+                   (SELECT count(*) FROM orders)
+            UNION ALL
+            SELECT 'unique_o_orderkey',
+                   (SELECT coalesce(sum(c), 0) FROM
+                     (SELECT count(*) AS c FROM orders
+                      GROUP BY o_orderkey HAVING count(*) > 1)),
+                   (SELECT count(*) FROM orders)
+            ORDER BY check_name NULLS FIRST"""))
+
   /** MERGE INTO — the canonical three-branch warehouse merge (ANSI
     * MERGE; Delta/Iceberg `MERGE INTO`), the branch-conditional
     * generalization of the CDC apply ops: a source delta carries an op
@@ -2217,5 +2304,5 @@ object SourceOps {
     sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh,
     srcTsRangePrune, opZonemapIncremental, srcTimeTravelRead,
     sinkScd2Apply, sinkVacuumRetention, opBloomSkipIndex, sinkWapPublish,
-    sinkMergeInto)
+    sinkMergeInto, opConstraintAudit)
 }

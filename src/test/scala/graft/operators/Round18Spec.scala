@@ -219,6 +219,58 @@ class Round18Spec extends SparkSpec {
     }
   }
 
+  test("ts_seasonal_decompose: components reconstruct the series exactly") {
+    val rows = PipelineOps.tsSeasonalDecompose.fn(spark, sf).collect()
+    assert(rows.length >= 7, "corpus must span more than a week of days")
+    var interior = 0
+    rows.foreach { r =>
+      val v = r.getDouble(1)
+      if (!r.isNullAt(2)) {
+        interior += 1
+        val recon = r.getDouble(2) + r.getDouble(3) + r.getDouble(4)
+        // residual is defined FROM the rounded components, so the
+        // reconstruction closes to the rounding grain exactly
+        assert(math.abs(v - recon) <= 2e-6,
+          s"day ${r.getLong(0)}: $v != trend+seasonal+residual $recon")
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(4),
+          "edge days must have no seasonal/residual either")
+      }
+    }
+    assert(interior == rows.length - 6, "exactly 3 edge days on each end")
+  }
+
+  test("op_constraint_audit: clean corpus is clean; crafted violations are counted") {
+    import spark.implicits._
+    val clean = SourceOps.opConstraintAudit.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.values.forall(_ == 0L), s"driver corpus must audit clean: $clean")
+    // one violation of every class
+    val dir = graft.util.TempDirs.create("constraint_fixture")
+    Seq(
+      (1L, Some(10L), "F", 100.0, "1-URGENT", "c"),
+      (1L, Some(11L), "O", 100.0, "2-HIGH", "dup key"), // duplicate o_orderkey
+      (3L, None, "X", 100.0, "3-MEDIUM", "bad status + null cust")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority", "o_comment")
+      .write.parquet(dir.resolve("orders.parquet").toString)
+    Seq(
+      (1L, 1, 10.0, 0.05),   // ok
+      (1L, 2, 99.0, 0.05),   // quantity out of range
+      (1L, 3, 10.0, 0.5),    // discount out of range
+      (999L, 1, 10.0, 0.05)  // FK orphan
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .write.parquet(dir.resolve("lineitem.parquet").toString)
+    val got = SourceOps.opConstraintAudit.fn(spark, dir.toString).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got("fk_lineitem_orders") == (1L, 4L))
+    assert(got("not_null_o_custkey") == (1L, 3L))
+    assert(got("range_l_quantity") == (1L, 4L))
+    assert(got("range_l_discount") == (1L, 4L))
+    assert(got("status_domain") == (1L, 3L))
+    assert(got("unique_o_orderkey") == (2L, 3L))
+  }
+
   test("llm_source_kl_drift: KL is non-negative and finite for every source") {
     val rows = LlmOps.llmSourceKlDrift.fn(spark, sf).collect()
     assert(rows.nonEmpty)
