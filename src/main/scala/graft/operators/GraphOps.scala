@@ -25,12 +25,69 @@ import graft.util.Checkpoints.Truncate
   */
 object GraphOps {
 
-  /** Degree distribution of the similarity graph: degree per paired doc,
-    * then histogram (degree → node count). Two hash aggs on the edge
-    * list. DuckDB-oracled exactly (all integers).
+  /** The SQL-portable pair CTE shared by the oracle-checked graph ops:
+    * the exact-Jaccard τ=0.9 edge set on the deterministic `doc_id % 5 = 1`
+    * shard — the SAME scoping (and for the same reason) as
+    * `llm_dedup_keep_best`: the oracle's token self-join is quadratic in
+    * clique size, and the shard keeps DuckDB at seconds while the engine
+    * path exercised is the identical full `jaccardPairs` machinery.
+    */
+  private val jaccardPairsCte =
+    """WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 1),
+       toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM docs),
+       sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                        CAST(COUNT(*) AS BIGINT) AS inter
+                 FROM toks a JOIN toks b
+                   ON a.tok = b.tok AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+       pairs AS (SELECT id1, id2 FROM inter
+                 JOIN sizes s1 ON id1 = s1.doc_id
+                 JOIN sizes s2 ON id2 = s2.doc_id
+                 WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.9)"""
+
+  /** Sharded exact-Jaccard pair list (engine side of [[jaccardPairsCte]]),
+    * materialized once per op — the consumers reference it ≥ twice and
+    * without truncation the whole token subtree re-expands per reference.
+    */
+  private def shardedJaccardPairs(s: SparkSession, d: String): DataFrame =
+    LlmOps.jaccardPairs(s,
+        LlmOps.docTokens(s, d).filter(col("doc_id") % lit(5) === 1))
+      .select(col("id1"), col("id2")).truncated
+
+  /** Degree distribution of the near-dup similarity graph: degree per
+    * paired doc, then histogram (degree → node count). Two hash aggs on
+    * the edge list. Runs on the exact-Jaccard sharded edge set so it is
+    * fully DuckDB-oracled (all integers, hash-checked); the banded-simhash
+    * flavor stays registered as [[graphDegreeDistSimhash]] — the 100 TB
+    * scale demo, where the edge list comes from LSH banding instead of the
+    * exact pair join.
     */
   val graphDegreeDist: Q = Q(
     "graph_degree_dist",
+    (s, d) => {
+      val p = shardedJaccardPairs(s, d)
+      val deg = p.select(col("id1").as("id"))
+        .union(p.select(col("id2").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(asc_nulls_first("degree"))
+    },
+    Some(jaccardPairsCte +
+      """, deg AS (SELECT id, COUNT(*) AS degree
+                   FROM (SELECT id1 AS id FROM pairs
+                         UNION ALL SELECT id2 AS id FROM pairs)
+                   GROUP BY id)
+         SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM deg GROUP BY degree ORDER BY degree NULLS FIRST"""))
+
+  /** The banded-simhash degree distribution — same two hash aggs, but the
+    * edge list is the Hamming≤3 simhash pair set (native expression, not
+    * SQL-portable → conservation spec + scale demo; see SCALE.md).
+    */
+  val graphDegreeDistSimhash: Q = Q(
+    "graph_degree_dist_simhash",
     (s, d) => {
       // materialized once: the union references the pair list twice, and
       // without this the whole simhash subtree (corpus scans included)
@@ -104,11 +161,28 @@ object GraphOps {
     * a vertex's out-degree under this orientation is O(√m), which bounds
     * the wedge blow-up — the textbook mitigation for the skew that id-
     * ordered orientation suffers when a hub lands on a low id. Three
-    * equi-joins, no iteration. Simhash pairs are not SQL-portable →
-    * spec'd against a brute-force reference (GraphOpsSpec).
+    * equi-joins, no iteration. Runs on the exact-Jaccard sharded edge set
+    * ([[jaccardPairsCte]]) so the count is DuckDB-oracled bit-for-bit
+    * (the oracle's a<b<c 3-way self-join is orientation-free — triangle
+    * count is orientation-independent, so both formulations agree by
+    * construction); the banded-simhash flavor stays registered as
+    * [[graphTriangleCountSimhash]] for scale.
     */
   val graphTriangleCount: Q = Q(
     "graph_triangle_count",
+    (s, d) => triangleCount(shardedJaccardPairs(s, d)),
+    Some(jaccardPairsCte +
+      """ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM pairs e1
+          JOIN pairs e2 ON e2.id1 = e1.id2
+          JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2"""))
+
+  /** Banded-simhash triangle count — identical engine
+    * ([[triangleCount]]), Hamming≤3 simhash edge set (not SQL-portable →
+    * brute-force-reference spec + scale demo).
+    */
+  val graphTriangleCountSimhash: Q = Q(
+    "graph_triangle_count_simhash",
     (s, d) => triangleCount(
       LlmOps.simhashPairs(s, d).select(col("id1"), col("id2"))),
     None)
@@ -206,6 +280,7 @@ object GraphOps {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(graphDegreeDist, graphPagerank, graphTriangleCount,
+  val all: Seq[Q] = Seq(graphDegreeDist, graphDegreeDistSimhash,
+    graphPagerank, graphTriangleCount, graphTriangleCountSimhash,
     graphLinkPrediction)
 }

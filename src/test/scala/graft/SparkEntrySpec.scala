@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (240 keys, 216 oracles)") {
-    assert(SparkEntry.queries.size == 240,
+  test("registry matches the SURVEY §2 inventory size (242 keys, 218 oracles)") {
+    assert(SparkEntry.queries.size == 242,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 216,
+    assert(SparkEntry.oracleSql.size == 218,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -12,7 +12,7 @@ class GraphOpsSpec extends SparkSpec {
     val pairs = LlmOps.simhashPairs(spark, sf)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
-    val dist = GraphOps.graphDegreeDist.fn(spark, sf).collect()
+    val dist = GraphOps.graphDegreeDistSimhash.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length
     assert(dist.map(_._2).sum == nodes)
@@ -167,6 +167,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(triangles(square :+ (1L, 3L)) == 2L)
     // self-loops must not create triangles
     assert(triangles(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))) == 1L)
+  }
+
+  test("oracle-checked degree distribution conserves nodes/edges on the sharded jaccard graph") {
+    val shard = col("doc_id") % 5 === 1
+    val pairs = LlmOps.jaccardPairs(spark, LlmOps.docTokens(spark, sf).filter(shard))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val dist = GraphOps.graphDegreeDist.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.length
+    assert(dist.map(_._2).sum == nodes)
+    assert(dist.map { case (d, n) => d * n }.sum == 2L * pairs.length)
+  }
+
+  test("oracle-checked triangle count matches brute force on the sharded jaccard graph") {
+    val shard = col("doc_id") % 5 === 1
+    val edges = LlmOps.jaccardPairs(spark, LlmOps.docTokens(spark, sf).filter(shard))
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val undirected = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(e => e._1 != e._2).distinct.toSet
+    val adj = undirected.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = undirected.toSeq.map { case (a, b) =>
+      (adj(a) & adj(b)).count(c => c > b): Long
+    }.sum
+    val got = GraphOps.graphTriangleCount.fn(spark, sf).collect()
+    assert(got.length == 1 && got.head.getLong(0) == expected)
   }
 
   test("triangle count matches the brute-force reference on the real pair graph") {
