@@ -1611,6 +1611,92 @@ object PipelineOps {
             FROM t2 LEFT JOIN seas s USING (weekday)
             ORDER BY day NULLS FIRST"""))
 
+  /** Holt linear-trend forecast (double exponential smoothing) of the
+    * daily total-value series — the recursive level+trend forecaster the
+    * ts family lacked (`ts_ewma` is level-only and unrollable;
+    * `ts_trend_slope` is a single global fit; this carries coupled
+    * level/trend STATE through the series and emits the one-step-ahead
+    * forecast an ingestion-volume monitor alarms on). α = β = 0.5 —
+    * exact halvings, the `ts_ewma` power-of-two weight discipline — with
+    * level₀ = x₀, trend₀ = 0 (the zero-initial-trend textbook variant,
+    * so the recursion is uniform from t ≥ 1 and needs no two-row seed).
+    *
+    * Shape: aggregate-first to the O(#days) daily table (ONE corpus hash
+    * agg, map-side partials), then the inherently SEQUENTIAL recursion
+    * runs as a single Catalyst `aggregate` fold over the sorted
+    * (day, x) array — one row, one task, |days| elements; at 100 TB
+    * #days is 10³–10⁴, so the fold is trivially driver-safe while the
+    * corpus-sized work stays distributed. Determinism: daily x is one
+    * DECIMAL→double cast; the recursion runs on UNROUNDED doubles with
+    * the oracle's arithmetic inlined to the identical IEEE expression
+    * tree (the new level is substituted textually into the trend update,
+    * which leaves the value bit-identical to two-step evaluation); only
+    * the emitted level/trend/forecast are rounded (6 dp). The DuckDB
+    * oracle is the same recursion as a recursive CTE over the
+    * row-numbered daily table.
+    */
+  val tsHoltForecast: Q = Q(
+    "ts_holt_forecast",
+    (s, d) => {
+      val daily = Tables.read(s, d, "events")
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(28, 2)).cast(DoubleType).as("x"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("s"))
+        .select(explode(expr(
+          """aggregate(
+               s,
+               named_struct('first', true,
+                 'level', cast(0.0 as double), 'trend', cast(0.0 as double),
+                 'out', cast(array() as
+                   array<struct<day:bigint, observed:double, level:double,
+                                trend:double, forecast:double>>)),
+               (acc, e) -> IF(acc.first,
+                 named_struct('first', false, 'level', e.x,
+                   'trend', cast(0.0 as double),
+                   'out', array(named_struct('day', e.day, 'observed', e.x,
+                     'level', e.x, 'trend', cast(0.0 as double),
+                     'forecast', cast(null as double)))),
+                 named_struct('first', false,
+                   'level', 0.5d * e.x + 0.5d * (acc.level + acc.trend),
+                   'trend', 0.5d * ((0.5d * e.x + 0.5d * (acc.level + acc.trend)) - acc.level)
+                            + 0.5d * acc.trend,
+                   'out', array_append(acc.out, named_struct(
+                     'day', e.day, 'observed', e.x,
+                     'level', 0.5d * e.x + 0.5d * (acc.level + acc.trend),
+                     'trend', 0.5d * ((0.5d * e.x + 0.5d * (acc.level + acc.trend)) - acc.level)
+                              + 0.5d * acc.trend,
+                     'forecast', acc.level + acc.trend)))),
+               acc -> acc.out)""")).as("r"))
+        .select(col("r.day").as("day"), col("r.observed").as("observed"),
+          round(col("r.level"), 6).as("level"),
+          round(col("r.trend"), 6).as("trend"),
+          round(col("r.forecast"), 6).as("forecast"))
+        .orderBy(asc_nulls_first("day"))
+    },
+    Some("""WITH RECURSIVE
+            daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                             CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                  AS DECIMAL(28,2)) AS DOUBLE) AS x
+                      FROM events GROUP BY 1),
+            idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+                    FROM daily),
+            hw AS (SELECT rn, day, x AS observed, x AS level,
+                          CAST(0.0 AS DOUBLE) AS trend,
+                          CAST(NULL AS DOUBLE) AS forecast
+                   FROM idx WHERE rn = 1
+                   UNION ALL
+                   SELECT i.rn, i.day, i.x,
+                          0.5 * i.x + 0.5 * (hw.level + hw.trend),
+                          0.5 * ((0.5 * i.x + 0.5 * (hw.level + hw.trend)) - hw.level)
+                            + 0.5 * hw.trend,
+                          hw.level + hw.trend
+                   FROM hw JOIN idx i ON i.rn = hw.rn + 1)
+            SELECT day, observed, round(level, 6) AS level,
+                   round(trend, 6) AS trend, round(forecast, 6) AS forecast
+            FROM hw ORDER BY day NULLS FIRST"""))
+
   /** Day-of-week seasonality profile — the decomposition step before any
     * anomaly gate on business-cycled data (a Monday spike is seasonality,
     * not drift): per (series, weekday) volume and mean vs the series'
@@ -1912,5 +1998,6 @@ object PipelineOps {
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
     tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, tsFunnelStages,
-    tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose)
+    tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
+    tsHoltForecast)
 }

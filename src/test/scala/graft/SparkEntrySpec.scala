@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (242 keys, 218 oracles)") {
-    assert(SparkEntry.queries.size == 242,
+  test("registry matches the SURVEY §2 inventory size (243 keys, 219 oracles)") {
+    assert(SparkEntry.queries.size == 243,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 218,
+    assert(SparkEntry.oracleSql.size == 219,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -281,4 +281,30 @@ class Round18Spec extends SparkSpec {
         s"source ${r.getString(0)} KL $kl out of range")
     }
   }
+
+  test("ts_holt_forecast: fold matches an exact driver-side replay of the recursion") {
+    val rows = PipelineOps.tsHoltForecast.fn(spark, sf).collect()
+    assert(rows.length >= 7, "corpus must span more than a week of days")
+    // replay the identical operation sequence on the observed series:
+    // level/trend recurse on UNROUNDED doubles, output rounds to 6 dp
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var level = rows.head.getDouble(1)
+    var trend = 0.0
+    assert(rows.head.isNullAt(4), "first day has no one-step-ahead forecast")
+    assert(rows.head.getDouble(2) == r6(level) && rows.head.getDouble(3) == 0.0)
+    rows.drop(1).foreach { r =>
+      val x = r.getDouble(1)
+      val forecast = level + trend
+      val newLevel = 0.5 * x + 0.5 * (level + trend)
+      val newTrend = 0.5 * ((0.5 * x + 0.5 * (level + trend)) - level) + 0.5 * trend
+      assert(r.getDouble(2) == r6(newLevel) && r.getDouble(3) == r6(newTrend)
+          && r.getDouble(4) == r6(forecast),
+        s"day ${r.getLong(0)}: engine (${r.getDouble(2)}, ${r.getDouble(3)}, " +
+          s"${r.getDouble(4)}) != replay (${r6(newLevel)}, ${r6(newTrend)}, ${r6(forecast)})")
+      level = newLevel; trend = newTrend
+    }
+    // days are strictly increasing — the sort_array over unique days is total
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
+  }
 }
