@@ -2156,6 +2156,35 @@ object LlmOps {
                          ELSE 'test' END AS split
              FROM documents ORDER BY doc_id NULLS FIRST"""))
 
+  /** Fixed-size uniform corpus sample (k = 200) — the distributed
+    * equivalent of reservoir sampling, made DETERMINISTIC: tag every doc
+    * with an md5 rank (a fixed pseudo-random permutation of doc ids —
+    * reproducible across runs/engines, unlike rand(), and overflow-free
+    * at any id range, unlike the integer scramble) and keep the k
+    * smallest ranks. The k smallest of a uniform tag IS a uniform
+    * k-sample — the same argument that makes classic reservoir sampling
+    * work. Physically this is `TakeOrderedAndProject`: per-partition
+    * top-k heaps + a k-row driver merge — NO shuffle and no full sort at
+    * any corpus size, which is exactly the map-side-reservoir +
+    * merge-of-reservoirs plan a 100 TB sample needs
+    * (`llm_stratified_sample` is the per-stratum-quota sibling; this is
+    * the global fixed-budget one).
+    */
+  val llmReservoirSample: Q = Q(
+    "llm_reservoir_sample",
+    (s, d) =>
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(concat(col("doc_id").cast(StringType), lit(":rsv"))
+            .cast(BinaryType)).as("rsv_rank"))
+        .orderBy(asc("rsv_rank"), asc("doc_id")).limit(200)
+        .orderBy(asc_nulls_first("doc_id")),
+    Some("""SELECT doc_id, lang, source, rsv_rank FROM (
+              SELECT doc_id, lang, source,
+                     md5(CAST(doc_id AS VARCHAR) || ':rsv') AS rsv_rank
+              FROM documents ORDER BY rsv_rank, doc_id LIMIT 200)
+            ORDER BY doc_id NULLS FIRST"""))
+
   /** Document fingerprinting: polynomial rolling hash over characters then
     * tokens, pure 64-bit-safe integer arithmetic (mod 1e9+7) expressible
     * identically in both engines via ordered left folds.
@@ -2480,7 +2509,7 @@ object LlmOps {
     llmAnnPqTopk, llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,
-    llmStratifiedSample, llmTrainSplit,
+    llmStratifiedSample, llmTrainSplit, llmReservoirSample,
     llmDocFingerprint, llmMultimodalJoin,
     llmMultimodalFeatures, tsUserValueSeries, tsResampleFfill, llmTtrStats,
     llmSourceKlDrift, llmWinnowFingerprint, llmWinnowDedupPairs)

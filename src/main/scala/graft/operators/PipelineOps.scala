@@ -1611,6 +1611,66 @@ object PipelineOps {
             FROM t2 LEFT JOIN seas s USING (weekday)
             ORDER BY day NULLS FIRST"""))
 
+  /** Seasonality-aware anomaly gate — the composition
+    * `ts_seasonal_decompose` exists FOR: flag days whose RESIDUAL (the
+    * series after trend and weekday seasonality are removed) exceeds 3×
+    * the mean absolute residual. A raw-value gate fires on every Monday
+    * spike; this one only fires when a day deviates from its own
+    * cycle-adjusted expectation. Cost: the decompose subtree (one corpus
+    * hash agg + O(#days) windows) + one O(#days) aggregate and a
+    * broadcast of the single threshold row. Determinism: residuals are
+    * already rounded 6-dp doubles; the mean-|residual| accumulates in
+    * DECIMAL(28,6) (merge-order independent) and the threshold is one
+    * rounded double op; the flag compares the same two doubles in both
+    * engines. Oracle embeds the decompose CTE verbatim (keep in sync
+    * with `ts_seasonal_decompose`).
+    */
+  val tsSeasonalAnomaly: Q = Q(
+    "ts_seasonal_anomaly",
+    (s, d) => {
+      val dec = tsSeasonalDecompose.fn(s, d)
+        .filter(col("residual").isNotNull)
+        .select(col("day"),
+          col("residual").cast(DecimalType(28, 6)).as("r"))
+        .truncated // feeds the threshold agg AND the per-day flag
+      val thr = dec.agg(
+        round(sum(expr("abs(r)")).cast(DoubleType) / count(lit(1)) * 3.0, 6)
+          .as("threshold"))
+      dec.crossJoin(broadcast(thr))
+        .select(col("day"), col("r").cast(DoubleType).as("residual"),
+          col("threshold"),
+          (abs(col("r").cast(DoubleType)) > col("threshold")).as("is_anomaly"))
+        .orderBy(asc_nulls_first("day"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS v
+                           FROM events GROUP BY 1),
+            t AS (SELECT day, v,
+                         CASE WHEN count(*) OVER w7 = 7
+                              THEN round(CAST(sum(v) OVER w7 AS DOUBLE) / 7.0, 6)
+                         END AS trend,
+                         day % 7 AS weekday
+                  FROM daily
+                  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            t2 AS (SELECT *, CAST(round(CAST(v AS DOUBLE) - trend, 6)
+                                  AS DECIMAL(28,6)) AS detr FROM t),
+            seas AS (SELECT weekday,
+                            round(CAST(sum(detr) AS DOUBLE) / count(detr), 6)
+                              AS seasonal
+                     FROM t2 WHERE detr IS NOT NULL GROUP BY 1),
+            resid AS (SELECT t2.day,
+                             CAST(round(CAST(t2.v AS DOUBLE) - t2.trend - s.seasonal, 6)
+                                  AS DECIMAL(28,6)) AS r
+                      FROM t2 JOIN seas s USING (weekday)
+                      WHERE t2.trend IS NOT NULL),
+            thr AS (SELECT round(CAST(sum(abs(r)) AS DOUBLE) / count(*) * 3.0, 6)
+                             AS threshold
+                    FROM resid)
+            SELECT day, CAST(r AS DOUBLE) AS residual, threshold,
+                   abs(CAST(r AS DOUBLE)) > threshold AS is_anomaly
+            FROM resid CROSS JOIN thr
+            ORDER BY day NULLS FIRST"""))
+
   /** Holt linear-trend forecast (double exponential smoothing) of the
     * daily total-value series — the recursive level+trend forecaster the
     * ts family lacked (`ts_ewma` is level-only and unrollable;
@@ -1999,5 +2059,5 @@ object PipelineOps {
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
     tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, tsFunnelStages,
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
-    tsHoltForecast)
+    tsHoltForecast, tsSeasonalAnomaly)
 }

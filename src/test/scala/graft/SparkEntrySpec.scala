@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (243 keys, 219 oracles)") {
-    assert(SparkEntry.queries.size == 243,
+  test("registry matches the SURVEY §2 inventory size (245 keys, 221 oracles)") {
+    assert(SparkEntry.queries.size == 245,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 219,
+    assert(SparkEntry.oracleSql.size == 221,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -307,4 +307,43 @@ class Round18Spec extends SparkSpec {
     // days are strictly increasing — the sort_array over unique days is total
     assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
   }
+
+  test("llm_reservoir_sample: exactly the 200 smallest md5 ranks, via top-k not a full sort") {
+    val df = LlmOps.llmReservoirSample.fn(spark, sf)
+    // plan shape: per-partition top-k + driver merge, never a global sort
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "the sample must be a TakeOrderedAndProject, not a full Sort+Limit")
+    val got = df.collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(got.length == 200)
+    // driver reference: rank every doc, take the 200 smallest (rank, id)
+    val expected = Tables.read(spark, sf, "documents").select("doc_id").collect()
+      .map(_.getLong(0))
+      .map { id =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id:rsv".getBytes("UTF-8"))
+        (id, d.map("%02x".format(_)).mkString)
+      }
+      .sortBy { case (id, h) => (h, id) }.take(200).sortBy(_._1)
+    assert(got.toSeq == expected.map { case (id, h) => (id, h) }.toSeq)
+  }
+
+  test("ts_seasonal_anomaly: threshold is 3x the mean absolute residual of the interior days") {
+    val dec = PipelineOps.tsSeasonalDecompose.fn(spark, sf).collect()
+      .filter(!_.isNullAt(4)).map(r => (r.getLong(0), r.getDouble(4)))
+    val got = PipelineOps.tsSeasonalAnomaly.fn(spark, sf).collect()
+    assert(got.length == dec.length, "one row per interior (residual-bearing) day")
+    // threshold replay in the same exact arithmetic: BigDecimal sum of the
+    // 6-dp residuals, one double division, one 6-dp round
+    val sumAbs = dec.map { case (_, r) =>
+      BigDecimal(r).abs.setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val thr = BigDecimal(sumAbs.toDouble / dec.length * 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val decMap = dec.toMap
+    got.foreach { r =>
+      assert(r.getDouble(2) == thr, s"threshold ${r.getDouble(2)} != replay $thr")
+      assert(r.getDouble(1) == decMap(r.getLong(0)), "residual must match decompose")
+      assert(r.getBoolean(3) == (math.abs(r.getDouble(1)) > thr))
+    }
+  }
 }
