@@ -853,6 +853,110 @@ object LlmOps {
             SELECT vec_id, label, score FROM scored
             ORDER BY score DESC NULLS FIRST, vec_id NULLS FIRST LIMIT 10"""))
 
+  /** MMR (maximal-marginal-relevance, Carbonell & Goldstein SIGIR'98)
+    * diversified top-k — the selection step a training-data curator runs
+    * INSTEAD of plain cosine top-k when near-duplicate hits would waste
+    * the budget: greedily pick 8 of the top-20 candidates maximizing
+    * `0.7·rel(c,q) − 0.3·max_{s∈S} sim(c,s)` (relevance minus redundancy
+    * against what is already selected).
+    *
+    * Scale shape: ALL corpus-sized work is distributed — the candidate
+    * pool is `TakeOrderedAndProject` over the full embedding table (the
+    * `llm_cosine_topk` plan) and the pairwise sims are a k×k self-join of
+    * the 20-row pool; only the inherently sequential greedy loop runs on
+    * the driver, over O(k²) collected doubles — bounded by the SELECTION
+    * budget (k is the knob), never by the corpus, the same driver-state
+    * budget class as `dedupClusterRep`'s fast path. Determinism: rel and
+    * sims are 4-dp-rounded before the greedy (so the argmax compares
+    * identical doubles cross-engine), each MMR score is one double
+    * expression rounded to 6 dp, ties break by vec_id. The DuckDB oracle
+    * replays the greedy as a recursive CTE whose LATERAL picks the
+    * best-scored remaining candidate per step.
+    */
+  val llmMmrDiversify: Q = Q(
+    "llm_mmr_diversify",
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.read(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val rel = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("rel", round(cosineCols(s)("embedding", "qvec"), 4))
+        .select(col("vec_id"), col("embedding"), col("rel"))
+        .orderBy(desc_nulls_first("rel"), asc_nulls_first("vec_id"))
+        .limit(20)
+        .truncated // pool feeds both self-join sides and the collect
+      val sims = rel.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+        .join(broadcast(rel.select(col("vec_id").as("id2"), col("embedding").as("e2"))),
+          col("id1") =!= col("id2"))
+        .select(col("id1"), col("id2"), round(cosineCols(s)("e1", "e2"), 4).as("sim"))
+      val cand = rel.select(col("vec_id"), col("rel")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val simMap = sims.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val first = cand.maxBy { case (id, rl) => (rl, -id) }
+      var selected = List(first._1)
+      val out = scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Double, Option[Double], Double)](
+        (1L, first._1, first._2, None, first._2))
+      (2 to 8).foreach { rnk =>
+        val best = cand.filterNot(c => selected.contains(c._1))
+          .map { case (id, rl) =>
+            val ms = selected.map(sid => simMap((id, sid))).max
+            (id, rl, ms, r6(0.7 * rl - 0.3 * ms))
+          }
+          .maxBy { case (id, _, _, score) => (score, -id) }
+        selected = selected :+ best._1
+        out += ((rnk.toLong, best._1, best._2, Some(best._3), best._4))
+      }
+      out.toSeq.toDF("rnk", "vec_id", "rel", "max_sim", "score")
+        .orderBy(asc("rnk"))
+    },
+    Some("""WITH RECURSIVE
+            q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+            rel AS (SELECT vec_id,
+                           round(
+                             list_sum(list_transform(range(1, 65),
+                               i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+                             / (sqrt(list_sum(list_transform(range(1, 65),
+                                  i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                              * sqrt(list_sum(list_transform(range(1, 65),
+                                  i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))), 4) AS rel
+                    FROM embeddings, q WHERE vec_id <> 0
+                    ORDER BY rel DESC, vec_id LIMIT 20),
+            cand AS (SELECT e.vec_id, e.embedding, r.rel
+                     FROM embeddings e JOIN rel r USING (vec_id)),
+            sims AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+                            round(
+                              list_sum(list_transform(range(1, 65),
+                                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                              / (sqrt(list_sum(list_transform(range(1, 65),
+                                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(range(1, 65),
+                                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))), 4) AS sim
+                     FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+            mmr AS (
+              (SELECT 1 AS rnk, vec_id, rel, CAST(NULL AS DOUBLE) AS max_sim,
+                      rel AS score, [vec_id] AS selected
+               FROM rel ORDER BY rel DESC, vec_id LIMIT 1)
+              UNION ALL
+              SELECT m.rnk + 1, pick.vec_id, pick.rel, pick.ms, pick.score,
+                     list_append(m.selected, pick.vec_id)
+              FROM mmr m, LATERAL (
+                SELECT r.vec_id, r.rel,
+                       (SELECT max(s.sim) FROM sims s
+                        WHERE s.id1 = r.vec_id AND list_contains(m.selected, s.id2)) AS ms,
+                       round(0.7 * r.rel - 0.3 * (SELECT max(s.sim) FROM sims s
+                         WHERE s.id1 = r.vec_id AND list_contains(m.selected, s.id2)), 6) AS score
+                FROM rel r
+                WHERE NOT list_contains(m.selected, r.vec_id)
+                ORDER BY score DESC, r.vec_id LIMIT 1) pick
+              WHERE m.rnk < 8)
+            SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, rel, max_sim, score
+            FROM mmr ORDER BY rnk"""))
+
   /** Embedding-cosine near-dup pairs (exact, all-pairs ground truth;
     * the banded `llm_ann_lsh_topk` bucketing is the scale path). Threshold
     * on the rounded score keeps the cut cross-engine stable.
@@ -2504,7 +2608,7 @@ object LlmOps {
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
     llmDedupSimhash, llmDedupClusterRep, llmDedupKeepBest, llmSubstringDedup,
     llmMinhashJaccardEst, llmEditDistanceDup,
-    llmCosineTopk, llmEmbedCosineDup, llmEmbedCosineDupLsh,
+    llmCosineTopk, llmMmrDiversify, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
     llmAnnPqTopk, llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,

@@ -327,6 +327,40 @@ class Round18Spec extends SparkSpec {
     assert(got.toSeq == expected.map { case (id, h) => (id, h) }.toSeq)
   }
 
+  test("llm_mmr_diversify: matches an independent greedy replay from raw embeddings") {
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = Tables.read(spark, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = vecs(0L)
+    def cos(a: Array[Float], b: Array[Float]) =
+      r4(graft.functions.VectorMath.cosineD(a, b))
+    val rel = vecs.keys.filter(_ != 0L).toSeq
+      .map(id => (id, cos(vecs(id), q)))
+      .sortBy { case (id, rl) => (-rl, id) }.take(20)
+    var selected = List(rel.maxBy { case (id, rl) => (rl, -id) })
+    var out = List((1L, selected.head._1, selected.head._2,
+      Option.empty[Double], selected.head._2))
+    (2 to 8).foreach { rnk =>
+      val best = rel.filterNot(c => selected.exists(_._1 == c._1))
+        .map { case (id, rl) =>
+          val ms = selected.map(s => cos(vecs(id), vecs(s._1))).max
+          (id, rl, ms, r6(0.7 * rl - 0.3 * ms))
+        }.maxBy { case (id, _, _, score) => (score, -id) }
+      selected = selected :+ ((best._1, best._2))
+      out = out :+ ((rnk.toLong, best._1, best._2, Some(best._3), best._4))
+    }
+    val got = LlmOps.llmMmrDiversify.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4)))
+    assert(got.toList == out, s"engine ${got.toList} != replay $out")
+    // greedy invariant: chosen MMR scores are non-increasing (a candidate's
+    // score can only fall as the selected set grows)
+    val scores = got.map(_._5)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("ts_seasonal_anomaly: threshold is 3x the mean absolute residual of the interior days") {
     val dec = PipelineOps.tsSeasonalDecompose.fn(spark, sf).collect()
       .filter(!_.isNullAt(4)).map(r => (r.getLong(0), r.getDouble(4)))
