@@ -879,11 +879,15 @@ object LlmOps {
       import s.implicits._
       val e = Tables.read(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      // a NULL cosine (null/zero-norm vector) is not a rankable candidate
+      // — excluded EXPLICITLY on both sides so neither engine's null-sort
+      // default decides the pool (§2.0 rule 1 discipline)
       val rel = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q))
         .withColumn("rel", round(cosineCols(s)("embedding", "qvec"), 4))
+        .filter(col("rel").isNotNull)
         .select(col("vec_id"), col("embedding"), col("rel"))
-        .orderBy(desc_nulls_first("rel"), asc_nulls_first("vec_id"))
+        .orderBy(desc("rel"), asc_nulls_first("vec_id"))
         .limit(20)
         .truncated // pool feeds both self-join sides and the collect
       val sims = rel.select(col("vec_id").as("id1"), col("embedding").as("e1"))
@@ -896,27 +900,31 @@ object LlmOps {
         .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
       def r6(x: Double) =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val first = cand.maxBy { case (id, rl) => (rl, -id) }
-      var selected = List(first._1)
-      val out = scala.collection.mutable.ArrayBuffer[
-        (Long, Long, Double, Option[Double], Double)](
-        (1L, first._1, first._2, None, first._2))
-      (2 to 8).foreach { rnk =>
-        val best = cand.filterNot(c => selected.contains(c._1))
-          .map { case (id, rl) =>
-            val ms = selected.map(sid => simMap((id, sid))).max
-            (id, rl, ms, r6(0.7 * rl - 0.3 * ms))
-          }
-          .maxBy { case (id, _, _, score) => (score, -id) }
-        selected = selected :+ best._1
-        out += ((rnk.toLong, best._1, best._2, Some(best._3), best._4))
+      // a short pool (tiny corpus, or no vec_id-0 query row) yields fewer
+      // than 8 rows, exactly as the oracle's recursion just stops
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Double, Option[Double], Double)]
+      if (cand.nonEmpty) {
+        val first = cand.maxBy { case (id, rl) => (rl, -id) }
+        var selected = List(first._1)
+        out += ((1L, first._1, first._2, None, first._2))
+        (2 to math.min(8, cand.length)).foreach { rnk =>
+          val best = cand.filterNot(c => selected.contains(c._1))
+            .map { case (id, rl) =>
+              val ms = selected.map(sid => simMap((id, sid))).max
+              (id, rl, ms, r6(0.7 * rl - 0.3 * ms))
+            }
+            .maxBy { case (id, _, _, score) => (score, -id) }
+          selected = selected :+ best._1
+          out += ((rnk.toLong, best._1, best._2, Some(best._3), best._4))
+        }
       }
       out.toSeq.toDF("rnk", "vec_id", "rel", "max_sim", "score")
         .orderBy(asc("rnk"))
     },
     Some("""WITH RECURSIVE
             q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-            rel AS (SELECT vec_id,
+            rel0 AS (SELECT vec_id,
                            round(
                              list_sum(list_transform(range(1, 65),
                                i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
@@ -924,8 +932,9 @@ object LlmOps {
                                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
                               * sqrt(list_sum(list_transform(range(1, 65),
                                   i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))), 4) AS rel
-                    FROM embeddings, q WHERE vec_id <> 0
-                    ORDER BY rel DESC, vec_id LIMIT 20),
+                    FROM embeddings, q WHERE vec_id <> 0),
+            rel AS (SELECT vec_id, rel FROM rel0 WHERE rel IS NOT NULL
+                    ORDER BY rel DESC, vec_id NULLS FIRST LIMIT 20),
             cand AS (SELECT e.vec_id, e.embedding, r.rel
                      FROM embeddings e JOIN rel r USING (vec_id)),
             sims AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
@@ -940,7 +949,7 @@ object LlmOps {
             mmr AS (
               (SELECT 1 AS rnk, vec_id, rel, CAST(NULL AS DOUBLE) AS max_sim,
                       rel AS score, [vec_id] AS selected
-               FROM rel ORDER BY rel DESC, vec_id LIMIT 1)
+               FROM rel ORDER BY rel DESC, vec_id NULLS FIRST LIMIT 1)
               UNION ALL
               SELECT m.rnk + 1, pick.vec_id, pick.rel, pick.ms, pick.score,
                      list_append(m.selected, pick.vec_id)
@@ -952,7 +961,7 @@ object LlmOps {
                          WHERE s.id1 = r.vec_id AND list_contains(m.selected, s.id2)), 6) AS score
                 FROM rel r
                 WHERE NOT list_contains(m.selected, r.vec_id)
-                ORDER BY score DESC, r.vec_id LIMIT 1) pick
+                ORDER BY score DESC, r.vec_id NULLS FIRST LIMIT 1) pick
               WHERE m.rnk < 8)
             SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, rel, max_sim, score
             FROM mmr ORDER BY rnk"""))
@@ -2286,7 +2295,8 @@ object LlmOps {
     Some("""SELECT doc_id, lang, source, rsv_rank FROM (
               SELECT doc_id, lang, source,
                      md5(CAST(doc_id AS VARCHAR) || ':rsv') AS rsv_rank
-              FROM documents ORDER BY rsv_rank, doc_id LIMIT 200)
+              FROM documents
+              ORDER BY rsv_rank NULLS FIRST, doc_id NULLS FIRST LIMIT 200)
             ORDER BY doc_id NULLS FIRST"""))
 
   /** Document fingerprinting: polynomial rolling hash over characters then

@@ -355,10 +355,13 @@ class Round18Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getDouble(4)))
     assert(got.toList == out, s"engine ${got.toList} != replay $out")
-    // greedy invariant: chosen MMR scores are non-increasing (a candidate's
-    // score can only fall as the selected set grows)
-    val scores = got.map(_._5)
-    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // greedy invariant: from rank 2 on, chosen MMR scores are
+    // non-increasing — the score function is fixed and a candidate's
+    // penalty only grows with the selected set. (Rank 1 is raw relevance,
+    // a DIFFERENT function: with negative inter-candidate cosines the
+    // rank-2 MMR score can legitimately exceed it.)
+    val scores = got.drop(1).map(_._5)
+    assert(scores.zip(scores.drop(1)).forall { case (a, b) => a >= b })
   }
 
   test("ts_seasonal_anomaly: threshold is 3x the mean absolute residual of the interior days") {
