@@ -1757,6 +1757,71 @@ object PipelineOps {
                    round(trend, 6) AS trend, round(forecast, 6) AS forecast
             FROM hw ORDER BY day NULLS FIRST"""))
 
+  /** One-step-ahead forecast backtest — the evaluation half of
+    * `ts_holt_forecast` (a forecaster nobody scores is a liability):
+    * per-day absolute error of the Holt one-step forecast plus the
+    * summary MAE and sMAPE an ingestion monitor thresholds on.
+    * Cost: the Holt subtree (one corpus agg + an O(#days) fold) + one
+    * O(#days) aggregate. Determinism: observed and forecast are the
+    * op's already-rounded outputs; each error is one double subtraction
+    * rounded to 6 dp and accumulated in DECIMAL(28,6) (merge-order
+    * independent); each summary ratio is a single rounded double
+    * division. Oracle embeds the Holt recursive CTE verbatim (keep in
+    * sync with `ts_holt_forecast`).
+    */
+  val tsForecastBacktest: Q = Q(
+    "ts_forecast_backtest",
+    (s, d) => {
+      val hw = tsHoltForecast.fn(s, d)
+        .filter(col("forecast").isNotNull)
+        .select(col("day"), col("observed"), col("forecast"),
+          round(abs(col("observed") - col("forecast")), 6)
+            .cast(DecimalType(28, 6)).as("abs_err"),
+          // per-day symmetric APE term: |err| / ((|obs| + |fcst|) / 2)
+          round(abs(col("observed") - col("forecast"))
+            / ((abs(col("observed")) + abs(col("forecast"))) / 2.0), 6)
+            .cast(DecimalType(28, 6)).as("sape"))
+        .truncated // feeds the per-day rows AND the summary agg
+      val n = count(lit(1))
+      hw.agg(
+        n.as("n_days"),
+        round(sum(col("abs_err")).cast(DoubleType) / n, 6).as("mae"),
+        round(sum(col("sape")).cast(DoubleType) / n, 6).as("smape"),
+        round(max(col("abs_err")).cast(DoubleType), 6).as("max_abs_err"))
+    },
+    Some("""WITH RECURSIVE
+            daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                             CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                  AS DECIMAL(28,2)) AS DOUBLE) AS x
+                      FROM events GROUP BY 1),
+            idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+                    FROM daily),
+            hw AS (SELECT rn, day, x AS observed, x AS level,
+                          CAST(0.0 AS DOUBLE) AS trend,
+                          CAST(NULL AS DOUBLE) AS forecast
+                   FROM idx WHERE rn = 1
+                   UNION ALL
+                   SELECT i.rn, i.day, i.x,
+                          0.5 * i.x + 0.5 * (hw.level + hw.trend),
+                          0.5 * ((0.5 * i.x + 0.5 * (hw.level + hw.trend)) - hw.level)
+                            + 0.5 * hw.trend,
+                          hw.level + hw.trend
+                   FROM hw JOIN idx i ON i.rn = hw.rn + 1),
+            scored AS (SELECT day, observed, round(forecast, 6) AS forecast
+                       FROM hw WHERE forecast IS NOT NULL),
+            err AS (SELECT day,
+                           CAST(round(abs(observed - forecast), 6)
+                                AS DECIMAL(28,6)) AS abs_err,
+                           CAST(round(abs(observed - forecast)
+                                  / ((abs(observed) + abs(forecast)) / 2.0), 6)
+                                AS DECIMAL(28,6)) AS sape
+                    FROM scored)
+            SELECT count(*) AS n_days,
+                   round(CAST(sum(abs_err) AS DOUBLE) / count(*), 6) AS mae,
+                   round(CAST(sum(sape) AS DOUBLE) / count(*), 6) AS smape,
+                   round(CAST(max(abs_err) AS DOUBLE), 6) AS max_abs_err
+            FROM err"""))
+
   /** Day-of-week seasonality profile — the decomposition step before any
     * anomaly gate on business-cycled data (a Monday spike is seasonality,
     * not drift): per (series, weekday) volume and mean vs the series'
@@ -2059,5 +2124,5 @@ object PipelineOps {
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
     tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, tsFunnelStages,
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
-    tsHoltForecast, tsSeasonalAnomaly)
+    tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest)
 }

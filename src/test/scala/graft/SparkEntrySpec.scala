@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (246 keys, 222 oracles)") {
-    assert(SparkEntry.queries.size == 246,
+  test("registry matches the SURVEY §2 inventory size (247 keys, 223 oracles)") {
+    assert(SparkEntry.queries.size == 247,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 222,
+    assert(SparkEntry.oracleSql.size == 223,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -327,6 +327,26 @@ class Round18Spec extends SparkSpec {
     assert(got.toSeq == expected.map { case (id, h) => (id, h) }.toSeq)
   }
 
+  test("ts_forecast_backtest: summary replays exactly from the Holt output") {
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val hw = PipelineOps.tsHoltForecast.fn(spark, sf).collect()
+      .filter(!_.isNullAt(4)).map(r => (r.getDouble(1), r.getDouble(4)))
+    val absErr = hw.map { case (obs, f) => BigDecimal(r6(math.abs(obs - f))) }
+    val sape = hw.map { case (obs, f) =>
+      BigDecimal(r6(math.abs(obs - f) / ((math.abs(obs) + math.abs(f)) / 2.0)))
+    }
+    val got = PipelineOps.tsForecastBacktest.fn(spark, sf).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == hw.length)
+    assert(r.getDouble(1) == r6(absErr.sum.toDouble / hw.length),
+      s"mae ${r.getDouble(1)}")
+    assert(r.getDouble(2) == r6(sape.sum.toDouble / hw.length),
+      s"smape ${r.getDouble(2)}")
+    assert(r.getDouble(3) == absErr.max.toDouble, s"max_abs_err ${r.getDouble(3)}")
+  }
+
   test("llm_mmr_diversify: matches an independent greedy replay from raw embeddings") {
     def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
