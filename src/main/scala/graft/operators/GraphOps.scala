@@ -102,13 +102,56 @@ object GraphOps {
     None) // simhash pairs are not SQL-portable (native expression) — spec'd
 
   /** PageRank over the (symmetrized) similarity graph: damping 0.85,
-    * FIXED 5 iterations, restricted to paired nodes. Rows-only under the
-    * driver; GraphOpsSpec pins the values to an exact driver-side
-    * reference (same decimal/double operation sequence) and to
-    * themselves under repartitioning.
+    * FIXED 5 iterations, restricted to paired nodes. Runs on the
+    * exact-Jaccard sharded edge set so even the ITERATIVE float loop is
+    * DuckDB-oracled bit-for-bit: the §2.0 determinism discipline
+    * (per-edge double division → DECIMAL(30,15) cast → exact decimal SUM
+    * → one double damping update per round) makes every iteration a
+    * fixed IEEE operation sequence BOTH engines can replay — the oracle
+    * is a recursive CTE whose recursive term joins edges and GROUP-BYs
+    * the decimal contributions per destination, with every float literal
+    * cast to DOUBLE so DuckDB's decimal-literal default cannot change
+    * the arithmetic. The banded-simhash flavor stays registered as
+    * [[graphPagerankSimhash]] (scale demo + exact driver-reference
+    * spec).
     */
   val graphPagerank: Q = Q(
     "graph_pagerank",
+    (s, d) =>
+      pageRank(shardedJaccardPairs(s, d))
+        .select(col("id").as("doc_id"), col("rank"))
+        .orderBy(desc("rank"), asc_nulls_first("doc_id")),
+    Some(jaccardPairsCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      """, edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                     UNION ALL SELECT id2 AS src, id1 AS dst FROM pairs),
+          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+          nb AS (SELECT count(*) AS n,
+                        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / count(*)
+                          AS base
+                 FROM deg),
+          pr AS (SELECT 0 AS it, d.src AS id, CAST(1.0 AS DOUBLE) / nb.n AS rank
+                 FROM deg d CROSS JOIN nb
+                 UNION ALL
+                 SELECT r.it + 1, e.dst AS id,
+                        min(nb.base) + CAST(0.85 AS DOUBLE)
+                          * CAST(sum(CAST(r.rank / d.deg AS DECIMAL(30,15)))
+                                 AS DOUBLE) AS rank
+                 FROM pr r
+                 JOIN edges e ON e.src = r.id
+                 JOIN deg d ON d.src = r.id
+                 CROSS JOIN nb
+                 WHERE r.it < 5
+                 GROUP BY r.it, e.dst)
+          SELECT id AS doc_id, rank FROM pr WHERE it = 5
+          ORDER BY rank DESC, doc_id NULLS FIRST"""))
+
+  /** Banded-simhash PageRank — identical engine ([[pageRank]]),
+    * Hamming≤3 simhash edge set (native expression, not SQL-portable →
+    * exact driver-reference + repartitioning-invariance spec + scale
+    * demo).
+    */
+  val graphPagerankSimhash: Q = Q(
+    "graph_pagerank_simhash",
     (s, d) => {
       val pairs = LlmOps.simhashPairs(s, d).select(col("id1"), col("id2"))
       pageRank(pairs)
@@ -281,6 +324,6 @@ object GraphOps {
   }
 
   val all: Seq[Q] = Seq(graphDegreeDist, graphDegreeDistSimhash,
-    graphPagerank, graphTriangleCount, graphTriangleCountSimhash,
-    graphLinkPrediction)
+    graphPagerank, graphPagerankSimhash, graphTriangleCount,
+    graphTriangleCountSimhash, graphLinkPrediction)
 }
