@@ -87,8 +87,8 @@ object Scale {
     "llm_substring_dedup", "graph_pagerank_simhash", "stream_stream_join",
     "llm_edit_distance_dup", "graph_triangle_count_simhash", "stream_stream_left_outer",
     "stream_stream_full_outer", "llm_dedup_containment",
-    "graph_link_prediction", "graph_degree_dist", "graph_triangle_count",
-    "graph_pagerank")
+    "graph_link_prediction_simhash", "graph_link_prediction",
+    "graph_degree_dist", "graph_triangle_count", "graph_pagerank")
 
   /** Rehearsal overrides for ops whose registered form assumes the
     * driver's single-file corpus. The k× events table is MANY parquet

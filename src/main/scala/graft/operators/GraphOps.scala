@@ -291,6 +291,32 @@ object GraphOps {
     */
   val graphLinkPrediction: Q = Q(
     "graph_link_prediction",
+    (s, d) => linkPrediction(shardedJaccardPairs(s, d)),
+    Some(jaccardPairsCte +
+      """, adj AS (SELECT id1 AS id, id2 AS nb FROM pairs
+                   UNION ALL SELECT id2 AS id, id1 AS nb FROM pairs),
+          deg AS (SELECT id, COUNT(*) AS deg FROM adj GROUP BY id),
+          wedges AS (SELECT x.nb AS a, y.nb AS b, COUNT(*) AS common
+                     FROM adj x JOIN adj y ON x.id = y.id AND x.nb < y.nb
+                     GROUP BY x.nb, y.nb),
+          cand AS (SELECT w.a, w.b, w.common FROM wedges w
+                   ANTI JOIN pairs p ON w.a = p.id1 AND w.b = p.id2)
+          SELECT c.a, c.b, c.common, da.deg AS deg_a, db.deg AS deg_b,
+                 CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common)
+                   AS jaccard
+          FROM cand c
+          JOIN deg da ON da.id = c.a
+          JOIN deg db ON db.id = c.b
+          ORDER BY jaccard DESC, common DESC,
+                   a NULLS FIRST, b NULLS FIRST LIMIT 20"""))
+
+  /** Radius-5 banded-simhash link prediction — the original wider-graph
+    * registration (at small scale the Hamming≤3 graph has no open
+    * wedges, and the ≤5 graph is the denser scale demo); identical
+    * engine, not SQL-portable → fixture spec.
+    */
+  val graphLinkPredictionSimhash: Q = Q(
+    "graph_link_prediction_simhash",
     (s, d) => linkPrediction(
       LlmOps.simhashPairs(s, d, maxHamming = 5).select(col("id1"), col("id2"))),
     None)
@@ -325,5 +351,6 @@ object GraphOps {
 
   val all: Seq[Q] = Seq(graphDegreeDist, graphDegreeDistSimhash,
     graphPagerank, graphPagerankSimhash, graphTriangleCount,
-    graphTriangleCountSimhash, graphLinkPrediction)
+    graphTriangleCountSimhash, graphLinkPrediction,
+    graphLinkPredictionSimhash)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (248 keys, 224 oracles)") {
-    assert(SparkEntry.queries.size == 248,
+  test("registry matches the SURVEY §2 inventory size (249 keys, 225 oracles)") {
+    assert(SparkEntry.queries.size == 249,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 224,
+    assert(SparkEntry.oracleSql.size == 225,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
