@@ -1915,13 +1915,43 @@ object LlmOps {
     * ~100 `contains` terms, no UDF anywhere. Not SQL-expressible as one
     * deterministic query → rows-only check + spec.
     */
+  /** Fully ORACLE-CHECKED (r18): the native [[graft.functions.BigramCounts]]
+    * kernel only changes HOW the per-(lang, bigram) totals are produced —
+    * its counts equal the one-row-per-character-position substr explode,
+    * which IS SQL — and every downstream step (top-20 rank with the
+    * (n DESC, bg) tiebreak, contains-overlap scoring, smallest-lang
+    * argmax) is exact integer arithmetic both engines replay, so the
+    * DuckDB oracle reproduces the whole classifier including the
+    * profile build.
+    */
   val llmLangIdNgram: Q = Q(
     "llm_lang_id_ngram",
     (s, d) => {
       val docs = Tables.read(s, d, "documents")
       scoreByProfile(docs, langProfiles(docs))
     },
-    None)
+    Some("""WITH bgpos AS (SELECT lang,
+                     unnest(list_transform(range(1, length(text)),
+                            i -> substr(text, i, 2))) AS bg
+                   FROM documents),
+            counts AS (SELECT lang, bg, COUNT(*) AS n
+                       FROM bgpos GROUP BY lang, bg),
+            prof AS (SELECT lang, bg FROM (
+                       SELECT lang, bg,
+                              row_number() OVER (PARTITION BY lang
+                                                 ORDER BY n DESC, bg) AS rk
+                       FROM counts) WHERE rk <= 20),
+            ov AS (SELECT d.doc_id, d.lang, p.lang AS cand,
+                          CAST(sum(CASE WHEN contains(d.text, p.bg)
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+                   FROM documents d CROSS JOIN prof p
+                   GROUP BY d.doc_id, d.lang, p.lang),
+            best AS (SELECT doc_id, lang, cand AS predicted, overlap,
+                            row_number() OVER (PARTITION BY doc_id
+                                               ORDER BY overlap DESC, cand) AS rk
+                     FROM ov)
+            SELECT doc_id, lang, predicted, overlap FROM best WHERE rk = 1
+            ORDER BY doc_id NULLS FIRST"""))
 
   /** Distributed per-language top-20 character-bigram profiles. The
     * collected result is `n_langs × 20` rows REGARDLESS of corpus size
