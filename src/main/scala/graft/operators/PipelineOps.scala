@@ -2018,6 +2018,10 @@ object PipelineOps {
         .truncated
       val evalSh = sh.filter(col("doc_id") % 50 === 0)
         .select(col("sh")).distinct().withColumn("hit", lit(1))
+        .truncated // materialized ONCE: the budget probe and the
+                   // decontamination join below share it — without this
+                   // the probe re-executes the eval-distinct shuffle and
+                   // the whole op pays that subtree twice
       // The eval-shingle set grows linearly with the corpus (~2% of all
       // distinct 5-grams), so a FORCED broadcast would become a driver
       // OOM at 100 TB rather than degrading. Budget-gate it like the
