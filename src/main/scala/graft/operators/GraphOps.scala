@@ -48,13 +48,12 @@ object GraphOps {
                  WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.9)"""
 
   /** Sharded exact-Jaccard pair list (engine side of [[jaccardPairsCte]]),
-    * materialized once per op — the consumers reference it ≥ twice and
-    * without truncation the whole token subtree re-expands per reference.
+    * materialized once per (session, corpus) in
+    * [[LlmOps.shardedJaccardPairs]] — five registry ops consume the
+    * identical pair join.
     */
   private def shardedJaccardPairs(s: SparkSession, d: String): DataFrame =
-    LlmOps.jaccardPairs(s,
-        LlmOps.docTokens(s, d).filter(col("doc_id") % lit(5) === 1))
-      .select(col("id1"), col("id2")).truncated
+    LlmOps.shardedJaccardPairs(s, d)
 
   /** Degree distribution of the near-dup similarity graph: degree per
     * paired doc, then histogram (degree → node count). Two hash aggs on
