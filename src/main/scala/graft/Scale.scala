@@ -79,7 +79,7 @@ object Scale {
     "stream_scd2_apply", "agg_ddsketch_quantile",
     "ts_seasonal_decompose", "op_constraint_audit", "ts_holt_forecast",
     "ts_seasonal_anomaly", "llm_reservoir_sample", "llm_mmr_diversify",
-    "ts_forecast_backtest")
+    "ts_forecast_backtest", "src_binary_files")
   private val pairOps = Seq(
     "llm_dedup_keep_best",
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",

@@ -1368,6 +1368,61 @@ object SourceOps {
     * upsert op's 5 portable columns (µs timestamps; raw nanos are
     * Spark-only).
     */
+  private val binBlobDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Fixture for [[srcBinaryFiles]]: one opaque blob file per doc of the
+    * deterministic `doc_id % 100 = 7` shard (the doc's UTF-8 text bytes
+    * standing in for an image/audio payload, as in
+    * `llm_multimodal_features`). Built once per corpus via a driver
+    * write — the fixture is test harness, not the op; the op under test
+    * is the partition-parallel `binaryFile` READ.
+    */
+  private[operators] def binaryBlobsDir(s: SparkSession, d: String): String =
+    binBlobDirs.computeIfAbsent(d, _ => {
+      val dir = graft.util.TempDirs.create("graft_bin_blobs")
+      Tables.read(s, d, "documents")
+        .filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          java.nio.file.Files.write(dir.resolve(s"${r.getLong(0)}.bin"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      dir.toString
+    })
+
+  /** Opaque-binary ingestion via Spark's `binaryFile` source — the first
+    * step of every multimodal pipeline (image/audio/video corpora arrive
+    * as blob DIRECTORIES, not tables): read (path, length, content) with
+    * partition-parallel file scans, parse the id out of the path, and
+    * digest the payload. At 100 TB this is the same plan — the source
+    * lists files into splits, each task streams its blobs, and a
+    * `length < N` predicate pushes down to skip oversized payloads
+    * without reading them; decode/feature-extract then continues on the
+    * typed per-partition surface of `llm_multimodal_features`. The
+    * oracle never touches the files: the fixture derives from
+    * `documents`, so DuckDB recomputes byte length and md5 from the
+    * source table — proving the write→list→read→digest round trip
+    * reproduces the table exactly.
+    */
+  val srcBinaryFiles: Q = Q(
+    "src_binary_files",
+    (s, d) => {
+      val dir = binaryBlobsDir(s, d)
+      s.read.format("binaryFile").load(dir)
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.bin$", 1)
+            .cast(LongType).as("doc_id"),
+          col("length"),
+          md5(col("content")).as("digest"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS length,
+                   md5(text) AS digest
+            FROM documents WHERE doc_id % 100 = 7
+            ORDER BY doc_id NULLS FIRST"""))
+
   private val fragEventsDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2304,5 +2359,5 @@ object SourceOps {
     sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh,
     srcTsRangePrune, opZonemapIncremental, srcTimeTravelRead,
     sinkScd2Apply, sinkVacuumRetention, opBloomSkipIndex, sinkWapPublish,
-    sinkMergeInto, opConstraintAudit)
+    sinkMergeInto, opConstraintAudit, srcBinaryFiles)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (249 keys, 226 oracles)") {
-    assert(SparkEntry.queries.size == 249,
+  test("registry matches the SURVEY §2 inventory size (250 keys, 227 oracles)") {
+    assert(SparkEntry.queries.size == 250,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 226,
+    assert(SparkEntry.oracleSql.size == 227,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -327,6 +327,20 @@ class Round18Spec extends SparkSpec {
     assert(got.toSeq == expected.map { case (id, h) => (id, h) }.toSeq)
   }
 
+  test("src_binary_files: length predicate pushes down to the binaryFile scan") {
+    val dir = SourceOps.binaryBlobsDir(spark, sf)
+    val df = spark.read.format("binaryFile").load(dir)
+      .filter(col("length") < 300)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(length), LessThan(length,300)]"),
+      s"length filter must reach the binaryFile source:\n$scan")
+    // and the registered op reproduces the shard it was written from
+    val got = SourceOps.srcBinaryFiles.fn(spark, sf).collect()
+    val expected = graft.Tables.read(spark, sf, "documents")
+      .filter(col("doc_id") % 100 === 7).count()
+    assert(got.length == expected && expected > 0)
+  }
+
   test("ts_forecast_backtest: summary replays exactly from the Holt output") {
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
