@@ -79,7 +79,9 @@ object Scale {
     "stream_scd2_apply", "agg_ddsketch_quantile",
     "ts_seasonal_decompose", "op_constraint_audit", "ts_holt_forecast",
     "ts_seasonal_anomaly", "llm_reservoir_sample", "llm_mmr_diversify",
-    "ts_forecast_backtest", "src_binary_files")
+    "ts_forecast_backtest", "src_binary_files",
+    "src_xml_roundtrip", "llm_ngram_novelty", "stream_topk_per_window",
+    "ts_changepoint_meanshift")
   private val pairOps = Seq(
     "llm_dedup_keep_best",
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
@@ -88,7 +90,8 @@ object Scale {
     "llm_edit_distance_dup", "graph_triangle_count_simhash", "stream_stream_left_outer",
     "stream_stream_full_outer", "llm_dedup_containment",
     "graph_link_prediction_simhash", "graph_link_prediction",
-    "graph_degree_dist", "graph_triangle_count", "graph_pagerank")
+    "graph_degree_dist", "graph_triangle_count", "graph_pagerank",
+    "graph_bfs_distance")
 
   /** Rehearsal overrides for ops whose registered form assumes the
     * driver's single-file corpus. The k× events table is MANY parquet

@@ -348,8 +348,69 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Multi-source BFS hop distance over the similarity graph — "how far
+    * is every document from a seed set along near-dup edges" (the
+    * contagion query behind contamination-spread auditing: if a seed doc
+    * is bad, its radius-k near-dup neighborhood is suspect). Textbook
+    * frontier BFS as an iterative DataFrame loop: each round joins ONLY
+    * the newly-discovered frontier against the edge list (one equi-join
+    * keyed by node id) and anti-joins the visited set, so per-round cost
+    * tracks the frontier×degree product, never revisiting settled nodes
+    * — the same bounded-rounds shape every distributed BFS (Pregel-style)
+    * uses at 100 TB scale, with `Checkpoints.truncate` bounding lineage
+    * per round. Depth is FIXED at 3 (the audit radius), so the loop is 3
+    * joins, not a convergence loop. Seeds = paired nodes with
+    * `doc_id % 10 = 1`. Runs on the exact-Jaccard sharded edge set
+    * ([[jaccardPairsCte]]); all-integer output, so the oracle is a
+    * depth-bounded recursive CTE whose `min(d)` replays BFS's
+    * first-visit distance exactly.
+    */
+  val graphBfsDistance: Q = Q(
+    "graph_bfs_distance",
+    (s, d) => bfsDistance(shardedJaccardPairs(s, d)),
+    Some(jaccardPairsCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      """, edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                     UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+          bfs AS (SELECT DISTINCT src AS node, 0 AS d FROM edges
+                  WHERE src % 10 = 1
+                  UNION
+                  SELECT e.dst AS node, b.d + 1 AS d
+                  FROM bfs b JOIN edges e ON e.src = b.node
+                  WHERE b.d < 3)
+          SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS dist
+          FROM bfs GROUP BY node ORDER BY doc_id NULLS FIRST"""))
+
+  /** Engine (unit-test seam): undirected pair list → (doc_id, dist) for
+    * every node within `maxHops` of the seed predicate, dist = exact
+    * hop count (first-visit BFS distance).
+    */
+  private[operators] def bfsDistance(pairs: DataFrame, maxHops: Int = 3)
+      : DataFrame = {
+    val p = pairs.truncated
+    val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(p.select(col("id2").as("src"), col("id1").as("dst")))
+      .truncated
+    val seeds = edges.select(col("src").as("doc_id")).distinct()
+      .filter(col("doc_id") % 10 === 1)
+      .withColumn("dist", lit(0L))
+      .truncated
+    var dist = seeds
+    var frontier = seeds.select(col("doc_id"))
+    (1 to maxHops).foreach { r =>
+      val discovered = frontier
+        .join(edges, frontier("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(dist, Seq("doc_id"), "left_anti")
+        .truncated
+      dist = dist.unionByName(
+        discovered.withColumn("dist", lit(r.toLong))).truncated
+      frontier = discovered
+    }
+    dist.orderBy(asc_nulls_first("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(graphDegreeDist, graphDegreeDistSimhash,
     graphPagerank, graphPagerankSimhash, graphTriangleCount,
     graphTriangleCountSimhash, graphLinkPrediction,
-    graphLinkPredictionSimhash)
+    graphLinkPredictionSimhash, graphBfsDistance)
 }

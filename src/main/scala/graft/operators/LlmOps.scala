@@ -2149,6 +2149,57 @@ object LlmOps {
             FROM tot t LEFT JOIN ov o ON t.doc_id = o.doc_id
             ORDER BY t.doc_id NULLS FIRST"""))
 
+  /** Per-document n-gram NOVELTY profile — for each doc, the fraction of
+    * its distinct 5-gram shingles appearing in NO earlier document
+    * (doc_id order = corpus ingestion order): the memorization/freshness
+    * probe a curation pipeline runs to find documents that only repeat
+    * what the corpus already contains (novelty ≈ 0 → candidate drop;
+    * the per-doc complement of corpus-level `llm_substring_dedup`).
+    * One Generator pass → per-doc distinct shingles → a single
+    * `min(doc_id)` hash agg per shingle (map-side partial) → join back
+    * and count first-owners. Shingles collapse to xxhash64 longs before
+    * the shuffle (8-byte keys — the 100 TB shuffle shape, exactly as
+    * the other shingle ops); the oracle groups the raw 5-gram strings,
+    * so agreement also certifies the hash path collision-free on this
+    * corpus (same accepted-collision disclosure as
+    * [[llmContaminationNgram]]). The novelty ratio is one exact-operand
+    * double division. Docs under 5 tokens have no shingles and drop out
+    * in both engines.
+    */
+  val llmNgramNovelty: Q = Q(
+    "llm_ngram_novelty",
+    (s, d) => {
+      val sh = Tables.read(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(t) >= 5
+               THEN transform(sequence(1, size(t) - 4),
+                              i -> xxhash64(concat_ws(' ', slice(t, i, 5))))
+               ELSE CAST(array() AS array<bigint>) END""")).as("sh"))
+        .distinct()
+        .truncated // feeds BOTH the first-owner agg and the join probe
+      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
+      sh.join(first, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast(DoubleType) / col("n_shingles"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            pos AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 3, 1))) AS i FROM toks),
+            sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS sh FROM pos),
+            fst AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh)
+            SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel,
+                   CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) AS novelty
+            FROM sh s JOIN fst f USING (sh)
+            GROUP BY s.doc_id ORDER BY s.doc_id NULLS FIRST"""))
+
   /** Exact-substring dedup (the RefinedWeb/CCNet granularity): document
     * pairs sharing at least one exact 20-token window, with the count of
     * shared windows — catches copied passages that survive document-level
@@ -2670,6 +2721,7 @@ object LlmOps {
     llmAnnPqTopk, llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,
+    llmNgramNovelty,
     llmStratifiedSample, llmTrainSplit, llmReservoirSample,
     llmDocFingerprint, llmMultimodalJoin,
     llmMultimodalFeatures, tsUserValueSeries, tsResampleFfill, llmTtrStats,

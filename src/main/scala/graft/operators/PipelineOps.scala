@@ -2117,8 +2117,95 @@ object PipelineOps {
             FROM l2 LEFT JOIN kept k USING (doc_id)
             ORDER BY l2.doc_id NULLS FIRST"""))
 
+  /** Mean-shift changepoint detection — per event type, the day boundary
+    * that maximizes |mean(value) before − mean(value) after| (the
+    * binary-segmentation scan statistic at daily granularity): "when did
+    * this metric's level actually change", the first question after
+    * `ts_cusum_drift` flags THAT it drifted. Cost shape: one daily
+    * pre-aggregation (map-side partial, output |types × days| — tiny
+    * regardless of event volume), then prefix sums via ONE window per
+    * type and an O(days) candidate scan; at 100 TB the scan stage is
+    * metadata-sized, the only data-volume cost is the daily rollup.
+    * §2.0 float discipline: per-day sums accumulate in DECIMAL (exact,
+    * order-independent), each candidate's two means are single
+    * exact-operand double divisions, and the ARGMAX never compares raw
+    * doubles — it ranks `floor(|Δ| × 1e6)` as a BIGINT (floor is
+    * rounding-mode-free, unlike round()) with the day as tiebreak, so
+    * both engines pick the identical split even if an unrepresentable
+    * |Δ| differed in its last ulp.
+    */
+  val tsChangepointMeanshift: Q = Q(
+    "ts_changepoint_meanshift",
+    (s, d) => {
+      val dayNs = 86400000000000L
+      val daily = Tables.read(s, d, "events")
+        .select(col("event_type"), expr(s"ts div $dayNs").as("day"), col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pre = daily
+        .withColumn("cum_cnt", sum(col("cnt")).over(w))
+        .withColumn("cum_sum", sum(col("sv")).over(w))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("tot_cnt"), sum(col("sv")).as("tot_sum"))
+      val cand = pre.join(tot, "event_type")
+        .filter(col("cum_cnt") < col("tot_cnt"))
+        .withColumn("mean_before",
+          col("cum_sum").cast(DoubleType) / col("cum_cnt"))
+        .withColumn("mean_after",
+          (col("tot_sum") - col("cum_sum")).cast(DoubleType) /
+            (col("tot_cnt") - col("cum_cnt")))
+        .withColumn("diff_micro",
+          floor(abs(col("mean_before") - col("mean_after")) * 1000000)
+            .cast(LongType))
+      val rk = Window.partitionBy(col("event_type"))
+        .orderBy(col("diff_micro").desc, col("day").asc)
+      cand.withColumn("rk", row_number().over(rk))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("day").as("split_day"),
+          col("cum_cnt").as("n_before"),
+          (col("tot_cnt") - col("cum_cnt")).as("n_after"),
+          col("diff_micro"), col("mean_before"), col("mean_after"))
+        .orderBy(asc_nulls_first("event_type"))
+    },
+    Some("""WITH e AS (SELECT event_type,
+                              epoch_ns(ts) // 86400000000000 AS day, value
+                       FROM events),
+            daily AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS cnt,
+                             SUM(CAST(value AS DECIMAL(18,2))) AS sv
+                      FROM e GROUP BY 1, 2),
+            pre AS (SELECT event_type, day, cnt, sv,
+                           SUM(cnt) OVER w AS cum_cnt,
+                           SUM(sv) OVER w AS cum_sum
+                    FROM daily
+                    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW)),
+            tot AS (SELECT event_type, SUM(cnt) AS tot_cnt,
+                           SUM(sv) AS tot_sum
+                    FROM daily GROUP BY 1),
+            cand AS (SELECT p.event_type, p.day,
+                            CAST(p.cum_cnt AS BIGINT) AS n_before,
+                            CAST(t.tot_cnt - p.cum_cnt AS BIGINT) AS n_after,
+                            CAST(p.cum_sum AS DOUBLE) / p.cum_cnt AS mean_before,
+                            CAST(t.tot_sum - p.cum_sum AS DOUBLE)
+                              / (t.tot_cnt - p.cum_cnt) AS mean_after
+                     FROM pre p JOIN tot t USING (event_type)
+                     WHERE p.cum_cnt < t.tot_cnt),
+            sc AS (SELECT *, CAST(floor(abs(mean_before - mean_after)
+                                        * 1000000) AS BIGINT) AS diff_micro
+                   FROM cand),
+            r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                       ORDER BY diff_micro DESC, day) AS rk
+                  FROM sc)
+            SELECT event_type, day AS split_day, n_before, n_after,
+                   diff_micro, mean_before, mean_after
+            FROM r WHERE rk = 1 ORDER BY event_type NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
-    llmCorpusBuildE2e,
+    llmCorpusBuildE2e, tsChangepointMeanshift,
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,

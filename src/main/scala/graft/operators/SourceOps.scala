@@ -659,6 +659,37 @@ object SourceOps {
             FROM lineitem GROUP BY l_returnflag
             ORDER BY l_returnflag NULLS FIRST"""))
 
+  /** XML source/sink round-trip — the fourth interchange format next to
+    * CSV/JSONL/ORC, via Spark 4's NATIVE xml data source (no external
+    * package; reader and writer ship in spark-sql). Same fidelity
+    * contract as the siblings: write each row as a `<doc>` element,
+    * read back with an EXPLICIT schema (XML schema inference is a full
+    * extra scan — never at 100 TB), aggregate, and oracle the same
+    * aggregate over the ORIGINAL parquet — a pass proves value-level
+    * round-trip fidelity through the XML text encoding (including
+    * entity escaping), not just plumbing. Exact-typed columns only,
+    * like the CSV op: XML is not a float-safe transport.
+    */
+  val srcXmlRoundtrip: Q = Q(
+    "src_xml_roundtrip",
+    (s, d) => {
+      val dir = graft.util.TempDirs.create("graft_xml").toString
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").option("rowTag", "doc").xml(dir)
+      s.read.option("rowTag", "doc")
+        .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .xml(dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(asc_nulls_first("source"))
+    },
+    Some("""SELECT source, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM documents GROUP BY source ORDER BY source NULLS FIRST"""))
+
   /** Bit-interleave (Morton / Z-order) of k bucketed dimensions: column
     * j's bit i lands at position i·k + j. Input columns must be
     * non-negative and fit in `bits` bits; the interleaved value needs
@@ -2359,5 +2390,5 @@ object SourceOps {
     sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh,
     srcTsRangePrune, opZonemapIncremental, srcTimeTravelRead,
     sinkScd2Apply, sinkVacuumRetention, opBloomSkipIndex, sinkWapPublish,
-    sinkMergeInto, opConstraintAudit, srcBinaryFiles)
+    sinkMergeInto, opConstraintAudit, srcBinaryFiles, srcXmlRoundtrip)
 }

@@ -1041,7 +1041,48 @@ object StreamingOps {
             GROUP BY event_type, epoch_us(ts) // 86400000000
             ORDER BY day NULLS FIRST, event_type NULLS FIRST"""))
 
+  /** Streaming top-k: the 3 most frequent event types per tumbling hour —
+    * the live "trending now" leaderboard over the event stream. The
+    * STREAMING stage is the (bucket, type) counting aggregation (complete
+    * mode — the same incremental state machine as `stream_tumbling_count`,
+    * keyed finer); the per-window rank is a BATCH window function over the
+    * final counts, because rank-over-aggregate is not incrementally
+    * maintainable in Structured Streaming (no windowed rank on an
+    * aggregated stream) — the standard production split: stream maintains
+    * counts, the serving layer ranks on read. Per-window cardinality is
+    * |event types| (bounded), so the rank stage is O(windows × types) no
+    * matter the event volume — the 100 TB cost lives entirely in the
+    * streaming count, which partial-aggregates map-side. Deterministic
+    * ties: (cnt DESC, event_type ASC) is a total order per bucket.
+    */
+  val streamTopkPerWindow: Q = Q(
+    "stream_topk_per_window",
+    (s, d) => {
+      val agg = streamedEvents(s, d)
+        .groupBy(expr(s"ts div $HourNs").as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val counts = StreamRunner.runToTable(agg, "complete")
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("cnt").desc, col("event_type").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("bucket"), col("rk").cast(LongType).as("rk"),
+          col("event_type"), col("cnt"))
+        .orderBy(asc_nulls_first("bucket"), asc_nulls_first("rk"))
+    },
+    Some("""WITH c AS (SELECT epoch_ns(ts) // 3600000000000 AS bucket,
+                              event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT bucket, event_type, cnt,
+                         row_number() OVER (PARTITION BY bucket
+                              ORDER BY cnt DESC, event_type) AS rk
+                  FROM c)
+            SELECT bucket, CAST(rk AS BIGINT) AS rk, event_type, cnt
+            FROM r WHERE rk <= 3
+            ORDER BY bucket NULLS FIRST, rk NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
+    streamTopkPerWindow,
     streamTumblingCount, streamSlidingSum, streamSessionWindow,
     streamWatermarkLate, streamDedupKeys, streamForeachBatchUpsert,
     streamStatefulRunningMax, streamFlatmapTypeCounts, streamStreamJoin,

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (250 keys, 227 oracles)") {
-    assert(SparkEntry.queries.size == 250,
+  test("registry matches the SURVEY §2 inventory size (255 keys, 232 oracles)") {
+    assert(SparkEntry.queries.size == 255,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 227,
+    assert(SparkEntry.oracleSql.size == 232,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

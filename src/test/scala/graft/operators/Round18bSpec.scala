@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.streaming.StreamingOps
+
+/** Round-18 second wave: XML round-trip, BFS hop distance, n-gram
+  * novelty, streaming windowed top-k, mean-shift changepoint. All five
+  * are oracle-registered (values DuckDB-hash-checked at sf0.01 AND
+  * sf0.1); these tests pin the properties the oracle cannot see —
+  * encoding fidelity on hostile values, BFS minimality/bounds on
+  * crafted graphs, and the structural invariants of the ranked/argmax
+  * outputs.
+  */
+class Round18bSpec extends SparkSpec {
+
+  test("src_xml_roundtrip: XML escaping round-trips hostile string values byte-exactly") {
+    import spark.implicits._
+    // every XML metacharacter class: element/entity chars, quotes,
+    // whitespace-adjacent text — if the writer's escaping or the
+    // reader's unescaping were lossy, equality would break
+    val rows = Seq(
+      (1L, "a<b&c>d"),
+      (2L, "quote\"apos'"),
+      (3L, "]]>cdata-terminator"),
+      (4L, "&amp;already-escaped"),
+      (5L, "tab\tand newline\nkept"))
+    val dir = graft.util.TempDirs.create("xml_escape").toString
+    rows.toDF("id", "s").write.mode("overwrite")
+      .option("rowTag", "doc").xml(dir)
+    val back = spark.read.option("rowTag", "doc")
+      .schema("id BIGINT, s STRING").xml(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(back.toSeq == rows.sortBy(_._1),
+      s"XML round-trip mutated values: ${back.toSeq}")
+  }
+
+  test("graph_bfs_distance: minimality, depth bound, and frontier semantics on crafted graphs") {
+    import spark.implicits._
+    // path 1-2-3-4-5 seeded at 1 (1 % 10 == 1): hop distances, and 5
+    // (4 hops out) must be absent under the fixed depth-3 bound
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id1", "id2")
+    val got = GraphOps.bfsDistance(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"path distances wrong: $got")
+    // diamond 1-2, 1-3, 2-4, 3-4: node 4 reachable two ways, dist must
+    // be the MIN (2), proving the visited anti-join keeps first-visit
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("id1", "id2")
+    val d = GraphOps.bfsDistance(diamond).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d(4L) == 2L && d(2L) == 1L && d(3L) == 1L, s"diamond: $d")
+    // two seeds (1 and 11), disjoint components: each node takes the
+    // distance from ITS component's seed — multi-source, not per-seed
+    val two = Seq((1L, 2L), (11L, 12L), (12L, 13L)).toDF("id1", "id2")
+    val t = GraphOps.bfsDistance(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t == Map(1L -> 0L, 2L -> 1L, 11L -> 0L, 12L -> 1L, 13L -> 2L),
+      s"multi-source: $t")
+  }
+
+  test("llm_ngram_novelty: first doc fully novel, ratios bounded, short docs absent") {
+    val out = graft.SparkEntry.queries("llm_ngram_novelty")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    // ingestion order: the lowest doc_id with >= 5 tokens sees an empty
+    // prior corpus, so every one of its shingles is novel by definition
+    val first = out.minBy(_.getLong(0))
+    assert(first.getLong(2) == first.getLong(1) && first.getDouble(3) == 1.0,
+      s"first doc must be fully novel: $first")
+    out.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // docs under 5 tokens have no shingles and must not appear
+    val shortDocs = Tables.read(spark, sf, "documents")
+      .filter(size(split(col("text"), " ")) < 5)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => !shortDocs.contains(r.getLong(0))))
+  }
+
+  test("stream_topk_per_window: per-bucket rank structure matches the batch counts") {
+    val out = StreamingOps.streamTopkPerWindow.fn(spark, sf).collect()
+    val byBucket = out.groupBy(_.getLong(0))
+    byBucket.foreach { case (b, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.length <= 3 &&
+        sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"bucket $b ranks: ${sorted.toSeq}")
+      // counts non-increasing by rank; equal counts break ties by type asc
+      sorted.sliding(2).foreach {
+        case Array(hi, lo) =>
+          assert(hi.getLong(3) > lo.getLong(3) ||
+            (hi.getLong(3) == lo.getLong(3) &&
+              hi.getString(2) < lo.getString(2)),
+            s"bucket $b tie-break violated: $hi vs $lo")
+        case _ =>
+      }
+    }
+    // the rank-1 type per bucket IS the batch modal type under the same
+    // tie-break — the streaming count stage lost nothing
+    val batch = Tables.read(spark, sf, "events")
+      .groupBy(expr("ts div 3600000000000").as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+          .orderBy(col("cnt").desc, col("event_type").asc)))
+      .filter(col("rk") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    byBucket.foreach { case (b, rows) =>
+      val top = rows.minBy(_.getLong(1))
+      assert(batch(b) == ((top.getString(2), top.getLong(3))),
+        s"bucket $b: streaming top-1 ${top} != batch ${batch(b)}")
+    }
+  }
+
+  test("ts_changepoint_meanshift: one argmax row per type, split partitions the series exactly") {
+    val out = graft.SparkEntry.queries("ts_changepoint_meanshift")(spark, sf)
+      .collect()
+    val totals = Tables.read(spark, sf, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(_.getString(0)).toSet == totals.keySet,
+      "exactly one row per event type")
+    out.foreach { r =>
+      val (nb, na) = (r.getLong(2), r.getLong(3))
+      assert(nb > 0 && na > 0, s"both sides non-empty: $r")
+      assert(nb + na == totals(r.getString(0)),
+        s"split must partition the series: $r")
+      val diff = math.abs(r.getDouble(5) - r.getDouble(6))
+      assert(r.getLong(4) == math.floor(diff * 1000000).toLong,
+        s"diff_micro must be the floor-scaled |Δmean|: $r")
+    }
+  }
+}
