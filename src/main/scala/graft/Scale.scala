@@ -81,7 +81,7 @@ object Scale {
     "ts_seasonal_anomaly", "llm_reservoir_sample", "llm_mmr_diversify",
     "ts_forecast_backtest", "src_binary_files",
     "src_xml_roundtrip", "llm_ngram_novelty", "stream_topk_per_window",
-    "ts_changepoint_meanshift")
+    "ts_changepoint_meanshift", "llm_bpe_train_iters")
   private val pairOps = Seq(
     "llm_dedup_keep_best",
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
@@ -91,7 +91,7 @@ object Scale {
     "stream_stream_full_outer", "llm_dedup_containment",
     "graph_link_prediction_simhash", "graph_link_prediction",
     "graph_degree_dist", "graph_triangle_count", "graph_pagerank",
-    "graph_bfs_distance")
+    "graph_bfs_distance", "graph_component_sizes")
 
   /** Rehearsal overrides for ops whose registered form assumes the
     * driver's single-file corpus. The k× events table is MANY parquet

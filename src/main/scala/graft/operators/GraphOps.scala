@@ -409,8 +409,48 @@ object GraphOps {
     dist.orderBy(asc_nulls_first("doc_id"))
   }
 
+  /** Connected-component SIZE DISTRIBUTION of the similarity graph —
+    * the dedup-accounting histogram (how many singletons, how many
+    * pairs, how big is the largest clone cluster): the one-line answer
+    * to "what will dedup actually delete", and the roll-up of
+    * `llm_dedup_keep_best`'s per-doc cluster table. Reuses the identical
+    * budget-gated component engine ([[LlmOps.dedupClusterRep]]: driver
+    * union-find under budget, distributed min-label propagation past
+    * it), then two metadata-sized hash aggs (distinct clusters →
+    * size histogram). Singleton docs (shard docs in no pair) count as
+    * size-1 components — the histogram covers the WHOLE shard, so the
+    * size-weighted sum equals the shard cardinality
+    * (spec-pinned conservation). Runs on the exact-Jaccard sharded edge
+    * set ([[jaccardPairsCte]]); all integers → fully DuckDB-oracled via
+    * the same recursive-CTE min-label closure as `llm_dedup_keep_best`.
+    */
+  val graphComponentSizes: Q = Q(
+    "graph_component_sizes",
+    (s, d) => {
+      val docs = Tables.read(s, d, "documents")
+        .filter(col("doc_id") % 5 === 1).select(col("doc_id"))
+      LlmOps.dedupClusterRep(shardedJaccardPairs(s, d), docs)
+        .select(col("cluster"), col("cluster_size")).distinct()
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_components"))
+        .orderBy(asc_nulls_first("cluster_size"))
+    },
+    Some(jaccardPairsCte.replaceFirst("WITH", "WITH RECURSIVE") +
+      """, edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                     UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+          cc AS (SELECT doc_id AS node, doc_id AS label FROM docs
+                 UNION
+                 SELECT e.src AS node, cc.label
+                 FROM edges e JOIN cc ON cc.node = e.dst
+                 WHERE cc.label < e.src),
+          lab AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node),
+          csz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                  FROM lab GROUP BY cluster)
+          SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_components
+          FROM csz GROUP BY cluster_size
+          ORDER BY cluster_size NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(graphDegreeDist, graphDegreeDistSimhash,
     graphPagerank, graphPagerankSimhash, graphTriangleCount,
     graphTriangleCountSimhash, graphLinkPrediction,
-    graphLinkPredictionSimhash, graphBfsDistance)
+    graphLinkPredictionSimhash, graphBfsDistance, graphComponentSizes)
 }

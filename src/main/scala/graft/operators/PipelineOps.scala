@@ -1974,6 +1974,105 @@ object PipelineOps {
             SELECT a, b, cnt FROM g
             ORDER BY cnt DESC, a, b LIMIT 20"""))
 
+  /** BPE tokenizer TRAINING, three full iterations — the loop
+    * `llm_bpe_merge_step` is one step of: per iteration (1) count
+    * adjacent symbol-pair frequencies over the weighted vocab, (2) pick
+    * the argmax pair (total order: cnt DESC, pair ASC), (3) rewrite
+    * every word, merging occurrences of that pair greedy-leftmost
+    * non-overlapping (the Sennrich 2016 semantics). Output is the
+    * learned merge table — the artifact tokenizer training persists.
+    *
+    * The training loop never touches the corpus again after the ONE
+    * vocab aggregation: every iteration runs over the |vocab|
+    * distinct-word table (map-side-partial pair agg + a 1-row
+    * TakeOrderedAndProject argmax broadcast back), so a 10×-bigger
+    * corpus with the same vocabulary pays only the initial agg — the
+    * property that makes BPE trainable at 100 TB. The greedy rewrite is
+    * a portable left fold (`aggregate` HOF here, `list_reduce` in the
+    * oracle) over the space-joined symbol string: a merged symbol can
+    * never equal the pair's left element (concat(a,b) = a needs empty
+    * b), so "don't re-merge what this pass just produced" falls out of
+    * the exact-last-symbol check and both engines replay the identical
+    * greedy scan — proven on the argmax-adversarial a=b runs ("aaaa" →
+    * "aa aa"). Vocab materializes per iteration (3 rounds, bounded
+    * lineage), the corpus exactly once.
+    */
+  val llmBpeTrainIters: Q = Q(
+    "llm_bpe_train_iters",
+    (s, d) => {
+      val mergeFold = expr(
+        """aggregate(slice(s, 2, greatest(size(s) - 1, 0)), element_at(s, 1),
+             (acc, x) -> CASE
+               WHEN x = b AND (acc = a OR endswith(acc, concat(' ', a)))
+               THEN CASE WHEN acc = a THEN concat(a, b)
+                    ELSE concat(substring(acc, 1, length(acc) - length(a) - 1),
+                                ' ', a, b) END
+               ELSE concat(acc, ' ', x) END)""")
+      var vocab = Tables.read(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .select(array_join(expr(
+          "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"),
+          " ").as("w"), col("n"))
+        .truncated
+      val merges = (1 to 3).map { step =>
+        val best = vocab
+          .select(split(col("w"), " ").as("s"), col("n"))
+          .filter(size(col("s")) >= 2)
+          .select(col("n"), explode(expr(
+            """transform(sequence(1, size(s) - 1),
+                 i -> struct(element_at(s, i) AS a,
+                             element_at(s, i + 1) AS b))""")).as("pr"))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+          .withColumn("step", lit(step).cast(LongType))
+          .truncated // 1 row; feeds BOTH the output and the rewrite
+        vocab = vocab
+          .crossJoin(broadcast(best.select(col("a"), col("b"))))
+          .select(split(col("w"), " ").as("s"), col("a"), col("b"), col("n"))
+          .select(mergeFold.as("w"), col("n"))
+          .truncated
+        best
+      }
+      merges.reduce(_ unionByName _)
+        .select(col("step"), col("a"), col("b"), col("cnt"))
+        .orderBy(asc("step"))
+    },
+    Some {
+      def iter(k: Int) = s"""
+            p$k AS (SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT) + 1] AS b,
+                           CAST(sum(n) AS BIGINT) AS cnt
+                    FROM (SELECT string_split(w, ' ') AS s, n,
+                                 unnest(range(1, len(string_split(w, ' ')))) AS i
+                          FROM v${k - 1} WHERE len(string_split(w, ' ')) >= 2)
+                    GROUP BY 1, 2),
+            m$k AS (SELECT CAST($k AS BIGINT) AS step, a, b, cnt FROM p$k
+                    ORDER BY cnt DESC, a, b LIMIT 1),
+            v$k AS (SELECT list_reduce(string_split(v.w, ' '), (acc, x) ->
+                         CASE WHEN x = m.b
+                                   AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+                              THEN CASE WHEN acc = m.a THEN m.a || m.b
+                                   ELSE substr(acc, 1,
+                                               len(acc) - len(m.a) - 1)
+                                        || ' ' || m.a || m.b END
+                              ELSE acc || ' ' || x END) AS w, v.n
+                    FROM v${k - 1} v, m$k m)"""
+      """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    GROUP BY 1),
+            v0 AS (SELECT array_to_string(list_transform(
+                            range(1, len(tok) + 1),
+                            i -> substr(tok, CAST(i AS INT), 1)), ' ') AS w, n
+                   FROM c),""" +
+        iter(1) + "," + iter(2) + "," + iter(3) + """
+            SELECT step, a, b, cnt
+            FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+                  UNION ALL SELECT * FROM m3)
+            ORDER BY step"""
+    })
+
   /** The END-TO-END corpus build — the stages every pretraining data
     * pipeline runs (quality gate → exact dedup → decontamination → mix
     * cap), composed into ONE declarative plan whose output is the
@@ -2213,7 +2312,8 @@ object PipelineOps {
     tsTrendSlope, llmBloomPrescreen, tsAutocorrLag1, tsDailyActiveUsers,
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
-    tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, tsFunnelStages,
+    tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, llmBpeTrainIters,
+    tsFunnelStages,
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
     tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest)
 }

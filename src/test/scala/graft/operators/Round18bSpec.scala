@@ -115,6 +115,34 @@ class Round18bSpec extends SparkSpec {
     }
   }
 
+  test("llm_bpe_train_iters: greedy-leftmost non-overlap on the a=b adversarial run") {
+    import spark.implicits._
+    // "aaaa aaa": step-1 argmax is (a,a) with count 5; greedy leftmost
+    // rewrites aaaa -> "aa aa" (NOT "aa a a" or "a aa a") and aaa ->
+    // "aa a" — the merged "aa" must not re-merge with the next raw "a"
+    // in the same pass. Step 2 then tie-breaks (aa,a) < (aa,aa) on the
+    // b column; step 3 merges the remaining (aa,aa).
+    val dir = graft.util.TempDirs.create("bpe_train_fixture")
+    Seq((1L, "aaaa aaa", "en", "web", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val got = PipelineOps.llmBpeTrainIters.fn(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, "a", "a", 5L), (2L, "aa", "a", 1L),
+      (3L, "aa", "aa", 1L)), s"merge table: ${got.toSeq}")
+  }
+
+  test("graph_component_sizes: size-weighted histogram conserves the shard cardinality") {
+    val out = graft.SparkEntry.queries("graph_component_sizes")(spark, sf)
+      .collect()
+    val weighted = out.map(r => r.getLong(0) * r.getLong(1)).sum
+    val shard = Tables.read(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 1).count()
+    assert(weighted == shard,
+      s"sum(size * n_components) = $weighted must equal shard size $shard")
+    assert(out.forall(r => r.getLong(0) >= 1 && r.getLong(1) >= 1))
+  }
+
   test("ts_changepoint_meanshift: one argmax row per type, split partitions the series exactly") {
     val out = graft.SparkEntry.queries("ts_changepoint_meanshift")(spark, sf)
       .collect()
