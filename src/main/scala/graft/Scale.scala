@@ -81,7 +81,8 @@ object Scale {
     "ts_seasonal_anomaly", "llm_reservoir_sample", "llm_mmr_diversify",
     "ts_forecast_backtest", "src_binary_files",
     "src_xml_roundtrip", "llm_ngram_novelty", "stream_topk_per_window",
-    "ts_changepoint_meanshift", "llm_bpe_train_iters")
+    "ts_changepoint_meanshift", "llm_bpe_train_iters",
+    "llm_nb_lang_classifier")
   private val pairOps = Seq(
     "llm_dedup_keep_best",
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",

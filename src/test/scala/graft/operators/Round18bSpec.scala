@@ -143,6 +143,25 @@ class Round18bSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) >= 1 && r.getLong(1) >= 1))
   }
 
+  test("llm_nb_lang_classifier: confusion matrix partitions the test split exactly") {
+    val out = graft.SparkEntry.queries("llm_nb_lang_classifier")(spark, sf)
+      .collect()
+    // every test doc classified exactly once: per-true-lang row sums of
+    // the matrix equal the held-out split's doc counts
+    val rowSums = out.groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.map(_.getLong(2)).sum }
+    val want = Tables.read(spark, sf, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rowSums == want, s"matrix row sums $rowSums != test split $want")
+    // predicted classes come from the train split's label set
+    val trainLangs = Tables.read(spark, sf, "documents")
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("lang")).distinct().collect().map(_.getString(0)).toSet
+    assert(out.map(_.getString(1)).toSet.subsetOf(trainLangs))
+  }
+
   test("ts_changepoint_meanshift: one argmax row per type, split partitions the series exactly") {
     val out = graft.SparkEntry.queries("ts_changepoint_meanshift")(spark, sf)
       .collect()
