@@ -1997,44 +1997,63 @@ object PipelineOps {
     * "aa aa"). Vocab materializes per iteration (3 rounds, bounded
     * lineage), the corpus exactly once.
     */
+  /** Training-loop seam shared by `llm_bpe_train_iters` and
+    * `llm_bpe_tokenize_apply`: `vocab0` must carry (tok, w = space-joined
+    * symbols, n); returns (per-step 1-row merge tables, the rewritten
+    * vocab after all merges).
+    */
+  private[operators] def bpeTrainLoop(vocab0: DataFrame, iters: Int)
+      : (Seq[DataFrame], DataFrame) = {
+    val mergeFold = expr(
+      """aggregate(slice(s, 2, greatest(size(s) - 1, 0)), element_at(s, 1),
+           (acc, x) -> CASE
+             WHEN x = b AND (acc = a OR endswith(acc, concat(' ', a)))
+             THEN CASE WHEN acc = a THEN concat(a, b)
+                  ELSE concat(substring(acc, 1, length(acc) - length(a) - 1),
+                              ' ', a, b) END
+             ELSE concat(acc, ' ', x) END)""")
+    var vocab = vocab0
+    val merges = (1 to iters).map { step =>
+      val best = vocab
+        .select(split(col("w"), " ").as("s"), col("n"))
+        .filter(size(col("s")) >= 2)
+        .select(col("n"), explode(expr(
+          """transform(sequence(1, size(s) - 1),
+               i -> struct(element_at(s, i) AS a,
+                           element_at(s, i + 1) AS b))""")).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+        .withColumn("step", lit(step).cast(LongType))
+        .truncated // 1 row; feeds BOTH the output and the rewrite
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("a"), col("b"))))
+        .select(col("tok"), split(col("w"), " ").as("s"),
+          col("a"), col("b"), col("n"))
+        .select(col("tok"), mergeFold.as("w"), col("n"))
+        .truncated
+      best
+    }
+    (merges, vocab)
+  }
+
+  /** Initial character-split vocab (tok, w, n) — the ONE corpus
+    * aggregation of the BPE family; everything downstream is
+    * |vocab|-sized.
+    */
+  private def bpeVocab0(s: SparkSession, d: String): DataFrame =
+    Tables.read(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .select(col("tok"), array_join(expr(
+        "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"),
+        " ").as("w"), col("n"))
+      .truncated
+
   val llmBpeTrainIters: Q = Q(
     "llm_bpe_train_iters",
     (s, d) => {
-      val mergeFold = expr(
-        """aggregate(slice(s, 2, greatest(size(s) - 1, 0)), element_at(s, 1),
-             (acc, x) -> CASE
-               WHEN x = b AND (acc = a OR endswith(acc, concat(' ', a)))
-               THEN CASE WHEN acc = a THEN concat(a, b)
-                    ELSE concat(substring(acc, 1, length(acc) - length(a) - 1),
-                                ' ', a, b) END
-               ELSE concat(acc, ' ', x) END)""")
-      var vocab = Tables.read(s, d, "documents")
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        .select(array_join(expr(
-          "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"),
-          " ").as("w"), col("n"))
-        .truncated
-      val merges = (1 to 3).map { step =>
-        val best = vocab
-          .select(split(col("w"), " ").as("s"), col("n"))
-          .filter(size(col("s")) >= 2)
-          .select(col("n"), explode(expr(
-            """transform(sequence(1, size(s) - 1),
-                 i -> struct(element_at(s, i) AS a,
-                             element_at(s, i + 1) AS b))""")).as("pr"))
-          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-          .agg(sum(col("n")).as("cnt"))
-          .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
-          .withColumn("step", lit(step).cast(LongType))
-          .truncated // 1 row; feeds BOTH the output and the rewrite
-        vocab = vocab
-          .crossJoin(broadcast(best.select(col("a"), col("b"))))
-          .select(split(col("w"), " ").as("s"), col("a"), col("b"), col("n"))
-          .select(mergeFold.as("w"), col("n"))
-          .truncated
-        best
-      }
+      val (merges, _) = bpeTrainLoop(bpeVocab0(s, d), 3)
       merges.reduce(_ unionByName _)
         .select(col("step"), col("a"), col("b"), col("cnt"))
         .orderBy(asc("step"))
@@ -2071,6 +2090,76 @@ object PipelineOps {
             FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
                   UNION ALL SELECT * FROM m3)
             ORDER BY step"""
+    })
+
+  /** BPE tokenizer APPLICATION — the other half of the lifecycle
+    * `llm_bpe_train_iters` trains: segment every document with the
+    * 3-merge model and report per-doc token accounting (word count, BPE
+    * token count, character count, chars-per-token compression) — the
+    * numbers that size a training run's token budget. Application never
+    * re-runs the fold per document: the trained vocab IS the
+    * tok → symbol-count mapping (every corpus token is in it by
+    * construction), so applying = one explode + one vocab-sized
+    * equi-join + a per-doc hash agg — at 100 TB the join's build side
+    * is the |vocab| model table, exactly how a production tokenizer
+    * ships (model broadcast, corpus streamed). Compression is one
+    * exact-operand double division.
+    */
+  val llmBpeTokenizeApply: Q = Q(
+    "llm_bpe_tokenize_apply",
+    (s, d) => {
+      val (_, v3) = bpeTrainLoop(bpeVocab0(s, d), 3)
+      val mapping = v3.select(col("tok"), size(split(col("w"), " ")).as("nsym"))
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .join(mapping, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("nsym")).as("n_bpe_tokens"),
+          sum(length(col("tok"))).as("n_tok_chars"))
+        .withColumn("chars_per_token",
+          col("n_tok_chars").cast(DoubleType) / col("n_bpe_tokens"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some {
+      def iter(k: Int) = s"""
+            p$k AS (SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT) + 1] AS b,
+                           CAST(sum(n) AS BIGINT) AS cnt
+                    FROM (SELECT string_split(w, ' ') AS s, n,
+                                 unnest(range(1, len(string_split(w, ' ')))) AS i
+                          FROM v${k - 1} WHERE len(string_split(w, ' ')) >= 2)
+                    GROUP BY 1, 2),
+            m$k AS (SELECT a, b FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+            v$k AS (SELECT v.tok, list_reduce(string_split(v.w, ' '), (acc, x) ->
+                         CASE WHEN x = m.b
+                                   AND (acc = m.a OR ends_with(acc, ' ' || m.a))
+                              THEN CASE WHEN acc = m.a THEN m.a || m.b
+                                   ELSE substr(acc, 1,
+                                               len(acc) - len(m.a) - 1)
+                                        || ' ' || m.a || m.b END
+                              ELSE acc || ' ' || x END) AS w, v.n
+                    FROM v${k - 1} v, m$k m)"""
+      """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    GROUP BY 1),
+            v0 AS (SELECT tok, array_to_string(list_transform(
+                            range(1, len(tok) + 1),
+                            i -> substr(tok, CAST(i AS INT), 1)), ' ') AS w, n
+                   FROM c),""" +
+        iter(1) + "," + iter(2) + "," + iter(3) + """,
+            mp AS (SELECT tok, CAST(len(string_split(w, ' ')) AS BIGINT)
+                               AS nsym
+                   FROM v3),
+            dt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+            SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(m.nsym) AS BIGINT) AS n_bpe_tokens,
+                   CAST(sum(len(d.tok)) AS BIGINT) AS n_tok_chars,
+                   CAST(sum(len(d.tok)) AS DOUBLE) / sum(m.nsym)
+                     AS chars_per_token
+            FROM dt d JOIN mp m USING (tok)
+            GROUP BY d.doc_id ORDER BY d.doc_id NULLS FIRST"""
     })
 
   /** The END-TO-END corpus build — the stages every pretraining data
@@ -2313,7 +2402,7 @@ object PipelineOps {
     tsCusumDrift, tsEwma, tsIntervalUnion, llmBigramLogprob, tsDailyRetention,
     tsMadAnomaly, llmNgramPmi, llmCorpusShuffle, llmEpochRepeat,
     tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, llmBpeTrainIters,
-    tsFunnelStages,
+    llmBpeTokenizeApply, tsFunnelStages,
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
     tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest)
 }

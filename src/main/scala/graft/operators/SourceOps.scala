@@ -690,6 +690,43 @@ object SourceOps {
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM documents GROUP BY source ORDER BY source NULLS FIRST"""))
 
+  /** Raw-lines (text datasource) round-trip — the fifth interchange
+    * format: one record per LINE, fields tab-joined (the one-doc-per-line
+    * shape raw web-corpus dumps ship in, before anything imposes CSV or
+    * JSON structure). Write via the single-column `text` sink, read back
+    * with `spark.read.text` + an explicit split/cast parse (the
+    * parse-on-read every raw-lines ingest does); the oracle aggregates
+    * the ORIGINAL parquet, so a pass proves the line encoding + parse
+    * round-tripped every field. Corpus text is newline- and tab-free by
+    * construction (space-joined tokens), which is exactly the
+    * precondition this format requires — stated here because at 100 TB
+    * the guard is a quarantine filter upstream
+    * ([[srcCsvQuarantine]]-style), not an assumption.
+    */
+  val srcTextRoundtrip: Q = Q(
+    "src_text_roundtrip",
+    (s, d) => {
+      val dir = graft.util.TempDirs.create("graft_text").toString
+      Tables.read(s, d, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("lang"), col("text"))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      s.read.text(dir)
+        .select(split(col("value"), "\t").as("f"))
+        .select(element_at(col("f"), 1).cast(LongType).as("doc_id"),
+          element_at(col("f"), 2).as("lang"),
+          element_at(col("f"), 3).as("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("total_text_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(asc_nulls_first("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n,
+                   CAST(sum(len(text)) AS BIGINT) AS total_text_chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM documents GROUP BY lang ORDER BY lang NULLS FIRST"""))
+
   /** Bit-interleave (Morton / Z-order) of k bucketed dimensions: column
     * j's bit i lands at position i·k + j. Input columns must be
     * non-negative and fit in `bits` bits; the interleaved value needs
@@ -2390,5 +2427,6 @@ object SourceOps {
     sinkCompactMergeDedup, opZonemapPrune, sinkMvSketchRefresh,
     srcTsRangePrune, opZonemapIncremental, srcTimeTravelRead,
     sinkScd2Apply, sinkVacuumRetention, opBloomSkipIndex, sinkWapPublish,
-    sinkMergeInto, opConstraintAudit, srcBinaryFiles, srcXmlRoundtrip)
+    sinkMergeInto, opConstraintAudit, srcBinaryFiles, srcXmlRoundtrip,
+    srcTextRoundtrip)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (258 keys, 235 oracles)") {
-    assert(SparkEntry.queries.size == 258,
+  test("registry matches the SURVEY §2 inventory size (260 keys, 237 oracles)") {
+    assert(SparkEntry.queries.size == 260,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 235,
+    assert(SparkEntry.oracleSql.size == 237,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -143,6 +143,24 @@ class Round18bSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) >= 1 && r.getLong(1) >= 1))
   }
 
+  test("llm_bpe_tokenize_apply: accounting consistent with the trained rewrite") {
+    import spark.implicits._
+    // same fixture as the train spec: after 3 merges the vocab is
+    // aaaa -> "aa aa" (2 symbols... then (aa,aa) merges -> "aaaa", 1) and
+    // aaa -> "aa a" -> "aaa" via (aa,a) at step 2 (1 symbol); the doc has
+    // 2 words, 7 chars, and must therefore count 2 BPE tokens
+    val dir = graft.util.TempDirs.create("bpe_apply_fixture")
+    Seq((1L, "aaaa aaa", "en", "web", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val got = PipelineOps.llmBpeTokenizeApply.fn(spark, dir.toString).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 2L, 2L, 7L)), s"accounting: $r")
+    assert(r.getDouble(4) == 3.5, s"compression: $r")
+  }
+
   test("llm_nb_lang_classifier: confusion matrix partitions the test split exactly") {
     val out = graft.SparkEntry.queries("llm_nb_lang_classifier")(spark, sf)
       .collect()
