@@ -1769,6 +1769,148 @@ object PipelineOps {
     * division. Oracle embeds the Holt recursive CTE verbatim (keep in
     * sync with `ts_holt_forecast`).
     */
+  /** Holt-Winters ADDITIVE triple exponential smoothing
+    * (α=β=γ=0.5, season length 7 by epoch weekday `day % 7`) of the
+    * daily total series — the seasonal completion of the forecasting
+    * family (`ts_ewma` level-only → `ts_holt_forecast` level+trend →
+    * here level+trend+seasonal), with the one-step-ahead forecast
+    * `level + trend + s[weekday]` evaluated BEFORE the day's update.
+    * Same scale shape as Holt: aggregate-first to the O(#days) daily
+    * table (the only corpus-sized work, map-side partials), then the
+    * inherently sequential recursion as ONE Catalyst `aggregate` fold
+    * whose accumulator carries (level, trend, the 7-slot seasonal
+    * array) — corpus work distributed, fold O(#days). Seasonal slots
+    * key by `day % 7`, not by row position, so gap days cannot rotate
+    * the cycle. Determinism: the recursion runs on unrounded doubles
+    * with the oracle's arithmetic inlined to the identical IEEE
+    * expression tree (the recursive CTE names `lvl`/`sprev` in derived
+    * tables, which changes no bits); all outputs rounded 6 dp. First
+    * row: level = x, trend = 0, seasonal slots stay 0 (the general
+    * update yields exactly 0.0 there), forecast NULL.
+    */
+  val tsHoltWinters: Q = Q(
+    "ts_holt_winters",
+    (s, d) => {
+      val daily = Tables.read(s, d, "events")
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DecimalType(28, 2)).cast(DoubleType).as("x"))
+      daily
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("sr"))
+        .select(explode(expr(
+          """aggregate(
+               sr,
+               named_struct('first', true,
+                 'level', cast(0.0 as double), 'trend', cast(0.0 as double),
+                 's', array_repeat(cast(0.0 as double), 7),
+                 'out', cast(array() as
+                   array<struct<day:bigint, observed:double, level:double,
+                                trend:double, seasonal:double,
+                                forecast:double>>)),
+               (acc, e) -> IF(acc.first,
+                 named_struct('first', false, 'level', e.x,
+                   'trend', cast(0.0 as double), 's', acc.s,
+                   'out', array(named_struct('day', e.day, 'observed', e.x,
+                     'level', e.x, 'trend', cast(0.0 as double),
+                     'seasonal', cast(0.0 as double),
+                     'forecast', cast(null as double)))),
+                 named_struct('first', false,
+                   'level',
+                   0.5d * (e.x - element_at(acc.s, cast(e.day % 7 as int) + 1))
+                     + 0.5d * (acc.level + acc.trend),
+                   'trend',
+                   0.5d * ((0.5d * (e.x - element_at(acc.s, cast(e.day % 7 as int) + 1))
+                            + 0.5d * (acc.level + acc.trend)) - acc.level)
+                     + 0.5d * acc.trend,
+                   's',
+                   transform(acc.s, (v, i) -> IF(i = cast(e.day % 7 as int),
+                     0.5d * (e.x - (0.5d * (e.x - element_at(acc.s, cast(e.day % 7 as int) + 1))
+                                    + 0.5d * (acc.level + acc.trend)))
+                       + 0.5d * element_at(acc.s, cast(e.day % 7 as int) + 1),
+                     v)),
+                   'out', array_append(acc.out, named_struct(
+                     'day', e.day, 'observed', e.x,
+                     'level',
+                     0.5d * (e.x - element_at(acc.s, cast(e.day % 7 as int) + 1))
+                       + 0.5d * (acc.level + acc.trend),
+                     'trend',
+                     0.5d * ((0.5d * (e.x - element_at(acc.s, cast(e.day % 7 as int) + 1))
+                              + 0.5d * (acc.level + acc.trend)) - acc.level)
+                       + 0.5d * acc.trend,
+                     'seasonal',
+                     0.5d * (e.x - (0.5d * (e.x - element_at(acc.s, cast(e.day % 7 as int) + 1))
+                                    + 0.5d * (acc.level + acc.trend)))
+                       + 0.5d * element_at(acc.s, cast(e.day % 7 as int) + 1),
+                     'forecast',
+                     acc.level + acc.trend
+                       + element_at(acc.s, cast(e.day % 7 as int) + 1))))),
+               acc -> acc.out)""")).as("r"))
+        .select(col("r.day").as("day"), col("r.observed").as("observed"),
+          round(col("r.level"), 6).as("level"),
+          round(col("r.trend"), 6).as("trend"),
+          round(col("r.seasonal"), 6).as("seasonal"),
+          round(col("r.forecast"), 6).as("forecast"))
+        .orderBy(asc_nulls_first("day"))
+    },
+    Some("""WITH RECURSIVE
+            daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                             CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                  AS DECIMAL(28,2)) AS DOUBLE) AS x
+                      FROM events GROUP BY 1),
+            idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn
+                    FROM daily),
+            hw AS (SELECT rn, day, x AS observed, x AS level,
+                          CAST(0.0 AS DOUBLE) AS trend,
+                          CAST(0.0 AS DOUBLE) AS seasonal,
+                          CAST(NULL AS DOUBLE) AS forecast,
+                          CAST(0.0 AS DOUBLE) AS s0, CAST(0.0 AS DOUBLE) AS s1,
+                          CAST(0.0 AS DOUBLE) AS s2, CAST(0.0 AS DOUBLE) AS s3,
+                          CAST(0.0 AS DOUBLE) AS s4, CAST(0.0 AS DOUBLE) AS s5,
+                          CAST(0.0 AS DOUBLE) AS s6
+                   FROM idx WHERE rn = 1
+                   UNION ALL
+                   SELECT rn, day, x AS observed, lvl AS level,
+                          0.5 * (lvl - plevel) + 0.5 * ptrend AS trend,
+                          0.5 * (x - lvl) + 0.5 * sprev AS seasonal,
+                          fc AS forecast,
+                          CASE WHEN w = 0 THEN 0.5 * (x - lvl) + 0.5 * sprev
+                               ELSE s0 END AS s0,
+                          CASE WHEN w = 1 THEN 0.5 * (x - lvl) + 0.5 * sprev
+                               ELSE s1 END AS s1,
+                          CASE WHEN w = 2 THEN 0.5 * (x - lvl) + 0.5 * sprev
+                               ELSE s2 END AS s2,
+                          CASE WHEN w = 3 THEN 0.5 * (x - lvl) + 0.5 * sprev
+                               ELSE s3 END AS s3,
+                          CASE WHEN w = 4 THEN 0.5 * (x - lvl) + 0.5 * sprev
+                               ELSE s4 END AS s4,
+                          CASE WHEN w = 5 THEN 0.5 * (x - lvl) + 0.5 * sprev
+                               ELSE s5 END AS s5,
+                          CASE WHEN w = 6 THEN 0.5 * (x - lvl) + 0.5 * sprev
+                               ELSE s6 END AS s6
+                   FROM (SELECT t1.*,
+                                0.5 * (x - sprev) + 0.5 * (plevel + ptrend)
+                                  AS lvl
+                         FROM (SELECT i.rn, i.day, i.x AS x,
+                                      i.day % 7 AS w,
+                                      hw.level AS plevel, hw.trend AS ptrend,
+                                      hw.s0, hw.s1, hw.s2, hw.s3, hw.s4,
+                                      hw.s5, hw.s6,
+                                      CASE i.day % 7
+                                        WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1
+                                        WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3
+                                        WHEN 4 THEN hw.s4 WHEN 5 THEN hw.s5
+                                        ELSE hw.s6 END AS sprev,
+                                      hw.level + hw.trend + CASE i.day % 7
+                                        WHEN 0 THEN hw.s0 WHEN 1 THEN hw.s1
+                                        WHEN 2 THEN hw.s2 WHEN 3 THEN hw.s3
+                                        WHEN 4 THEN hw.s4 WHEN 5 THEN hw.s5
+                                        ELSE hw.s6 END AS fc
+                               FROM hw JOIN idx i ON i.rn = hw.rn + 1) t1) t2)
+            SELECT day, observed, round(level, 6) AS level,
+                   round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+                   round(forecast, 6) AS forecast
+            FROM hw ORDER BY day NULLS FIRST"""))
+
   val tsForecastBacktest: Q = Q(
     "ts_forecast_backtest",
     (s, d) => {
@@ -2404,5 +2546,5 @@ object PipelineOps {
     tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, llmBpeTrainIters,
     llmBpeTokenizeApply, tsFunnelStages,
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
-    tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest)
+    tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest, tsHoltWinters)
 }

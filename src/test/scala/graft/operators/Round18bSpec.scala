@@ -161,6 +161,51 @@ class Round18bSpec extends SparkSpec {
     assert(r.getDouble(4) == 3.5, s"compression: $r")
   }
 
+  test("ts_holt_winters: exact driver replay, weekday keying survives gap days") {
+    import spark.implicits._
+    // days 0, 1, 2, 8, 9: the gap (3..7 missing) means day 8 (w=1) must
+    // read the seasonal slot day 1 wrote — %7 keying, not row position
+    val days = Seq(0L, 1L, 2L, 8L, 9L)
+    val vals = Seq(10.0, 14.0, 9.0, 20.0, 6.0)
+    val dir = graft.util.TempDirs.create("hw_fixture")
+    days.zip(vals).zipWithIndex.map { case ((day, v), i) =>
+      (i.toLong, day * 86400000000L * 1000L, 1L, "click", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(dir.resolve("events.parquet").toString)
+    val got = PipelineOps.tsHoltWinters.fn(spark, dir.toString).collect()
+    // independent driver replay of the recursion on unrounded doubles
+    var (l, b) = (0.0, 0.0)
+    val sArr = Array.fill(7)(0.0)
+    var first = true
+    val want = days.zip(vals).map { case (day, x) =>
+      val w = (day % 7).toInt
+      if (first) {
+        first = false; l = x; b = 0.0
+        (day, x, x, 0.0, 0.0, None)
+      } else {
+        val sprev = sArr(w)
+        val fc = l + b + sprev
+        val lvl = 0.5 * (x - sprev) + 0.5 * (l + b)
+        val tr = 0.5 * (lvl - l) + 0.5 * b
+        val sn = 0.5 * (x - lvl) + 0.5 * sprev
+        l = lvl; b = tr; sArr(w) = sn
+        (day, x, lvl, tr, sn, Some(fc))
+      }
+    }
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, (day, x, lvl, tr, sn, fc)) =>
+      assert(g.getLong(0) == day && g.getDouble(1) == x)
+      assert(g.getDouble(2) == r6(lvl), s"level day $day: $g vs ${r6(lvl)}")
+      assert(g.getDouble(3) == r6(tr), s"trend day $day")
+      assert(g.getDouble(4) == r6(sn), s"seasonal day $day")
+      fc match {
+        case None => assert(g.isNullAt(5), s"first forecast must be NULL")
+        case Some(f) => assert(g.getDouble(5) == r6(f), s"forecast day $day")
+      }
+    }
+  }
+
   test("llm_nb_lang_classifier: confusion matrix partitions the test split exactly") {
     val out = graft.SparkEntry.queries("llm_nb_lang_classifier")(spark, sf)
       .collect()
