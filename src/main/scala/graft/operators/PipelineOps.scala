@@ -196,6 +196,59 @@ object PipelineOps {
              CROSS JOIN tgt t
              WHERE r.rk <= t.target ORDER BY r.doc_id NULLS FIRST"""))
 
+  /** Temperature-scaled source sampling weights — the multilingual-LM
+    * mixing recipe (XLM-R / mT5: sample source s with p ∝ n_s^(1/τ)) at
+    * τ = 2, i.e. √n weighting: up-samples small sources and flattens
+    * the head without `llm_mix_rebalance`'s hard truncation-to-min.
+    * Output per source: corpus share, temperature weight, sampling
+    * probability, and the expected document count in a 1M-draw epoch —
+    * the table a data-loader config is generated from. One hash agg to
+    * the O(#sources) cell table; every downstream op runs on those ~20
+    * rows. τ = 2 is chosen deliberately: n^(1/2) is `sqrt`, which IEEE
+    * 754 requires CORRECTLY rounded — so unlike a fractional `pow`
+    * (libm-dependent), every weight is bit-identical cross-engine
+    * BEFORE rounding; weights then round 6 dp to DECIMAL so the
+    * normalizing sum is merge-order independent, and each probability
+    * is one exact-operand double division.
+    */
+  val llmMixTemperature: Q = Q(
+    "llm_mix_temperature",
+    (s, d) => {
+      val cells = Tables.read(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .truncated // one corpus agg; totals + weights both read it
+      val tot = cells.agg(sum(col("n_docs")).as("n_total"))
+      val weighted = cells
+        .withColumn("w", round(sqrt(col("n_docs").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)))
+      val wsum = weighted.agg(sum(col("w")).as("w_total"))
+      weighted.crossJoin(broadcast(tot)).crossJoin(broadcast(wsum))
+        .select(col("source"), col("n_docs"),
+          (col("n_docs").cast(DoubleType) / col("n_total")).as("p_corpus"),
+          col("w").cast(DoubleType).as("weight"),
+          (col("w").cast(DoubleType) / col("w_total").cast(DoubleType))
+            .as("p_sample"),
+          floor(col("w").cast(DoubleType) / col("w_total").cast(DoubleType)
+            * 1000000).cast(LongType).as("docs_per_1m"))
+        .orderBy(asc_nulls_first("source"))
+    },
+    Some("""WITH cells AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                           FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM cells),
+            wtd AS (SELECT source, n_docs,
+                           CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6)
+                                AS DECIMAL(18,6)) AS w
+                    FROM cells),
+            ws AS (SELECT CAST(sum(w) AS DECIMAL(38,6)) AS w_total FROM wtd)
+            SELECT w.source, w.n_docs,
+                   CAST(w.n_docs AS DOUBLE) / t.n_total AS p_corpus,
+                   CAST(w.w AS DOUBLE) AS weight,
+                   CAST(w.w AS DOUBLE) / CAST(s.w_total AS DOUBLE) AS p_sample,
+                   CAST(floor(CAST(w.w AS DOUBLE) / CAST(s.w_total AS DOUBLE)
+                              * 1000000) AS BIGINT) AS docs_per_1m
+            FROM wtd w CROSS JOIN tot t CROSS JOIN ws s
+            ORDER BY w.source NULLS FIRST"""))
+
   // ----------------------------------------------------------- event ops
 
   /** Sessionization: split each user's event stream into sessions at
@@ -2537,6 +2590,7 @@ object PipelineOps {
   val all: Seq[Q] = Seq(
     llmCorpusBuildE2e, tsChangepointMeanshift,
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
+    llmMixTemperature,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (261 keys, 238 oracles)") {
-    assert(SparkEntry.queries.size == 261,
+  test("registry matches the SURVEY §2 inventory size (262 keys, 239 oracles)") {
+    assert(SparkEntry.queries.size == 262,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 238,
+    assert(SparkEntry.oracleSql.size == 239,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

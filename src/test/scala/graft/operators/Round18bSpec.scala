@@ -161,6 +161,32 @@ class Round18bSpec extends SparkSpec {
     assert(r.getDouble(4) == 3.5, s"compression: $r")
   }
 
+  test("llm_mix_temperature: flattening direction and probability conservation") {
+    val out = graft.SparkEntry.queries("llm_mix_temperature")(spark, sf)
+      .collect()
+    val pSum = out.map(_.getDouble(4)).sum
+    assert(math.abs(pSum - 1.0) < 1e-9, s"p_sample must sum to 1: $pSum")
+    assert(out.map(_.getLong(5)).sum <= 1000000L,
+      "floor'd per-source draws cannot exceed the epoch budget")
+    out.foreach { r =>
+      val (n, w) = (r.getLong(1), r.getDouble(3))
+      assert(w == BigDecimal(math.sqrt(n.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"weight must be round(sqrt(n), 6): $r")
+    }
+    // temperature flattens RATIOS: for any two sources, the sampling
+    // ratio is the sqrt of the corpus ratio (strictly closer to 1 for
+    // unequal sizes) — checked on the extremes
+    val big = out.maxBy(_.getLong(1))
+    val small = out.minBy(_.getLong(1))
+    if (big.getLong(1) > small.getLong(1)) {
+      val corpusRatio = big.getDouble(2) / small.getDouble(2)
+      val sampleRatio = big.getDouble(4) / small.getDouble(4)
+      assert(sampleRatio < corpusRatio && sampleRatio > 1.0,
+        s"flattening violated: corpus $corpusRatio vs sample $sampleRatio")
+    }
+  }
+
   test("ts_holt_winters: exact driver replay, weekday keying survives gap days") {
     import spark.implicits._
     // days 0, 1, 2, 8, 9: the gap (3..7 missing) means day 8 (w=1) must
