@@ -1161,6 +1161,72 @@ object LlmOps {
       .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
   }
 
+  /** Hard-negative mining over the labeled embedding table — the
+    * contrastive-training data op (DPR / SimCSE / CLIP recipe): for each
+    * anchor, the most-similar vector carrying a DIFFERENT label is the
+    * hardest negative, the example that actually moves the loss.
+    * Anchors = `vec_id % 25 = 0` (the mining batch — in production the
+    * batch being trained on, bounded by construction, never the corpus).
+    * One anchors×corpus pass with the codegen'd `graft_cosine` kernel
+    * (oracle-proven bit-equal to the SQL formula by `llm_cosine_topk`),
+    * label-filtered BEFORE scoring; per-anchor argmax by
+    * (rounded-4 score DESC, neg_id ASC) — a total order. The anchor side
+    * broadcasts under a row budget and falls back to a partitioned
+    * cartesian past it (the batch can be big; the hint must not force a
+    * driver OOM at 100 TB). Scale path for corpus-sized anchor sets:
+    * the banded-LSH candidate join (`llm_embed_cosine_dup_lsh`) with
+    * the label filter — this op is the exact per-batch form.
+    */
+  val llmHardNegativeMine: Q = Q(
+    "llm_hard_negative_mine",
+    (s, d) => {
+      val cos = cosineCols(s)("a_emb", "n_emb")
+      val e = Tables.read(s, d, "embeddings")
+      val anchors0 = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+          col("label").as("anchor_label"))
+      val budget = 100000L
+      val anchors =
+        if (anchors0.limit((budget + 1).toInt).count() <= budget)
+          broadcast(anchors0)
+        else anchors0
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("score").desc, col("neg_id").asc)
+      e.select(col("vec_id").as("neg_id"), col("embedding").as("n_emb"),
+          col("label").as("neg_label"))
+        .crossJoin(anchors)
+        .filter(col("neg_label") =!= col("anchor_label"))
+        .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+          col("neg_label"),
+          round(cos, 4).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1).drop("rk")
+        .orderBy(asc_nulls_first("anchor_id"))
+    },
+    Some("""WITH a AS (SELECT vec_id AS anchor_id, embedding AS a_emb,
+                              label AS anchor_label
+                       FROM embeddings WHERE vec_id % 25 = 0),
+            c AS (SELECT vec_id AS neg_id, embedding AS n_emb,
+                         label AS neg_label
+                  FROM embeddings),
+            sc AS (SELECT a.anchor_id, a.anchor_label, c.neg_id, c.neg_label,
+                          round(list_sum(list_transform(range(1, 65),
+                                  i -> CAST(a.a_emb[i] AS DOUBLE)
+                                       * CAST(c.n_emb[i] AS DOUBLE)))
+                                / (sqrt(list_sum(list_transform(range(1, 65),
+                                     i -> CAST(a.a_emb[i] AS DOUBLE)
+                                          * CAST(a.a_emb[i] AS DOUBLE))))
+                                 * sqrt(list_sum(list_transform(range(1, 65),
+                                     i -> CAST(c.n_emb[i] AS DOUBLE)
+                                          * CAST(c.n_emb[i] AS DOUBLE))))), 4)
+                            AS score
+                   FROM a JOIN c ON c.neg_label <> a.anchor_label),
+            r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                       ORDER BY score DESC, neg_id) AS rk
+                  FROM sc)
+            SELECT anchor_id, anchor_label, neg_id, neg_label, score
+            FROM r WHERE rk = 1 ORDER BY anchor_id NULLS FIRST"""))
+
   /** Exactly-once emission predicate over columns (t, sig1, sig2): of the
     * ≤nTables tables where the pair's bands collide, keep only the lowest
     * — t must be the FIRST zero `w`-wide nibble of sig1^sig2. Closed-form
@@ -2843,6 +2909,7 @@ object LlmOps {
     llmMinhashJaccardEst, llmEditDistanceDup,
     llmCosineTopk, llmMmrDiversify, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
+    llmHardNegativeMine,
     llmAnnPqTopk, llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmNbLangClassifier, llmRepetitionStats,

@@ -161,6 +161,33 @@ class Round18bSpec extends SparkSpec {
     assert(r.getDouble(4) == 3.5, s"compression: $r")
   }
 
+  test("llm_hard_negative_mine: negatives always cross labels and beat every other cross-label candidate") {
+    val out = graft.SparkEntry.queries("llm_hard_negative_mine")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val anchors = Tables.read(spark, sf, "embeddings")
+      .filter(col("vec_id") % 25 === 0).count()
+    assert(out.length == anchors, "exactly one hardest negative per anchor")
+    out.foreach { r =>
+      assert(r.getInt(1) != r.getInt(3), s"negative must cross labels: $r")
+      assert(r.getLong(0) != r.getLong(2))
+    }
+    // spot-check one anchor against a brute-force driver recompute
+    val a = out.head
+    val vecs = Tables.read(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val av = vecs.find(_._1 == a.getLong(0)).get
+    val best = vecs.filter(_._3 != av._3)
+      .map { case (id, v, l) =>
+        val s = BigDecimal(graft.functions.VectorMath.dotD(av._2, v) /
+          (graft.functions.VectorMath.normD(av._2) * graft.functions.VectorMath.normD(v)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, l, s)
+      }.minBy { case (id, _, s) => (-s, id) }
+    assert((a.getLong(2), a.getInt(3), a.getDouble(4)) == best,
+      s"argmax mismatch: $a vs $best")
+  }
+
   test("llm_mix_temperature: flattening direction and probability conservation") {
     val out = graft.SparkEntry.queries("llm_mix_temperature")(spark, sf)
       .collect()
