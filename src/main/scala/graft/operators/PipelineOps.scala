@@ -249,6 +249,68 @@ object PipelineOps {
             FROM wtd w CROSS JOIN tot t CROSS JOIN ws s
             ORDER BY w.source NULLS FIRST"""))
 
+  /** T5-style span-corruption preprocessing accounting — the denoising-
+    * objective preparation every encoder-decoder pretraining pipeline
+    * runs: deterministic hash-driven span starts (the repo's portable
+    * Knuth scramble per (doc_id, position) — reproducible across runs
+    * AND engines, where production randomness would be a seeded RNG),
+    * each start masking a 3-token span, overlapping spans merging into
+    * one sentinel. 5% start rate × span 3 ≈ the T5 15% corruption rate.
+    * Output per doc: token/span/masked counts, the SENTINEL count (=
+    * contiguous masked runs = sentinel tokens the model input gets),
+    * and the realized mask rate. Entirely map-side array arithmetic
+    * (filter/size over the position sequence) — zero shuffle before
+    * the final sort, the scale-right shape for a per-doc transform.
+    */
+  val llmSpanCorruption: Q = Q(
+    "llm_span_corruption",
+    (s, d) => {
+      def hs(pos: String) =
+        s"((doc_id * 2654435761 + ($pos) * 40503) % 1000000007) % 20 = 0"
+      val masked =
+        s"""(${hs("i")} OR (i > 1 AND ${hs("i - 1")})
+             OR (i > 2 AND ${hs("i - 2")}))"""
+      val maskedPrev =
+        s"""((i > 1 AND ${hs("i - 1")}) OR (i > 2 AND ${hs("i - 2")})
+             OR (i > 3 AND ${hs("i - 3")}))"""
+      Tables.read(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), size(col("t")).as("n_tokens"),
+          expr(s"size(filter(sequence(1, size(t)), i -> ${hs("i")}))")
+            .cast(LongType).as("n_spans"),
+          expr(s"size(filter(sequence(1, size(t)), i -> $masked))")
+            .cast(LongType).as("n_masked"),
+          expr(s"""size(filter(sequence(1, size(t)),
+                        i -> $masked AND NOT $maskedPrev))""")
+            .cast(LongType).as("n_sentinels"))
+        .withColumn("mask_rate",
+          col("n_masked").cast(DoubleType) / col("n_tokens"))
+        .orderBy(asc_nulls_first("doc_id"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+            f AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                         CAST(len(list_filter(range(1, len(tk) + 1), i ->
+                           ((doc_id * 2654435761 + i * 40503) % 1000000007) % 20 = 0))
+                           AS BIGINT) AS n_spans,
+                         CAST(len(list_filter(range(1, len(tk) + 1), i ->
+                           ((doc_id * 2654435761 + i * 40503) % 1000000007) % 20 = 0
+                           OR (i > 1 AND ((doc_id * 2654435761 + (i - 1) * 40503) % 1000000007) % 20 = 0)
+                           OR (i > 2 AND ((doc_id * 2654435761 + (i - 2) * 40503) % 1000000007) % 20 = 0)))
+                           AS BIGINT) AS n_masked,
+                         CAST(len(list_filter(range(1, len(tk) + 1), i ->
+                           (((doc_id * 2654435761 + i * 40503) % 1000000007) % 20 = 0
+                            OR (i > 1 AND ((doc_id * 2654435761 + (i - 1) * 40503) % 1000000007) % 20 = 0)
+                            OR (i > 2 AND ((doc_id * 2654435761 + (i - 2) * 40503) % 1000000007) % 20 = 0))
+                           AND NOT ((i > 1 AND ((doc_id * 2654435761 + (i - 1) * 40503) % 1000000007) % 20 = 0)
+                            OR (i > 2 AND ((doc_id * 2654435761 + (i - 2) * 40503) % 1000000007) % 20 = 0)
+                            OR (i > 3 AND ((doc_id * 2654435761 + (i - 3) * 40503) % 1000000007) % 20 = 0))))
+                           AS BIGINT) AS n_sentinels
+                  FROM t)
+            SELECT doc_id, n_tokens, n_spans, n_masked, n_sentinels,
+                   CAST(n_masked AS DOUBLE) / n_tokens AS mask_rate
+            FROM f ORDER BY doc_id NULLS FIRST"""))
+
   // ----------------------------------------------------------- event ops
 
   /** Sessionization: split each user's event stream into sessions at
@@ -2590,7 +2652,7 @@ object PipelineOps {
   val all: Seq[Q] = Seq(
     llmCorpusBuildE2e, tsChangepointMeanshift,
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
-    llmMixTemperature,
+    llmMixTemperature, llmSpanCorruption,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,

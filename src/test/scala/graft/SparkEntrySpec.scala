@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (263 keys, 240 oracles)") {
-    assert(SparkEntry.queries.size == 263,
+  test("registry matches the SURVEY §2 inventory size (264 keys, 241 oracles)") {
+    assert(SparkEntry.queries.size == 264,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 240,
+    assert(SparkEntry.oracleSql.size == 241,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

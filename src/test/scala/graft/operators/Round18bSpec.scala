@@ -161,6 +161,31 @@ class Round18bSpec extends SparkSpec {
     assert(r.getDouble(4) == 3.5, s"compression: $r")
   }
 
+  test("llm_span_corruption: mask accounting replayed from the hash law") {
+    val out = graft.SparkEntry.queries("llm_span_corruption")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    def start(docId: Long, i: Long) =
+      ((docId * 2654435761L + i * 40503L) % 1000000007L) % 20 == 0
+    // replay the span law in the driver for a handful of docs
+    out.take(25).foreach { r =>
+      val (docId, n) = (r.getLong(0), r.getInt(1).toLong)
+      val masked = (1L to n).map(i =>
+        start(docId, i) || (i > 1 && start(docId, i - 1)) ||
+          (i > 2 && start(docId, i - 2)))
+      val sentinels = masked.zipWithIndex.count { case (m, idx) =>
+        m && (idx == 0 || !masked(idx - 1)) }
+      assert(r.getLong(2) == (1L to n).count(start(docId, _)), s"spans: $r")
+      assert(r.getLong(3) == masked.count(identity), s"masked: $r")
+      assert(r.getLong(4) == sentinels, s"sentinels: $r")
+      assert(r.getLong(4) <= r.getLong(2) && r.getLong(3) <= 3 * r.getLong(2),
+        s"merge bounds: $r")
+    }
+    // corpus-level realized mask rate lands near the 15% design point
+    val rate = out.map(_.getLong(3)).sum.toDouble / out.map(_.getInt(1).toLong).sum
+    assert(rate > 0.08 && rate < 0.22, s"corpus mask rate off-design: $rate")
+  }
+
   test("llm_hard_negative_mine: negatives always cross labels and beat every other cross-label candidate") {
     val out = graft.SparkEntry.queries("llm_hard_negative_mine")(spark, sf)
       .collect()
