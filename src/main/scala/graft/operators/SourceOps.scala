@@ -727,6 +727,46 @@ object SourceOps {
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM documents GROUP BY lang ORDER BY lang NULLS FIRST"""))
 
+  /** Metadata-only partition counts — the `count(*)`-from-footers
+    * optimization every lakehouse runtime applies to unfiltered counts
+    * (Spark's own `LocalLimit 0`-style metadata answers, Delta/Iceberg
+    * stats-based counts): write the corpus partitioned by `lang`, then
+    * answer "rows per partition" from parquet FOOTER row counts alone —
+    * zero data pages read, cost O(#files) metadata probes regardless of
+    * table bytes (the same budget class as the zone-map ops; at cluster
+    * scale the footer loop distributes over the path list). The oracle
+    * recomputes the counts relationally from the source table, so the
+    * hash gate proves the metadata answer exactly equals the data
+    * answer — the invariant the optimization rests on. Round18bSpec
+    * additionally pins that the footer path launches NO Spark job.
+    */
+  val opCountMetadataOnly: Q = Q(
+    "op_count_metadata_only",
+    (s, d) => {
+      val dir = graft.util.TempDirs.create("graft_meta_count").toString
+      Tables.read(s, d, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      metadataPartitionCounts(s, dir, "lang")
+    },
+    Some("""SELECT lang, count(*) AS n_rows
+            FROM documents GROUP BY lang ORDER BY lang NULLS FIRST"""))
+
+  /** Footer-count engine (unit-test seam): per `key=value` partition dir
+    * of a partitioned parquet table, the row count summed from footers.
+    */
+  private[operators] def metadataPartitionCounts(
+      s: SparkSession, dir: String, key: String): DataFrame = {
+    import s.implicits._
+    graft.util.Fs.listChildDirs(s, dir, s"$key=")
+      .map { case (name, path) =>
+        val value = name.substring(key.length + 1)
+        val files = graft.util.Fs.listPartFiles(s, path)
+        (value, graft.util.Fs.footerRowCount(s, files))
+      }
+      .toDF(key, "n_rows")
+      .orderBy(asc_nulls_first(key))
+  }
+
   /** Bit-interleave (Morton / Z-order) of k bucketed dimensions: column
     * j's bit i lands at position i·k + j. Input columns must be
     * non-negative and fit in `bits` bits; the interleaved value needs
@@ -2428,5 +2468,5 @@ object SourceOps {
     srcTsRangePrune, opZonemapIncremental, srcTimeTravelRead,
     sinkScd2Apply, sinkVacuumRetention, opBloomSkipIndex, sinkWapPublish,
     sinkMergeInto, opConstraintAudit, srcBinaryFiles, srcXmlRoundtrip,
-    srcTextRoundtrip)
+    srcTextRoundtrip, opCountMetadataOnly)
 }

@@ -83,6 +83,35 @@ object Fs {
     }
   }
 
+  /** Total row count of the given parquet files from FOOTER metadata
+    * alone (sum of per-block row counts) — no data pages touched, so a
+    * count is O(#files) metadata reads regardless of table bytes: the
+    * metadata-only-count optimization every lakehouse runtime applies
+    * to unfiltered `count(*)`. At cluster scale the loop distributes as
+    * a mapPartitions over the path list, same footer calls.
+    */
+  def footerRowCount(spark: SparkSession, paths: Seq[String]): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    paths.map { ps =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(ps), conf))
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.sum
+  }
+
+  /** Immediate child directories of `dir` named `prefix*` (the
+    * `col=value` dirs of a partitioned write), as (dirName, fullPath).
+    */
+  def listChildDirs(spark: SparkSession, dir: String, prefix: String)
+      : Seq[(String, String)] = {
+    val (fs, p) = resolve(spark, dir)
+    fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(st => (st.getPath.getName, st.getPath.toString)).toSeq
+  }
+
   /** Whether `dir` exists and contains at least one immediate child
     * directory named `prefix*` — the did-the-partitioned-write-publish-
     * anything probe (a write of an empty frame leaves only _SUCCESS).

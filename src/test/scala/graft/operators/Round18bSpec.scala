@@ -161,6 +161,25 @@ class Round18bSpec extends SparkSpec {
     assert(r.getDouble(4) == 3.5, s"compression: $r")
   }
 
+  test("op_count_metadata_only: the footer count launches no Spark job") {
+    val dir = graft.util.TempDirs.create("meta_count_spec").toString
+    Tables.read(spark, sf, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val counts = SourceOps.metadataPartitionCounts(spark, dir, "lang")
+    // the metadata probe itself runs during DataFrame CONSTRUCTION (the
+    // footer loop) — only the trivial local collect of the built rows
+    // may run after; assert the loop launched nothing
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before,
+      s"footer count must launch no Spark job ($before -> $after)")
+    val got = counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.read(spark, sf, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want, s"metadata counts $got != data counts $want")
+  }
+
   test("llm_span_corruption: mask accounting replayed from the hash law") {
     val out = graft.SparkEntry.queries("llm_span_corruption")(spark, sf)
       .collect()
