@@ -1904,6 +1904,71 @@ object LlmOps {
     * the score op and the per-lang quantile filter ([[graft.operators
     * .PipelineOps.llmQualityQuantile]]).
     */
+  /** The DATASET REPORT CARD — the per-(lang, source) summary a corpus
+    * release ships (HF dataset card / Dolma-style data sheet): document
+    * and token counts, mean document length, mean quality, and the
+    * exact-duplicate rate, in ONE composed Catalyst plan reusing the
+    * proven single-op machinery ([[qualityScored]], the md5-digest
+    * canonical window of the corpus build). Everything aggregates to
+    * O(|langs| × |sources|) cells: two corpus passes (profile + digest
+    * window) that both partial-aggregate/shuffle on bounded keys —
+    * digests, never bodies, through the one wide shuffle. §2.0
+    * discipline: quality (already rounded 6 dp) sums in DECIMAL, every
+    * mean is one exact-operand double division.
+    */
+  val llmDatasetReport: Q = Q(
+    "llm_dataset_report",
+    (s, d) => {
+      val docs = Tables.read(s, d, "documents")
+      val prof = qualityScored(s, d).select(col("doc_id"), col("n_tokens"),
+        col("quality"))
+      val dup = docs
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+        .select(col("doc_id"),
+          when(col("doc_id") === col("keep_id"), 0L).otherwise(1L).as("is_dup"))
+      docs.select(col("doc_id"), col("lang"), col("source"))
+        .join(prof, "doc_id").join(dup, "doc_id")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("quality").cast(DecimalType(18, 6))).as("q_sum"),
+          sum(col("is_dup")).as("n_exact_dups"))
+        .select(col("lang"), col("source"), col("n_docs"), col("total_tokens"),
+          (col("total_tokens").cast(DoubleType) / col("n_docs")).as("avg_tokens"),
+          (col("q_sum").cast(DoubleType) / col("n_docs")).as("mean_quality"),
+          col("n_exact_dups"),
+          (col("n_exact_dups").cast(DoubleType) / col("n_docs")).as("dup_rate"))
+        .orderBy(asc_nulls_first("lang"), asc_nulls_first("source"))
+    },
+    Some("""WITH prof AS (SELECT doc_id, lang, source,
+                                 CAST(len(string_split(text, ' ')) AS BIGINT)
+                                   AS n_tokens,
+                                 round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                                         / len(string_split(text, ' ')) * 0.4
+                                       + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                            x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                                            / len(string_split(text, ' '))) * 0.3
+                                       + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
+                                               1.0) * 0.3,
+                                       6) AS quality
+                          FROM documents),
+            dup AS (SELECT doc_id,
+                           CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+                                THEN 0 ELSE 1 END AS is_dup
+                    FROM documents)
+            SELECT p.lang, p.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(p.n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum(p.n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+                   CAST(sum(CAST(p.quality AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*) AS mean_quality,
+                   CAST(sum(d.is_dup) AS BIGINT) AS n_exact_dups,
+                   CAST(sum(d.is_dup) AS DOUBLE) / count(*) AS dup_rate
+            FROM prof p JOIN dup d USING (doc_id)
+            GROUP BY p.lang, p.source
+            ORDER BY p.lang NULLS FIRST, p.source NULLS FIRST"""))
+
   private[operators] def qualityScored(s: SparkSession, d: String): DataFrame =
     Tables.read(s, d, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"),
@@ -2912,7 +2977,7 @@ object LlmOps {
     llmHardNegativeMine,
     llmAnnPqTopk, llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
-    llmLangIdNgram, llmNbLangClassifier, llmRepetitionStats,
+    llmLangIdNgram, llmNbLangClassifier, llmDatasetReport, llmRepetitionStats,
     llmContaminationNgram, llmNgramNovelty,
     llmStratifiedSample, llmTrainSplit, llmReservoirSample,
     llmDocFingerprint, llmMultimodalJoin,

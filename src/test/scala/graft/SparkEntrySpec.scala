@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (265 keys, 242 oracles)") {
-    assert(SparkEntry.queries.size == 265,
+  test("registry matches the SURVEY §2 inventory size (266 keys, 243 oracles)") {
+    assert(SparkEntry.queries.size == 266,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 242,
+    assert(SparkEntry.oracleSql.size == 243,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
