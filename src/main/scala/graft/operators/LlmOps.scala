@@ -1969,6 +1969,47 @@ object LlmOps {
             GROUP BY p.lang, p.source
             ORDER BY p.lang NULLS FIRST, p.source NULLS FIRST"""))
 
+  /** Out-of-vocabulary rate under a fixed top-K token vocabulary — the
+    * tokenizer-coverage audit (does a K-entry word vocab cover this
+    * corpus slice, per language): vocab = top 1000 corpus tokens by
+    * frequency (total order: count DESC, token ASC, so the rank-1000
+    * cut is deterministic), then per language the fraction of token
+    * OCCURRENCES falling outside it. Vocab build is one map-side-
+    * partial hash agg + a 1000-row TakeOrderedAndProject; scoring is
+    * one explode + a broadcast join against the fixed-size vocab (the
+    * model-broadcast/corpus-streamed shape — the vocab is bounded by K
+    * at any corpus size, so the hint is safe to force). All-integer
+    * counts; the rate is one exact-operand double division.
+    */
+  val llmOovRate: Q = Q(
+    "llm_oov_rate",
+    (s, d) => {
+      val toks = Tables.read(s, d, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .truncated // one corpus explode feeds vocab build AND scoring
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("tok")).limit(1000)
+        .select(col("tok")).withColumn("in_vocab", lit(1))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast(DoubleType) / col("n_tokens"))
+        .orderBy(asc_nulls_first("lang"))
+    },
+    Some("""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+            vc AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+            vocab AS (SELECT tok FROM vc ORDER BY cnt DESC, tok LIMIT 1000)
+            SELECT t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oov,
+                   CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS oov_rate
+            FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+            GROUP BY t.lang ORDER BY t.lang NULLS FIRST"""))
+
   private[operators] def qualityScored(s: SparkSession, d: String): DataFrame =
     Tables.read(s, d, "documents")
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"),
@@ -2977,7 +3018,8 @@ object LlmOps {
     llmHardNegativeMine,
     llmAnnPqTopk, llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
-    llmLangIdNgram, llmNbLangClassifier, llmDatasetReport, llmRepetitionStats,
+    llmLangIdNgram, llmNbLangClassifier, llmDatasetReport, llmOovRate,
+    llmRepetitionStats,
     llmContaminationNgram, llmNgramNovelty,
     llmStratifiedSample, llmTrainSplit, llmReservoirSample,
     llmDocFingerprint, llmMultimodalJoin,
