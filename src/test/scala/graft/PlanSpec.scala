@@ -311,4 +311,31 @@ class PlanSpec extends SparkSpec {
     assert(factSides.exists(hasProbe),
       s"bloom probe must filter the fact subtree BELOW the join:\n$root")
   }
+
+  test("llm_span_corruption: map-side only — the single exchange is the output sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val root = operators.PipelineOps.llmSpanCorruption.fn(spark, sf)
+      .queryExecution.executedPlan
+    val exchanges = root.collect { case e: ShuffleExchangeLike => e }
+    assert(exchanges.length <= 1,
+      s"per-doc transform must not shuffle before the output sort:\n$root")
+  }
+
+  test("llm_oov_rate: the vocab side joins via broadcast, scoring never shuffles the corpus on tok") {
+    val p = plan(LlmOps.llmOovRate.fn(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"K-bounded vocab must broadcast:\n$p")
+  }
+
+  test("llm_hard_negative_mine: the anchor side broadcasts under the budget") {
+    val p = plan(LlmOps.llmHardNegativeMine.fn(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"anchors under budget must broadcast:\n$p")
+  }
+
+  test("llm_nb_lang_classifier: the class table broadcasts into the scoring fanout") {
+    val p = plan(LlmOps.llmNbLangClassifier.fn(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the |classes|-row table must broadcast:\n$p")
+  }
 }
