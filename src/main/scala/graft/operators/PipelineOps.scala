@@ -2259,16 +2259,23 @@ object PipelineOps {
     * symbols, n); returns (per-step 1-row merge tables, the rewritten
     * vocab after all merges).
     */
+  /** The greedy-leftmost non-overlapping merge as a portable left fold
+    * over columns (s: array of symbols, a, b) — exposed as a seam so the
+    * property test can drive it against a reference scan for arbitrary
+    * symbol arrays (including the a=b run cases).
+    */
+  private[operators] def bpeMergeFold: Column = expr(
+    """aggregate(slice(s, 2, greatest(size(s) - 1, 0)), element_at(s, 1),
+         (acc, x) -> CASE
+           WHEN x = b AND (acc = a OR endswith(acc, concat(' ', a)))
+           THEN CASE WHEN acc = a THEN concat(a, b)
+                ELSE concat(substring(acc, 1, length(acc) - length(a) - 1),
+                            ' ', a, b) END
+           ELSE concat(acc, ' ', x) END)""")
+
   private[operators] def bpeTrainLoop(vocab0: DataFrame, iters: Int)
       : (Seq[DataFrame], DataFrame) = {
-    val mergeFold = expr(
-      """aggregate(slice(s, 2, greatest(size(s) - 1, 0)), element_at(s, 1),
-           (acc, x) -> CASE
-             WHEN x = b AND (acc = a OR endswith(acc, concat(' ', a)))
-             THEN CASE WHEN acc = a THEN concat(a, b)
-                  ELSE concat(substring(acc, 1, length(acc) - length(a) - 1),
-                              ' ', a, b) END
-             ELSE concat(acc, ' ', x) END)""")
+    val mergeFold = bpeMergeFold
     var vocab = vocab0
     val merges = (1 to iters).map { step =>
       val best = vocab

@@ -115,6 +115,68 @@ class Round18bSpec extends SparkSpec {
     }
   }
 
+  test("bpeMergeFold == reference greedy scan on 400 randomized symbol arrays") {
+    import spark.implicits._
+    // symbols drawn so merged outputs collide with inputs ("a"+"a"="aa"
+    // is itself a symbol) — the adversarial regime for greedy non-overlap
+    val alphabet = Vector("a", "b", "aa", "ab", "ba")
+    val rnd = new scala.util.Random(18)
+    val cases = (1 to 400).map { i =>
+      val syms = Vector.fill(1 + rnd.nextInt(8))(
+        alphabet(rnd.nextInt(alphabet.length)))
+      val (a, b) = (alphabet(rnd.nextInt(alphabet.length)),
+        alphabet(rnd.nextInt(alphabet.length)))
+      (i, syms, a, b)
+    }
+    def ref(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val got = cases.toDF("id", "s", "a", "b")
+      .select(col("id"), PipelineOps.bpeMergeFold.as("w"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.foreach { case (i, syms, a, b) =>
+      val want = ref(syms, a, b).mkString(" ")
+      assert(got(i) == want,
+        s"case $i: syms=$syms pair=($a,$b): fold '${got(i)}' != scan '$want'")
+    }
+  }
+
+  test("bfsDistance == reference BFS on 60 randomized graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(81)
+    (1 to 60).foreach { _ =>
+      val n = 2 + rnd.nextInt(10)
+      val ids = (0 until n).map(_ => rnd.nextLong().abs % 100 + 1)
+      val edges = (0 until n + rnd.nextInt(8)).map(_ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1)
+          .map { case (k, v) => k -> v.map(_._2).toSet }
+        val nodes = adj.keySet
+        val seeds = nodes.filter(_ % 10 == 1)
+        // reference multi-source BFS, depth <= 3
+        var dist = seeds.map(_ -> 0L).toMap
+        var frontier = seeds
+        (1 to 3).foreach { r =>
+          val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+            .diff(dist.keySet)
+          dist = dist ++ next.map(_ -> r.toLong)
+          frontier = next
+        }
+        val got = GraphOps.bfsDistance(edges.toDF("id1", "id2")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == dist, s"edges=$edges: engine $got != reference $dist")
+      }
+    }
+  }
+
   test("llm_bpe_train_iters: greedy-leftmost non-overlap on the a=b adversarial run") {
     import spark.implicits._
     // "aaaa aaa": step-1 argmax is (a,a) with count 5; greedy leftmost
