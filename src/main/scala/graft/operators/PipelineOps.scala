@@ -311,6 +311,100 @@ object PipelineOps {
                    CAST(n_masked AS DOUBLE) / n_tokens AS mask_rate
             FROM f ORDER BY doc_id NULLS FIRST"""))
 
+  /** Triangle-area downsampling of the hourly total series (LTTB,
+    * Steinarsson 2013 — the observability/plotting downsampler) in its
+    * PARALLEL per-bucket form: each interior bucket keeps the point
+    * forming the largest triangle with its NEIGHBOR BUCKET AVERAGES
+    * (the classic variant that replaces LTTB's previously-SELECTED
+    * point with the previous bucket's average, removing the sequential
+    * chain — every bucket decides independently, so the whole pass is
+    * one aggregation + one self-join + one per-bucket argmax; disclosed
+    * deviation from strict LTTB, which is inherently sequential);
+    * endpoint buckets keep their first/last point, as LTTB mandates.
+    * Scale shape: aggregate-first to the O(#hours) series (map-side
+    * partials — the only corpus-sized work), everything after runs on
+    * |buckets| ≈ #hours/8 rows. §2.0 floats: bucket averages are
+    * exact-operand double divisions of DECIMAL/int sums; the argmax
+    * never compares raw doubles — it ranks `floor(area2 × 1e6)` as
+    * BIGINT with the timestamp as tiebreak.
+    */
+  val tsDownsampleLttb: Q = Q(
+    "ts_downsample_lttb",
+    (s, d) => {
+      val hourNs = 3600000000000L
+      val hourly = Tables.read(s, d, "events")
+        .groupBy(expr(s"ts div $hourNs").as("t"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).as("sv"),
+          count(lit(1)).as("cnt"))
+        .select(col("t"), col("sv").cast(DoubleType).as("v"),
+          (col("t") - (col("t") % 8)).as("bk"))
+        .truncated // feeds bucket stats AND the candidate join
+      val stats = hourly.groupBy(col("bk"))
+        .agg(sum(col("t")).as("st"), sum(col("v").cast(DecimalType(28, 2)))
+          .as("svv"), count(lit(1)).as("n"))
+        .select(col("bk"),
+          (col("st").cast(DoubleType) / col("n")).as("avg_t"),
+          (col("svv").cast(DoubleType) / col("n")).as("avg_v"))
+        .truncated // referenced as prev AND next
+      val bounds = hourly.agg(min(col("bk")).as("bk_lo"), max(col("bk")).as("bk_hi"))
+      val withB = hourly.crossJoin(broadcast(bounds))
+      val interior = withB
+        .filter(col("bk") > col("bk_lo") && col("bk") < col("bk_hi"))
+        .join(stats.select((col("bk") + 8).as("bk"), col("avg_t").as("tp"),
+          col("avg_v").as("vp")), "bk")
+        .join(stats.select((col("bk") - 8).as("bk"), col("avg_t").as("tn"),
+          col("avg_v").as("vn")), "bk")
+        .withColumn("area2_micro",
+          floor(abs((col("tp") - col("tn")) * (col("v") - col("vp")) -
+            (col("tp") - col("t")) * (col("vn") - col("vp"))) * 1000000)
+            .cast(LongType))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("bk"))
+            .orderBy(col("area2_micro").desc, col("t").asc)))
+        .filter(col("rk") === 1)
+        .select(col("bk"), col("t"), col("v"))
+      val edges = withB
+        .filter(col("bk") === col("bk_lo") || col("bk") === col("bk_hi"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("bk")).orderBy(
+            when(col("bk") === col("bk_lo"), col("t")).otherwise(-col("t"))
+              .asc)))
+        .filter(col("rk") === 1)
+        .select(col("bk"), col("t"), col("v"))
+      interior.unionByName(edges).orderBy(asc_nulls_first("t"))
+    },
+    Some("""WITH hourly AS (SELECT epoch_ns(ts) // 3600000000000 AS t,
+                                   CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                                        AS DOUBLE) AS v
+                            FROM events GROUP BY 1),
+            hb AS (SELECT t, v, t - (t % 8) AS bk FROM hourly),
+            stats AS (SELECT bk,
+                             CAST(SUM(t) AS DOUBLE) / COUNT(*) AS avg_t,
+                             CAST(SUM(CAST(v AS DECIMAL(28,2))) AS DOUBLE)
+                               / COUNT(*) AS avg_v
+                      FROM hb GROUP BY bk),
+            bounds AS (SELECT min(bk) AS bk_lo, max(bk) AS bk_hi FROM hb),
+            interior AS (SELECT h.bk, h.t, h.v,
+                                row_number() OVER (PARTITION BY h.bk ORDER BY
+                                  CAST(floor(abs((p.avg_t - nx.avg_t) * (h.v - p.avg_v)
+                                       - (p.avg_t - h.t) * (nx.avg_v - p.avg_v))
+                                       * 1000000) AS BIGINT) DESC, h.t) AS rk
+                         FROM hb h
+                         CROSS JOIN bounds b
+                         JOIN stats p ON p.bk = h.bk - 8
+                         JOIN stats nx ON nx.bk = h.bk + 8
+                         WHERE h.bk > b.bk_lo AND h.bk < b.bk_hi),
+            edges AS (SELECT h.bk, h.t, h.v,
+                             row_number() OVER (PARTITION BY h.bk ORDER BY
+                               CASE WHEN h.bk = b.bk_lo THEN h.t
+                                    ELSE -h.t END) AS rk
+                      FROM hb h CROSS JOIN bounds b
+                      WHERE h.bk = b.bk_lo OR h.bk = b.bk_hi)
+            SELECT bk, t, v FROM interior WHERE rk = 1
+            UNION ALL
+            SELECT bk, t, v FROM edges WHERE rk = 1
+            ORDER BY t NULLS FIRST"""))
+
   // ----------------------------------------------------------- event ops
 
   /** Sessionization: split each user's event stream into sessions at
@@ -2669,5 +2763,6 @@ object PipelineOps {
     tsWeekdayProfile, tsCrossCorrelation, llmBpeMergeStep, llmBpeTrainIters,
     llmBpeTokenizeApply, tsFunnelStages,
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
-    tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest, tsHoltWinters)
+    tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest, tsHoltWinters,
+    tsDownsampleLttb)
 }
