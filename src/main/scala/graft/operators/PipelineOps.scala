@@ -405,6 +405,104 @@ object PipelineOps {
             SELECT bk, t, v FROM edges WHERE rk = 1
             ORDER BY t NULLS FIRST"""))
 
+  /** Cohort retention matrix — the product-analytics classic
+    * (`ts_daily_retention` is the day-over-day diagonal of this): users
+    * cohorted by their FIRST active day; for each (cohort, age 0..7)
+    * cell, how many of the cohort were active `age` days later and the
+    * retention rate. Aggregate-first discipline: ONE corpus pass to the
+    * distinct (user, day) activity set (map-side partial), a user-keyed
+    * min for the cohort, then an equi-join of two \|users×days\|-bounded
+    * tables — no window over raw events, no self-join of the corpus.
+    * All-integer counts; each rate is one exact-operand double
+    * division. Age capped at 7 so the output is \|cohorts\| × 8 cells
+    * (metadata-sized at any volume).
+    */
+  val tsCohortRetention: Q = Q(
+    "ts_cohort_retention",
+    (s, d) => {
+      val dayNs = 86400000000000L
+      val act = Tables.read(s, d, "events")
+        .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+        .distinct()
+        .truncated // feeds the cohort min AND the activity probe
+      val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      val sizes = cohort.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_n"))
+      cohort.join(act, "user_id")
+        .withColumn("age", col("day") - col("cohort"))
+        .filter(col("age") <= 7)
+        .groupBy(col("cohort"), col("age"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, "cohort")
+        .select(col("cohort"), col("age"), col("n_active"), col("cohort_n"),
+          (col("n_active").cast(DoubleType) / col("cohort_n")).as("retention"))
+        .orderBy(asc_nulls_first("cohort"), asc_nulls_first("age"))
+    },
+    Some("""WITH act AS (SELECT DISTINCT user_id,
+                                epoch_ns(ts) // 86400000000000 AS day
+                         FROM events),
+            cohort AS (SELECT user_id, min(day) AS cohort FROM act
+                       GROUP BY user_id),
+            sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_n
+                      FROM cohort GROUP BY cohort),
+            cells AS (SELECT c.cohort, a.day - c.cohort AS age,
+                             CAST(count(*) AS BIGINT) AS n_active
+                      FROM cohort c JOIN act a USING (user_id)
+                      WHERE a.day - c.cohort <= 7
+                      GROUP BY c.cohort, a.day - c.cohort)
+            SELECT ce.cohort, ce.age, ce.n_active, s.cohort_n,
+                   CAST(ce.n_active AS DOUBLE) / s.cohort_n AS retention
+            FROM cells ce JOIN sizes s USING (cohort)
+            ORDER BY ce.cohort NULLS FIRST, ce.age NULLS FIRST"""))
+
+  /** Per-user 30-day activity BITMAP packed into one BIGINT — the
+    * bitmap-index technique behind fast audience segmentation (roaring
+    * bitmaps, ClickHouse groupBitmap): bit i set ⟺ the user was active
+    * on corpus day i, built with a single `bit_or` hash aggregation
+    * (map-side combinable, 8 bytes of state per user — the whole month
+    * of activity in one integer). Downstream set algebra (AND/OR two
+    * users' months, audience intersections) becomes bitwise ops on
+    * longs. Emits the bitmap, `bit_count` active days, and first/last
+    * active day RECOVERED FROM THE BITMAP (log/bit arithmetic, proving
+    * the packing lossless against the oracle's direct min/max). Day
+    * offsets re-base on the corpus min day (one broadcast scalar), so
+    * the 30-day span always fits the 63 usable bits.
+    */
+  val aggActivityBitmap: Q = Q(
+    "agg_activity_bitmap",
+    (s, d) => {
+      val dayNs = 86400000000000L
+      val ev = Tables.read(s, d, "events")
+        .select(col("user_id"), expr(s"ts div $dayNs").as("day"))
+      val lo = ev.agg(min(col("day")).as("day0"))
+      ev.crossJoin(broadcast(lo))
+        .select(col("user_id"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(day - day0 AS INT))")
+            .as("bit"), col("day0"))
+        .groupBy(col("user_id"), col("day0"))
+        .agg(expr("bit_or(bit)").as("bitmap"))
+        .select(col("user_id"), col("bitmap"),
+          expr("CAST(bit_count(bitmap) AS BIGINT)").as("n_active_days"),
+          // lowest set bit -> first day; highest -> last day
+          (col("day0") + expr(
+            "CAST(log2(bitmap & -bitmap) AS BIGINT)")).as("first_day"),
+          (col("day0") + expr(
+            "CAST(floor(log2(bitmap)) AS BIGINT)")).as("last_day"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day
+                        FROM events),
+            lo AS (SELECT min(day) AS day0 FROM ev),
+            bm AS (SELECT user_id, day0,
+                          bit_or(CAST(1 AS BIGINT) << CAST(day - day0 AS INT))
+                            AS bitmap
+                   FROM ev CROSS JOIN lo
+                   GROUP BY user_id, day0)
+            SELECT user_id, bitmap,
+                   CAST(bit_count(bitmap) AS BIGINT) AS n_active_days,
+                   day0 + CAST(log2(bitmap & -bitmap) AS BIGINT) AS first_day,
+                   day0 + CAST(floor(log2(bitmap)) AS BIGINT) AS last_day
+            FROM bm ORDER BY user_id NULLS FIRST"""))
+
   // ----------------------------------------------------------- event ops
 
   /** Sessionization: split each user's event stream into sessions at
@@ -2764,5 +2862,5 @@ object PipelineOps {
     llmBpeTokenizeApply, tsFunnelStages,
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
     tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest, tsHoltWinters,
-    tsDownsampleLttb)
+    tsDownsampleLttb, tsCohortRetention, aggActivityBitmap)
 }

@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (268 keys, 245 oracles)") {
-    assert(SparkEntry.queries.size == 268,
+  test("registry matches the SURVEY §2 inventory size (270 keys, 247 oracles)") {
+    assert(SparkEntry.queries.size == 270,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 245,
+    assert(SparkEntry.oracleSql.size == 247,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
