@@ -1227,6 +1227,86 @@ object LlmOps {
             SELECT anchor_id, anchor_label, neg_id, neg_label, score
             FROM r WHERE rk = 1 ORDER BY anchor_id NULLS FIRST"""))
 
+  /** Leave-one-out kNN label probe over the embeddings — the standard
+    * embedding-quality audit (the "kNN probe" of representation-learning
+    * evals): for each anchor (`vec_id % 25 = 0`, the probe batch), its
+    * k=5 nearest OTHER vectors by cosine vote on the anchor's label;
+    * majority vote (votes DESC, label ASC tiebreak) against the true
+    * label says whether the embedding geometry actually encodes the
+    * labels. Same anchors×corpus kernel pass as
+    * [[llmHardNegativeMine]] (budget-gated broadcast, codegen'd
+    * `graft_cosine`), then a per-anchor top-5 window on the
+    * (rounded-4 score DESC, vec_id ASC) total order and a vote
+    * hash-agg — the k-row-per-anchor shuffle is bounded by k×|batch|
+    * regardless of corpus size. All-integer votes; fully
+    * DuckDB-oracled.
+    */
+  val llmKnnLabelProbe: Q = Q(
+    "llm_knn_label_probe",
+    (s, d) => {
+      val cos = cosineCols(s)("a_emb", "n_emb")
+      val e = Tables.read(s, d, "embeddings")
+      val anchors0 = e.filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+          col("label").as("true_label"))
+      val budget = 100000L
+      val anchors =
+        if (anchors0.limit((budget + 1).toInt).count() <= budget)
+          broadcast(anchors0)
+        else anchors0
+      val wTop = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("score").desc, col("neg_id").asc)
+      val top5 = e.select(col("vec_id").as("neg_id"),
+          col("embedding").as("n_emb"), col("label").as("nb_label"))
+        .crossJoin(anchors)
+        .filter(col("neg_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("true_label"), col("neg_id"),
+          col("nb_label"), round(cos, 4).as("score"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+      val wVote = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("n_votes").desc, col("nb_label").asc)
+      top5.groupBy(col("anchor_id"), col("true_label"), col("nb_label"))
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("anchor_id"), col("true_label"),
+          col("nb_label").as("pred_label"), col("n_votes"),
+          (col("nb_label") === col("true_label")).as("correct"))
+        .orderBy(asc_nulls_first("anchor_id"))
+    },
+    Some("""WITH a AS (SELECT vec_id AS anchor_id, embedding AS a_emb,
+                              label AS true_label
+                       FROM embeddings WHERE vec_id % 25 = 0),
+            c AS (SELECT vec_id AS neg_id, embedding AS n_emb,
+                         label AS nb_label
+                  FROM embeddings),
+            sc AS (SELECT a.anchor_id, a.true_label, c.neg_id, c.nb_label,
+                          round(list_sum(list_transform(range(1, 65),
+                                  i -> CAST(a.a_emb[i] AS DOUBLE)
+                                       * CAST(c.n_emb[i] AS DOUBLE)))
+                                / (sqrt(list_sum(list_transform(range(1, 65),
+                                     i -> CAST(a.a_emb[i] AS DOUBLE)
+                                          * CAST(a.a_emb[i] AS DOUBLE))))
+                                 * sqrt(list_sum(list_transform(range(1, 65),
+                                     i -> CAST(c.n_emb[i] AS DOUBLE)
+                                          * CAST(c.n_emb[i] AS DOUBLE))))), 4)
+                            AS score
+                   FROM a JOIN c ON c.neg_id <> a.anchor_id),
+            top5 AS (SELECT * FROM (
+                       SELECT *, row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY score DESC, neg_id) AS rk FROM sc)
+                     WHERE rk <= 5),
+            votes AS (SELECT anchor_id, true_label, nb_label,
+                             CAST(count(*) AS BIGINT) AS n_votes
+                      FROM top5 GROUP BY 1, 2, 3),
+            best AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                          ORDER BY n_votes DESC, nb_label) AS vr
+                     FROM votes)
+            SELECT anchor_id, true_label, nb_label AS pred_label, n_votes,
+                   nb_label = true_label AS correct
+            FROM best WHERE vr = 1 ORDER BY anchor_id NULLS FIRST"""))
+
   /** Exactly-once emission predicate over columns (t, sig1, sig2): of the
     * ≤nTables tables where the pair's bands collide, keep only the lowest
     * — t must be the FIRST zero `w`-wide nibble of sig1^sig2. Closed-form
@@ -3015,7 +3095,7 @@ object LlmOps {
     llmMinhashJaccardEst, llmEditDistanceDup,
     llmCosineTopk, llmMmrDiversify, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
-    llmHardNegativeMine,
+    llmHardNegativeMine, llmKnnLabelProbe,
     llmAnnPqTopk, llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmNbLangClassifier, llmDatasetReport, llmOovRate,

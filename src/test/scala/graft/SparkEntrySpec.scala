@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (270 keys, 247 oracles)") {
-    assert(SparkEntry.queries.size == 270,
+  test("registry matches the SURVEY §2 inventory size (271 keys, 248 oracles)") {
+    assert(SparkEntry.queries.size == 271,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 247,
+    assert(SparkEntry.oracleSql.size == 248,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
