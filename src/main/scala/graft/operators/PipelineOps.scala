@@ -1932,6 +1932,100 @@ object PipelineOps {
     * engines. Oracle embeds the decompose CTE verbatim (keep in sync
     * with `ts_seasonal_decompose`).
     */
+  /** Seasonality STRENGTH of the daily series — Hyndman's STL diagnostic
+    * `F_s = max(0, 1 − Var(residual)/Var(seasonal + residual))`: ~0 means
+    * the weekday cycle explains nothing (don't seasonally adjust), →1
+    * means it dominates. The one-number answer to "should this series'
+    * anomaly gate run on the decomposed residual
+    * (`ts_seasonal_anomaly`) or the raw z-score (`ts_zscore_anomaly`)".
+    * Reuses the [[tsSeasonalDecompose]] subtree (aggregate-first to
+    * O(#days)); both variances are decimal-moment aggregates
+    * (n·Σx² − (Σx)² form, merge-order independent) over the
+    * already-rounded components, each final ratio one rounded double
+    * op. Degenerate guard: Var(S+R)=0 → strength NULL (no cycle to
+    * measure), identical CASE in both engines.
+    */
+  val tsSeasonalityStrength: Q = Q(
+    "ts_seasonality_strength",
+    (s, d) => {
+      val dec = tsSeasonalDecompose.fn(s, d)
+        .filter(col("residual").isNotNull)
+        .select(col("residual").cast(DecimalType(28, 6)).as("r"),
+          (col("seasonal") + col("residual")).cast(DecimalType(28, 6)).as("sr"))
+      dec.agg(count(lit(1)).as("n_days"),
+          sum(col("r")).as("s_r"),
+          sum(expr("CAST(CAST(r AS DOUBLE) * CAST(r AS DOUBLE) AS DECIMAL(38,12))"))
+            .as("s_r2"),
+          sum(col("sr")).as("s_sr"),
+          sum(expr("CAST(CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) AS DECIMAL(38,12))"))
+            .as("s_sr2"))
+        .select(col("n_days"),
+          // sums leave DECIMAL (exact, order-independent) and convert to
+          // DOUBLE once; the moment combination then runs on identical
+          // doubles in both engines (a decimal x decimal product would
+          // hit Spark's precision-38 scale reduction and round
+          // differently than DuckDB's)
+          round((col("n_days").cast(DoubleType) * col("s_r2").cast(DoubleType)
+            - col("s_r").cast(DoubleType) * col("s_r").cast(DoubleType)) /
+            (col("n_days").cast(DoubleType) * col("n_days").cast(DoubleType)), 6)
+            .as("var_resid"),
+          round((col("n_days").cast(DoubleType) * col("s_sr2").cast(DoubleType)
+            - col("s_sr").cast(DoubleType) * col("s_sr").cast(DoubleType)) /
+            (col("n_days").cast(DoubleType) * col("n_days").cast(DoubleType)), 6)
+            .as("var_sr"))
+        .withColumn("strength",
+          when(col("var_sr") > 0,
+            round(greatest(lit(0.0),
+              lit(1.0) - col("var_resid") / col("var_sr")), 6)))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS v
+                           FROM events GROUP BY 1),
+            t AS (SELECT day, v,
+                         CASE WHEN count(*) OVER w7 = 7
+                              THEN round(CAST(sum(v) OVER w7 AS DOUBLE) / 7.0, 6)
+                         END AS trend,
+                         day % 7 AS weekday
+                  FROM daily
+                  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+            t2 AS (SELECT *, CAST(round(CAST(v AS DOUBLE) - trend, 6)
+                                  AS DECIMAL(28,6)) AS detr FROM t),
+            seas AS (SELECT weekday,
+                            round(CAST(sum(detr) AS DOUBLE) / count(detr), 6)
+                              AS seasonal
+                     FROM t2 WHERE detr IS NOT NULL GROUP BY 1),
+            comp AS (SELECT CAST(round(CAST(t2.v AS DOUBLE) - t2.trend - s.seasonal, 6)
+                                 AS DECIMAL(28,6)) AS r,
+                            CAST(s.seasonal
+                                 + round(CAST(t2.v AS DOUBLE) - t2.trend - s.seasonal, 6)
+                                 AS DECIMAL(28,6)) AS sr
+                     FROM t2 JOIN seas s USING (weekday)
+                     WHERE t2.trend IS NOT NULL),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                         sum(r) AS s_r,
+                         sum(CAST(CAST(r AS DOUBLE) * CAST(r AS DOUBLE)
+                                  AS DECIMAL(38,12))) AS s_r2,
+                         sum(sr) AS s_sr,
+                         sum(CAST(CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)
+                                  AS DECIMAL(38,12))) AS s_sr2
+                  FROM comp),
+            v AS (SELECT n_days,
+                         round((CAST(n_days AS DOUBLE) * CAST(s_r2 AS DOUBLE)
+                                - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
+                               / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)),
+                               6) AS var_resid,
+                         round((CAST(n_days AS DOUBLE) * CAST(s_sr2 AS DOUBLE)
+                                - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE))
+                               / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)),
+                               6) AS var_sr
+                  FROM m)
+            SELECT n_days, var_resid, var_sr,
+                   CASE WHEN var_sr > 0
+                        THEN round(greatest(CAST(0.0 AS DOUBLE),
+                                   CAST(1.0 AS DOUBLE) - var_resid / var_sr), 6)
+                   END AS strength
+            FROM v"""))
+
   val tsSeasonalAnomaly: Q = Q(
     "ts_seasonal_anomaly",
     (s, d) => {
@@ -2862,5 +2956,6 @@ object PipelineOps {
     llmBpeTokenizeApply, tsFunnelStages,
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
     tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest, tsHoltWinters,
-    tsDownsampleLttb, tsCohortRetention, aggActivityBitmap)
+    tsDownsampleLttb, tsCohortRetention, aggActivityBitmap,
+    tsSeasonalityStrength)
 }
