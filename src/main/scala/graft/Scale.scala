@@ -96,7 +96,8 @@ object Scale {
     "stream_stream_full_outer", "llm_dedup_containment",
     "graph_link_prediction_simhash", "graph_link_prediction",
     "graph_degree_dist", "graph_triangle_count", "graph_pagerank",
-    "graph_bfs_distance", "graph_component_sizes")
+    "graph_bfs_distance", "graph_component_sizes", "graph_clustering_coeff",
+    "graph_assortativity")
 
   /** Rehearsal overrides for ops whose registered form assumes the
     * driver's single-file corpus. The k× events table is MANY parquet

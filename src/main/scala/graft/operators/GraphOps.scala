@@ -449,8 +449,108 @@ object GraphOps {
           FROM csz GROUP BY cluster_size
           ORDER BY cluster_size NULLS FIRST"""))
 
+  /** Global clustering coefficient C = 3·triangles / wedges — the
+    * transitivity of the near-dup graph ("if A~B and B~C, how often
+    * A~C"): high C means clone CLUSTERS (banding missed pairs are
+    * recoverable via `graph_link_prediction`), low C means isolated
+    * pairs. Composes the two proven subtrees — the degree-ordered
+    * node-iterator triangle count and a Σdeg(deg−1)/2 wedge rollup of
+    * the degree table — into one 1-row cross join; both counts are
+    * exact integers, the coefficient one exact-operand double
+    * division. Exact-Jaccard sharded edge set → fully oracled.
+    */
+  val graphClusteringCoeff: Q = Q(
+    "graph_clustering_coeff",
+    (s, d) => {
+      val p = shardedJaccardPairs(s, d).truncated
+      val tri = triangleCount(p)
+      val deg = p.select(col("id1").as("id"))
+        .union(p.select(col("id2").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val wedges = deg.agg(
+        sum(col("deg") * (col("deg") - 1) / 2).cast(LongType).as("n_wedges"))
+      tri.crossJoin(wedges)
+        .select(col("n_triangles"), col("n_wedges"),
+          when(col("n_wedges") > 0,
+            lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .as("clustering_coeff"))
+    },
+    Some(jaccardPairsCte +
+      """, tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+                   FROM pairs e1
+                   JOIN pairs e2 ON e2.id1 = e1.id2
+                   JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2),
+          deg AS (SELECT id, COUNT(*) AS deg
+                  FROM (SELECT id1 AS id FROM pairs
+                        UNION ALL SELECT id2 AS id FROM pairs)
+                  GROUP BY id),
+          w AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges
+                FROM deg)
+          SELECT t.n_triangles, w.n_wedges,
+                 CASE WHEN w.n_wedges > 0
+                      THEN CAST(3.0 AS DOUBLE) * t.n_triangles / w.n_wedges
+                 END AS clustering_coeff
+          FROM tri t CROSS JOIN w"""))
+
+  /** Degree assortativity of the similarity graph — the Pearson
+    * correlation of endpoint degrees over the (symmetrized) edge list:
+    * r > 0 means clones cluster with equally-cloned docs (hub-hub),
+    * r < 0 means hubs attach to leaves (template + variants, the
+    * boilerplate signature). Two hash aggs (degrees, then integer edge
+    * moments Σx Σy Σxy Σx² Σy²) + one closed-form double expression
+    * rounded 6 dp — the `agg_corr_manual` discipline on graph
+    * structure; zero-variance degenerates to NULL identically in both
+    * engines. Exact-Jaccard sharded edge set → fully oracled.
+    */
+  val graphAssortativity: Q = Q(
+    "graph_assortativity",
+    (s, d) => {
+      val p = shardedJaccardPairs(s, d).truncated
+      val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
+        .union(p.select(col("id2").as("src"), col("id1").as("dst")))
+        .truncated
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val m = edges
+        .join(deg.select(col("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+        .agg(count(lit(1)).as("m"),
+          sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+          sum(col("dx") * col("dy")).as("sxy"),
+          sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"))
+      m.select(col("m"),
+        expr("""CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+                     THEN NULL
+                ELSE round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                           / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                              * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                END""").as("assortativity"))
+    },
+    Some(jaccardPairsCte +
+      """, edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                     UNION ALL SELECT id2 AS src, id1 AS dst FROM pairs),
+          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+          m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                       CAST(sum(a.deg) AS BIGINT) AS sx,
+                       CAST(sum(b.deg) AS BIGINT) AS sy,
+                       CAST(sum(a.deg * b.deg) AS BIGINT) AS sxy,
+                       CAST(sum(a.deg * a.deg) AS BIGINT) AS sxx,
+                       CAST(sum(b.deg * b.deg) AS BIGINT) AS syy
+                FROM edges e
+                JOIN deg a ON a.src = e.src
+                JOIN deg b ON b.src = e.dst)
+          SELECT m,
+                 CASE WHEN m * sxx - sx * sx <= 0 OR m * syy - sy * sy <= 0
+                      THEN NULL
+                 ELSE round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                            / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                               * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                 END AS assortativity
+          FROM m"""))
+
   val all: Seq[Q] = Seq(graphDegreeDist, graphDegreeDistSimhash,
     graphPagerank, graphPagerankSimhash, graphTriangleCount,
     graphTriangleCountSimhash, graphLinkPrediction,
-    graphLinkPredictionSimhash, graphBfsDistance, graphComponentSizes)
+    graphLinkPredictionSimhash, graphBfsDistance, graphComponentSizes,
+    graphClusteringCoeff, graphAssortativity)
 }
