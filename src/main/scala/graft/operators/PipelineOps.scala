@@ -1824,6 +1824,63 @@ object PipelineOps {
             FROM documents WHERE doc_id IS NOT NULL
             ORDER BY shuffle_pos"""))
 
+  /** Curriculum data ordering — easy-first scheduling (Bengio 2009, as
+    * production pipelines actually configure it): docs bucketed by FIXED
+    * quality thresholds (≥0.7 head, ≥0.5 middle, else tail — thresholds
+    * from a prior profiling run, deliberately NOT corpus-relative
+    * quantiles, which would make every batch's curriculum depend on a
+    * global rank), then deterministically md5-shuffled WITHIN each
+    * bucket, yielding one reproducible global training position per
+    * doc. The global position comes from the same [[TwoPassScan]]
+    * distributed ranking as `llm_corpus_shuffle` — range-partition on
+    * (bucket, key), O(#partitions) driver prefix-combine, NO
+    * single-partition window at any corpus size.
+    */
+  val llmCurriculumOrder: Q = Q(
+    "llm_curriculum_order",
+    (s, d) => {
+      val keyed = LlmOps.qualityScored(s, d)
+        .filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("quality"))
+        .withColumn("bucket",
+          when(col("quality") >= 0.7, 0L)
+            .when(col("quality") >= 0.5, 1L).otherwise(2L))
+        .withColumn("k",
+          expr("md5(concat(cast(doc_id as string), ':curriculum'))"))
+        .select(col("doc_id"), col("quality"), col("bucket"), col("k"))
+      val schema = StructType(Seq(
+        StructField("curriculum_pos", LongType, nullable = false),
+        StructField("doc_id", LongType, nullable = true),
+        StructField("bucket", LongType, nullable = false),
+        StructField("quality", DoubleType, nullable = true)))
+      TwoPassScan[Long](keyed,
+        Seq(asc("bucket"), asc("k"), asc("doc_id")), schema,
+        0L, add = (n, _) => n + 1L, combine = _ + _,
+        emit = (_, pos, r) =>
+          (org.apache.spark.sql.Row(pos, r.getLong(0), r.getLong(2),
+            r.getDouble(1)), pos + 1L))
+        .orderBy(asc("curriculum_pos"))
+    },
+    Some("""WITH q AS (SELECT doc_id,
+                              round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                                      / len(string_split(text, ' ')) * 0.4
+                                    + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                                         x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                                         / len(string_split(text, ' '))) * 0.3
+                                    + least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0,
+                                            1.0) * 0.3,
+                                    6) AS quality
+                       FROM documents WHERE doc_id IS NOT NULL),
+            b AS (SELECT doc_id, quality,
+                         CASE WHEN quality >= 0.7 THEN 0
+                              WHEN quality >= 0.5 THEN 1 ELSE 2 END AS bucket,
+                         md5(CAST(doc_id AS VARCHAR) || ':curriculum') AS k
+                  FROM q)
+            SELECT row_number() OVER (ORDER BY bucket, k, doc_id) - 1
+                     AS curriculum_pos,
+                   doc_id, CAST(bucket AS BIGINT) AS bucket, quality
+            FROM b ORDER BY curriculum_pos"""))
+
   /** Fractional-epoch dataset repetition — "train on this corpus for 2.5
     * epochs" materialized: every doc appears in epochs 0 and 1, and a
     * DETERMINISTIC md5-keyed half of the docs (first hex digit < '8')
@@ -2945,7 +3002,7 @@ object PipelineOps {
   val all: Seq[Q] = Seq(
     llmCorpusBuildE2e, tsChangepointMeanshift,
     llmInvertedIndex, llmTfidfTopTerms, llmQualityQuantile, llmMixRebalance,
-    llmMixTemperature, llmSpanCorruption,
+    llmMixTemperature, llmSpanCorruption, llmCurriculumOrder,
     tsSessionize, tsZscoreAnomaly, llmPiiMask, llmVocabBuild, tsRolling24h,
     llmEmbedNormalize, llmUnigramLogprob, llmDocChunking, llmPackBlocks,
     tsOhlcBars, llmCorpusFilterDecision, tsGapStats, aggHistogramFixed,
