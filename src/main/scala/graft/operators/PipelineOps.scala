@@ -503,6 +503,84 @@ object PipelineOps {
                    day0 + CAST(floor(log2(bitmap)) AS BIGINT) AS last_day
             FROM bm ORDER BY user_id NULLS FIRST"""))
 
+  /** Hour-of-day × weekday activity heatmap — the 7×24 traffic profile
+    * every ops dashboard renders (and the 2-D generalization of
+    * `ts_weekday_profile`'s weekday marginal): per cell, event count
+    * and exact decimal value total. ONE map-side-partial hash agg to a
+    * FIXED 168 cells regardless of event volume — the flattest possible
+    * scale shape; weekday/hour derive from epoch integer arithmetic
+    * (`day % 7`, `hour % 24`), no calendar library on either engine.
+    */
+  val tsHourWeekdayHeatmap: Q = Q(
+    "ts_hour_weekday_heatmap",
+    (s, d) => {
+      Tables.read(s, d, "events")
+        .select(expr("(ts div 86400000000000) % 7").as("weekday"),
+          expr("(ts div 3600000000000) % 24").as("hour"), col("value"))
+        .groupBy(col("weekday"), col("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("total_value"))
+        .orderBy(asc_nulls_first("weekday"), asc_nulls_first("hour"))
+    },
+    Some("""SELECT (epoch_ns(ts) // 86400000000000) % 7 AS weekday,
+                   (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_value
+            FROM events GROUP BY 1, 2
+            ORDER BY weekday NULLS FIRST, hour NULLS FIRST"""))
+
+  /** Inter-arrival gap HISTOGRAM per event type — the distribution
+    * (`ts_gap_stats` reports per-user moments; capacity planning and
+    * anomaly thresholds want the shape): per-type consecutive-event
+    * gaps in µs, bucketed by `floor(log2(gap))` into power-of-two
+    * latency bands (the HdrHistogram/atlas convention). The window
+    * partitions by (type, DAY), not type alone — event_type is a
+    * LOW-cardinality key, and a per-type global sort would funnel the
+    * whole stream through \|types\| partitions at 100 TB; day-scoping
+    * keeps every sort partition bounded at the cost of dropping the one
+    * cross-midnight gap per type per day (disclosed, mirrored in the
+    * oracle). One (type, day) shuffle + one hash agg to
+    * O(types × 64) cells. log2 is exact on power-of-two gaps and
+    * >1 ulp from every integer elsewhere at these magnitudes, so the
+    * floor is engine-stable; zero gaps (same-µs events) land in band
+    * -1 via a CASE both engines share.
+    */
+  val tsGapHistogram: Q = Q(
+    "ts_gap_histogram",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.read(s, d, "events")
+        .select(col("event_type"), expr("ts div 1000").as("ts_us"),
+          expr("(ts div 1000) div 86400000000").as("day"), col("event_id"))
+        .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .withColumn("band",
+          when(col("gap") <= 0, lit(-1L))
+            .otherwise(floor(log2(col("gap"))).cast(LongType)))
+        .groupBy(col("event_type"), col("band"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap_us"), max(col("gap")).as("max_gap_us"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("band"))
+    },
+    Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us, event_id
+                       FROM events),
+            g AS (SELECT event_type,
+                         ts_us - lag(ts_us) OVER (
+                              PARTITION BY event_type, ts_us // 86400000000
+                              ORDER BY ts_us, event_id) AS gap
+                  FROM e),
+            b AS (SELECT event_type, gap,
+                         CASE WHEN gap <= 0 THEN -1
+                              ELSE CAST(floor(log2(gap)) AS BIGINT) END AS band
+                  FROM g WHERE gap IS NOT NULL)
+            SELECT event_type, band, CAST(count(*) AS BIGINT) AS n_gaps,
+                   min(gap) AS min_gap_us, max(gap) AS max_gap_us
+            FROM b GROUP BY 1, 2
+            ORDER BY event_type NULLS FIRST, band NULLS FIRST"""))
+
   // ----------------------------------------------------------- event ops
 
   /** Sessionization: split each user's event stream into sessions at
@@ -3014,5 +3092,5 @@ object PipelineOps {
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
     tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest, tsHoltWinters,
     tsDownsampleLttb, tsCohortRetention, aggActivityBitmap,
-    tsSeasonalityStrength)
+    tsSeasonalityStrength, tsHourWeekdayHeatmap, tsGapHistogram)
 }
