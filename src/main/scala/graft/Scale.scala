@@ -87,7 +87,8 @@ object Scale {
     "op_count_metadata_only", "llm_dataset_report", "llm_oov_rate",
     "ts_downsample_lttb", "ts_cohort_retention", "agg_activity_bitmap",
     "llm_knn_label_probe", "ts_seasonality_strength", "llm_curriculum_order",
-    "ts_hour_weekday_heatmap", "ts_gap_histogram")
+    "ts_hour_weekday_heatmap", "ts_gap_histogram",
+    "llm_vocab_coverage_curve", "llm_boilerplate_windows")
   private val pairOps = Seq(
     "llm_dedup_keep_best",
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",

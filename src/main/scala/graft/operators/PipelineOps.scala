@@ -815,6 +815,99 @@ object PipelineOps {
       })
   }
 
+  /** Vocabulary coverage CURVE — token-occurrence coverage of a top-k
+    * word vocab at k ∈ {100, 1000, 10000}: the tokenizer-sizing
+    * artifact ("how big must the vocab be for 95% coverage"), the curve
+    * whose single point `llm_oov_rate` reports. Rank and cumulative
+    * mass come from the SAME [[rankScan]] distributed two-pass ranking
+    * as `llm_vocab_build` (range partition by (count, token),
+    * O(#partitions) driver prefix-combine — no single-partition window
+    * over the vocab at any corpus size); each curve point is then one
+    * O(k)-bounded aggregate over the ranked table. All-integer masses;
+    * each rate one exact-operand double division.
+    */
+  val llmVocabCoverageCurve: Q = Q(
+    "llm_vocab_coverage_curve",
+    (s, d) => {
+      val counts = Tables.read(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      val ranked = rankScan(counts).truncated // three curve points share it
+      Seq(100L, 1000L, 10000L).map { k =>
+        ranked.filter(col("token_id") < k)
+          .agg(lit(k).as("k"),
+            coalesce(max(col("cum_n")), lit(0L)).as("covered"),
+            max(col("total_n")).as("total"))
+      }.reduce(_ unionByName _)
+        .select(col("k"), col("covered"), col("total"),
+          (col("covered").cast(DoubleType) / col("total")).as("coverage"))
+        .orderBy(asc("k"))
+    },
+    Some("""WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                       FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                             FROM documents)
+                       GROUP BY 1),
+            r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok)
+                         AS rk FROM c),
+            tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+            ks AS (SELECT unnest([100, 1000, 10000]) AS k),
+            cov AS (SELECT ks.k, CAST(sum(r.n) AS BIGINT) AS covered
+                    FROM ks JOIN r ON r.rk <= ks.k GROUP BY ks.k)
+            SELECT CAST(c.k AS BIGINT) AS k, c.covered, t.total,
+                   CAST(c.covered AS DOUBLE) / t.total AS coverage
+            FROM cov c CROSS JOIN tot t ORDER BY k"""))
+
+  /** Boilerplate window extraction — the top-3 most frequent exact
+    * 10-token windows per source that recur across ≥2 DISTINCT
+    * documents: the template/footer detector (CCNet's line-dedup
+    * motivation at window granularity) that tells a curator what
+    * `llm_substring_dedup` pairs actually share. Unlike the hashed
+    * shingle ops, the window STRING is the deliverable here, so strings
+    * ride the shuffle by necessity — but only after the per-doc
+    * distinct, and the per-(source, window) agg partial-aggregates
+    * map-side; the top-3 rank runs on the ≥2-doc survivors only.
+    * All-integer counts with (count DESC, window ASC) total order.
+    */
+  val llmBoilerplateWindows: Q = Q(
+    "llm_boilerplate_windows",
+    (s, d) => {
+      val win = Tables.read(s, d, "documents")
+        .select(col("source"), col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("source"), col("doc_id"), explode(expr(
+          """CASE WHEN size(t) >= 10
+               THEN transform(sequence(1, size(t) - 9),
+                              i -> concat_ws(' ', slice(t, i, 10)))
+               ELSE CAST(array() AS array<string>) END""")).as("w"))
+      val counts = win
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+      counts.withColumn("rk", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_occurrences").desc, col("w").asc)))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk").cast(LongType).as("rk"), col("w"),
+          col("n_occurrences"), col("n_docs"))
+        .orderBy(asc_nulls_first("source"), asc("rk"))
+    },
+    Some("""WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS tk
+                       FROM documents),
+            w AS (SELECT source, doc_id,
+                         array_to_string(tk[i:i+9], ' ') AS w
+                  FROM (SELECT source, doc_id, tk,
+                               unnest(range(1, greatest(len(tk) - 8, 1))) AS i
+                        FROM t)),
+            c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n_occurrences,
+                         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+                  FROM w GROUP BY 1, 2),
+            f AS (SELECT *, row_number() OVER (PARTITION BY source
+                       ORDER BY n_occurrences DESC, w) AS rk
+                  FROM c WHERE n_docs >= 2)
+            SELECT source, CAST(rk AS BIGINT) AS rk, w, n_occurrences, n_docs
+            FROM f WHERE rk <= 3
+            ORDER BY source NULLS FIRST, rk"""))
+
   /** Rolling 24 h window features per user: for every event, the count
     * and value-sum of that user's events in the trailing 24 h — the
     * standard time-decayed feature shape. A RANGE frame over the event
@@ -3092,5 +3185,6 @@ object PipelineOps {
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
     tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest, tsHoltWinters,
     tsDownsampleLttb, tsCohortRetention, aggActivityBitmap,
-    tsSeasonalityStrength, tsHourWeekdayHeatmap, tsGapHistogram)
+    tsSeasonalityStrength, tsHourWeekdayHeatmap, tsGapHistogram,
+    llmVocabCoverageCurve, llmBoilerplateWindows)
 }
