@@ -88,7 +88,8 @@ object Scale {
     "ts_downsample_lttb", "ts_cohort_retention", "agg_activity_bitmap",
     "llm_knn_label_probe", "ts_seasonality_strength", "llm_curriculum_order",
     "ts_hour_weekday_heatmap", "ts_gap_histogram",
-    "llm_vocab_coverage_curve", "llm_boilerplate_windows")
+    "llm_vocab_coverage_curve", "llm_boilerplate_windows",
+    "agg_gini_activity", "ts_user_lifetime")
   private val pairOps = Seq(
     "llm_dedup_keep_best",
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",

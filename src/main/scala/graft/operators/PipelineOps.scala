@@ -908,6 +908,96 @@ object PipelineOps {
             FROM f WHERE rk <= 3
             ORDER BY source NULLS FIRST, rk"""))
 
+  /** Gini coefficient of the per-user event-count distribution — the
+    * one-number activity-skew audit (Gini 0 = uniform users, →1 = a few
+    * hubs own the traffic): the measurement that DECIDES whether a
+    * user-keyed op needs `join_skew_salted`'s mitigation before it hits
+    * the skew at scale. Exact Gini needs each count's RANK in the
+    * sorted distribution — computed with the same [[TwoPassScan]]
+    * distributed ranking as the shuffle/curriculum ops (range partition
+    * by (count, user), O(#partitions) driver prefix-combine, no
+    * single-partition window over the user table). The rank-weighted
+    * sum Σ i·xᵢ accumulates in DECIMAL (exact, order-independent);
+    * G = (2·Σ i·xᵢ)/(n·Σxᵢ) − (n+1)/n is then a fixed double
+    * expression, rounded 6 dp.
+    */
+  val aggGiniActivity: Q = Q(
+    "agg_gini_activity",
+    (s, d) => {
+      val counts = Tables.read(s, d, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("n"))
+      val schema = StructType(Seq(
+        StructField("i", LongType, nullable = false),
+        StructField("n", LongType, nullable = true)))
+      val ranked = TwoPassScan[Long](counts.select(col("n"), col("user_id")),
+        Seq(asc("n"), asc("user_id")), schema,
+        0L, add = (c, _) => c + 1L, combine = _ + _,
+        emit = (_, pos, r) =>
+          (org.apache.spark.sql.Row(pos + 1L, r.getLong(0)), pos + 1L))
+      ranked.agg(count(lit(1)).as("n_users"),
+          sum(col("n")).as("total_events"),
+          sum((col("i") * col("n")).cast(DecimalType(38, 0))).as("iw"))
+        .select(col("n_users"), col("total_events"),
+          round(lit(2.0) * col("iw").cast(DoubleType) /
+            (col("n_users").cast(DoubleType) * col("total_events").cast(DoubleType))
+            - (col("n_users") + 1).cast(DoubleType) / col("n_users").cast(DoubleType),
+            6).as("gini"))
+    },
+    Some("""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            r AS (SELECT n, row_number() OVER (ORDER BY n, user_id)
+                         AS i FROM c),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                         CAST(sum(n) AS BIGINT) AS total_events,
+                         sum(CAST(i * n AS DECIMAL(38,0))) AS iw
+                  FROM r)
+            SELECT n_users, total_events,
+                   round(CAST(2.0 AS DOUBLE) * CAST(iw AS DOUBLE)
+                         / (CAST(n_users AS DOUBLE) * CAST(total_events AS DOUBLE))
+                         - CAST(n_users + 1 AS DOUBLE) / CAST(n_users AS DOUBLE),
+                         6) AS gini
+            FROM m"""))
+
+  /** Per-user LIFETIME table — first/last activity, active span, active
+    * days, event count, and events per active day: the user-granularity
+    * feature table retention and LTV analyses join against (the
+    * upstream of `ts_cohort_retention`'s cohort column). ONE user-keyed
+    * hash aggregation over the corpus (map-side partials carry 5
+    * scalars per user) — no window, no self-join; the distinct-day
+    * count rides the same agg as `count(DISTINCT day)`. All-integer
+    * outputs plus one exact-operand double division.
+    */
+  val tsUserLifetime: Q = Q(
+    "ts_user_lifetime",
+    (s, d) => {
+      Tables.read(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"),
+          count(lit(1)).as("n_events"),
+          countDistinct(col("day")).as("n_active_days"))
+        .withColumn("span_days",
+          expr("(last_us - first_us) div 86400000000"))
+        .withColumn("events_per_active_day",
+          col("n_events").cast(DoubleType) / col("n_active_days"))
+        .select(col("user_id"), col("first_us"), col("last_us"),
+          col("span_days"), col("n_events"), col("n_active_days"),
+          col("events_per_active_day"))
+        .orderBy(asc_nulls_first("user_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events)
+            SELECT user_id, min(ts_us) AS first_us, max(ts_us) AS last_us,
+                   (max(ts_us) - min(ts_us)) // 86400000000 AS span_days,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT day) AS BIGINT) AS n_active_days,
+                   CAST(count(*) AS DOUBLE) / count(DISTINCT day)
+                     AS events_per_active_day
+            FROM e GROUP BY user_id ORDER BY user_id NULLS FIRST"""))
+
   /** Rolling 24 h window features per user: for every event, the count
     * and value-sum of that user's events in the trailing 24 h — the
     * standard time-decayed feature shape. A RANGE frame over the event
@@ -3186,5 +3276,6 @@ object PipelineOps {
     tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest, tsHoltWinters,
     tsDownsampleLttb, tsCohortRetention, aggActivityBitmap,
     tsSeasonalityStrength, tsHourWeekdayHeatmap, tsGapHistogram,
-    llmVocabCoverageCurve, llmBoilerplateWindows)
+    llmVocabCoverageCurve, llmBoilerplateWindows, aggGiniActivity,
+    tsUserLifetime)
 }
