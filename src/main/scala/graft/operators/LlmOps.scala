@@ -1307,6 +1307,66 @@ object LlmOps {
                    nb_label = true_label AS correct
             FROM best WHERE vr = 1 ORDER BY anchor_id NULLS FIRST"""))
 
+  /** Dedup threshold SWEEP — the exact-Jaccard pair count at
+    * τ ∈ {0.85, 0.9, 0.95} on the portable shard: the tuning curve a
+    * dedup rollout is calibrated from ("how many pairs does each
+    * threshold commit us to deleting") before freezing the single τ the
+    * production ops run at. ONE inverted-index pair join computed at
+    * the LOOSEST threshold (thresholds above this corpus's ~0.73
+    * typical cross-doc density, so the candidate set stays the near-dup
+    * tail, not the quadratic bulk), then three cumulative counts off
+    * the same materialized similarity table — the sweep costs one pair
+    * join, not three. Each similarity is the exact-operand division the
+    * pair family shares; τ comparisons are double-literal compares,
+    * identical cross-engine.
+    */
+  val llmDedupThresholdSweep: Q = Q(
+    "llm_dedup_threshold_sweep",
+    (s, d) => {
+      val toks = docTokens(s, d).filter(col("doc_id") % 5 === 1)
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val sims = toks.select(col("doc_id").as("id1"), col("tok"))
+        .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("doc_id", "id1")
+          .withColumnRenamed("sz", "n1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2")
+          .withColumnRenamed("sz", "n2"), "id2")
+        .withColumn("jaccard", col("inter").cast(DoubleType) /
+          (col("n1") + col("n2") - col("inter")))
+        .filter(col("jaccard") >= 0.85)
+        .select(col("jaccard"))
+        .truncated // three cumulative counts share one pair join
+      Seq(0.85, 0.9, 0.95).map { t =>
+        sims.filter(col("jaccard") >= t)
+          .agg(lit(t).as("tau"), count(lit(1)).as("n_pairs"))
+      }.reduce(_ unionByName _).orderBy(asc("tau"))
+    },
+    Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 1),
+            toks AS (SELECT DISTINCT doc_id,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM docs),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                             CAST(COUNT(*) AS BIGINT) AS inter
+                      FROM toks a JOIN toks b
+                        ON a.tok = b.tok AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            sims AS (SELECT CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)
+                              AS jaccard
+                     FROM inter
+                     JOIN sizes s1 ON id1 = s1.doc_id
+                     JOIN sizes s2 ON id2 = s2.doc_id
+                     WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter)
+                           >= 0.85),
+            ks AS (SELECT unnest([0.85, 0.9, 0.95]) AS tau)
+            SELECT CAST(ks.tau AS DOUBLE) AS tau,
+                   CAST(count(CASE WHEN sims.jaccard >= ks.tau THEN 1 END)
+                        AS BIGINT) AS n_pairs
+            FROM ks LEFT JOIN sims ON sims.jaccard >= ks.tau
+            GROUP BY ks.tau ORDER BY tau"""))
+
   /** Exactly-once emission predicate over columns (t, sig1, sig2): of the
     * ≤nTables tables where the pair's bands collide, keep only the lowest
     * — t must be the FIRST zero `w`-wide nibble of sig1^sig2. Closed-form
@@ -3095,7 +3155,7 @@ object LlmOps {
     llmMinhashJaccardEst, llmEditDistanceDup,
     llmCosineTopk, llmMmrDiversify, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
-    llmHardNegativeMine, llmKnnLabelProbe,
+    llmHardNegativeMine, llmKnnLabelProbe, llmDedupThresholdSweep,
     llmAnnPqTopk, llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,
     llmLangIdNgram, llmNbLangClassifier, llmDatasetReport, llmOovRate,

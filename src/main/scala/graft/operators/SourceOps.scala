@@ -767,6 +767,41 @@ object SourceOps {
       .orderBy(asc_nulls_first(key))
   }
 
+  /** Merge-on-read EQUALITY DELETES (Iceberg equality-delete files /
+    * Delta deletion-vector semantics at key granularity) — the OTHER
+    * delete strategy next to the copy-on-write rewrites the compaction
+    * ops implement: deletes land as a small KEY FILE next to the
+    * immutable base data, and every read applies them as an anti-join —
+    * no base file is rewritten, so a delete costs O(deleted keys)
+    * regardless of table size, and the read-side anti-join build side
+    * is the delete file (broadcast-sized until compaction folds it in,
+    * exactly the lakehouse maintenance cycle `sink_compact_merge_dedup`
+    * closes). The oracle states the post-delete table relationally, so
+    * the hash gate proves read-time apply ≡ physical delete.
+    */
+  val sinkEqualityDeleteRead: Q = Q(
+    "sink_equality_delete_read",
+    (s, d) => {
+      val base = graft.util.TempDirs.create("graft_mor_base").toString
+      val dv = graft.util.TempDirs.create("graft_mor_dv").toString
+      val docs = Tables.read(s, d, "documents")
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(base)
+      docs.filter(col("doc_id") % 7 === 3).select(col("doc_id"))
+        .write.mode("overwrite").parquet(dv)
+      s.read.parquet(base)
+        .join(broadcast(s.read.parquet(dv)), Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(asc_nulls_first("lang"))
+    },
+    Some("""SELECT lang, count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM documents WHERE doc_id % 7 <> 3
+            GROUP BY lang ORDER BY lang NULLS FIRST"""))
+
   /** Bit-interleave (Morton / Z-order) of k bucketed dimensions: column
     * j's bit i lands at position i·k + j. Input columns must be
     * non-negative and fit in `bits` bits; the interleaved value needs
@@ -2468,5 +2503,5 @@ object SourceOps {
     srcTsRangePrune, opZonemapIncremental, srcTimeTravelRead,
     sinkScd2Apply, sinkVacuumRetention, opBloomSkipIndex, sinkWapPublish,
     sinkMergeInto, opConstraintAudit, srcBinaryFiles, srcXmlRoundtrip,
-    srcTextRoundtrip, opCountMetadataOnly)
+    srcTextRoundtrip, opCountMetadataOnly, sinkEqualityDeleteRead)
 }
