@@ -40,6 +40,32 @@ object LlmOps {
   Tables.registerEvictor(uuid =>
     Tables.evictSessionEntries(shardPairCache, uuid)(df => Seq(df)))
 
+  private val anchorCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  Tables.registerEvictor(uuid =>
+    Tables.evictSessionEntries(anchorCache, uuid)(df => Seq(df)))
+
+  /** The `vec_id % 25 = 0` probe-anchor batch shared by
+    * [[llmHardNegativeMine]] and [[llmKnnLabelProbe]] — built once per
+    * (session, corpus) with its broadcast-budget gate resolved at build
+    * time, so the eager gating count (one extra corpus-scan Spark job)
+    * runs ONCE instead of once per consuming op per bench rep. Columns
+    * are the neutral (anchor_id, a_emb, lbl); consumers rename `lbl`
+    * to their role-specific label name (the broadcast hint lives on
+    * the subtree, so it survives the rename projection).
+    */
+  private def probeAnchors(s: SparkSession, d: String): DataFrame =
+    anchorCache.computeIfAbsent((Tables.sessionKey(s), d), _ => {
+      val a0 = Tables.read(s, d, "embeddings")
+        .filter(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+          col("label").as("lbl"))
+      val budget = 100000L
+      if (a0.limit((budget + 1).toInt).count() <= budget) broadcast(a0)
+      else a0
+    })
+
   /** The `doc_id % 5 = 1` sharded exact-Jaccard τ=0.9 edge list shared by
     * `llm_dedup_keep_best` and the four oracle-checked graph ops —
     * materialized ONCE per (session, corpus) like [[corpusToksAndSigs]]:
@@ -1182,14 +1208,7 @@ object LlmOps {
     (s, d) => {
       val cos = cosineCols(s)("a_emb", "n_emb")
       val e = Tables.read(s, d, "embeddings")
-      val anchors0 = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
-          col("label").as("anchor_label"))
-      val budget = 100000L
-      val anchors =
-        if (anchors0.limit((budget + 1).toInt).count() <= budget)
-          broadcast(anchors0)
-        else anchors0
+      val anchors = probeAnchors(s, d).withColumnRenamed("lbl", "anchor_label")
       val w = Window.partitionBy(col("anchor_id"))
         .orderBy(col("score").desc, col("neg_id").asc)
       e.select(col("vec_id").as("neg_id"), col("embedding").as("n_emb"),
@@ -1246,14 +1265,7 @@ object LlmOps {
     (s, d) => {
       val cos = cosineCols(s)("a_emb", "n_emb")
       val e = Tables.read(s, d, "embeddings")
-      val anchors0 = e.filter(col("vec_id") % 25 === 0)
-        .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
-          col("label").as("true_label"))
-      val budget = 100000L
-      val anchors =
-        if (anchors0.limit((budget + 1).toInt).count() <= budget)
-          broadcast(anchors0)
-        else anchors0
+      val anchors = probeAnchors(s, d).withColumnRenamed("lbl", "true_label")
       val wTop = Window.partitionBy(col("anchor_id"))
         .orderBy(col("score").desc, col("neg_id").asc)
       val top5 = e.select(col("vec_id").as("neg_id"),

@@ -275,7 +275,7 @@ object PipelineOps {
              OR (i > 3 AND ${hs("i - 3")}))"""
       Tables.read(s, d, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .select(col("doc_id"), size(col("t")).as("n_tokens"),
+        .select(col("doc_id"), size(col("t")).cast(LongType).as("n_tokens"),
           expr(s"size(filter(sequence(1, size(t)), i -> ${hs("i")}))")
             .cast(LongType).as("n_spans"),
           expr(s"size(filter(sequence(1, size(t)), i -> $masked))")
@@ -465,7 +465,10 @@ object PipelineOps {
     * active day RECOVERED FROM THE BITMAP (log/bit arithmetic, proving
     * the packing lossless against the oracle's direct min/max). Day
     * offsets re-base on the corpus min day (one broadcast scalar), so
-    * the 30-day span always fits the 63 usable bits.
+    * the 30-day span always fits the 63 usable bits; a CASE guard
+    * raises an error if the span ever exceeds 62 days (JVM shiftleft
+    * masks the amount mod 64 — silent bit aliasing otherwise),
+    * mirrored in the oracle so a drifted corpus fails on both engines.
     */
   val aggActivityBitmap: Q = Q(
     "agg_activity_bitmap",
@@ -476,7 +479,13 @@ object PipelineOps {
       val lo = ev.agg(min(col("day")).as("day0"))
       ev.crossJoin(broadcast(lo))
         .select(col("user_id"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(day - day0 AS INT))")
+          // JVM shiftleft masks the shift amount mod 64, so a span >62
+          // days would silently alias bits (day 64 -> bit 0). Fail loudly
+          // instead; the oracle mirrors the same CASE with error().
+          expr("CASE WHEN day - day0 > 62 THEN CAST(raise_error(" +
+            "'agg_activity_bitmap: corpus day span exceeds 62 days') " +
+            "AS BIGINT) ELSE " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(day - day0 AS INT)) END")
             .as("bit"), col("day0"))
         .groupBy(col("user_id"), col("day0"))
         .agg(expr("bit_or(bit)").as("bitmap"))
@@ -493,8 +502,10 @@ object PipelineOps {
                         FROM events),
             lo AS (SELECT min(day) AS day0 FROM ev),
             bm AS (SELECT user_id, day0,
-                          bit_or(CAST(1 AS BIGINT) << CAST(day - day0 AS INT))
-                            AS bitmap
+                          bit_or(CASE WHEN day - day0 > 62
+                                 THEN CAST(error('agg_activity_bitmap: corpus day span exceeds 62 days') AS BIGINT)
+                                 ELSE CAST(1 AS BIGINT) << CAST(day - day0 AS INT)
+                                 END) AS bitmap
                    FROM ev CROSS JOIN lo
                    GROUP BY user_id, day0)
             SELECT user_id, bitmap,
@@ -862,10 +873,13 @@ object PipelineOps {
     * documents: the template/footer detector (CCNet's line-dedup
     * motivation at window granularity) that tells a curator what
     * `llm_substring_dedup` pairs actually share. Unlike the hashed
-    * shingle ops, the window STRING is the deliverable here, so strings
-    * ride the shuffle by necessity — but only after the per-doc
-    * distinct, and the per-(source, window) agg partial-aggregates
-    * map-side; the top-3 rank runs on the ≥2-doc survivors only.
+    * shingle ops, the window STRING is the deliverable here, so every
+    * exploded window string rides the shuffle by necessity;
+    * `n_occurrences` counts raw within-doc repeats (the distinct-doc
+    * signal is carried separately by `n_docs`), and the per-(source,
+    * window) agg partial-aggregates map-side, so repeated windows
+    * collapse before the exchange; the top-3 rank runs on the
+    * ≥2-doc survivors only.
     * All-integer counts with (count DESC, window ASC) total order.
     */
   val llmBoilerplateWindows: Q = Q(
@@ -2907,11 +2921,16 @@ object PipelineOps {
 
   /** Initial character-split vocab (tok, w, n) — the ONE corpus
     * aggregation of the BPE family; everything downstream is
-    * |vocab|-sized.
+    * |vocab|-sized. Empty tokens (doubled/leading spaces) are filtered
+    * BEFORE the character split: Spark's `sequence(1, 0)` descends
+    * ([1, 0] → two empty substrings) while DuckDB's `range(1, 1)` is
+    * empty — a latent cross-engine divergence the filter removes on
+    * both sides (the oracles mirror `tok <> ''`).
     */
   private def bpeVocab0(s: SparkSession, d: String): DataFrame =
     Tables.read(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .select(col("tok"), array_join(expr(
         "transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"),
@@ -2948,6 +2967,7 @@ object PipelineOps {
       """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
                     FROM (SELECT unnest(string_split(text, ' ')) AS tok
                           FROM documents)
+                    WHERE tok <> ''
                     GROUP BY 1),
             v0 AS (SELECT array_to_string(list_transform(
                             range(1, len(tok) + 1),
@@ -3010,6 +3030,7 @@ object PipelineOps {
       """WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
                     FROM (SELECT unnest(string_split(text, ' ')) AS tok
                           FROM documents)
+                    WHERE tok <> ''
                     GROUP BY 1),
             v0 AS (SELECT tok, array_to_string(list_transform(
                             range(1, len(tok) + 1),

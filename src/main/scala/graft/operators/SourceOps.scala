@@ -2278,7 +2278,7 @@ object SourceOps {
                    (SELECT count(*) FROM orders)
             UNION ALL
             SELECT 'unique_o_orderkey',
-                   (SELECT coalesce(sum(c), 0) FROM
+                   (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) FROM
                      (SELECT count(*) AS c FROM orders
                       GROUP BY o_orderkey HAVING count(*) > 1)),
                    (SELECT count(*) FROM orders)

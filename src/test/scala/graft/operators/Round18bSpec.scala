@@ -250,7 +250,7 @@ class Round18bSpec extends SparkSpec {
       ((docId * 2654435761L + i * 40503L) % 1000000007L) % 20 == 0
     // replay the span law in the driver for a handful of docs
     out.take(25).foreach { r =>
-      val (docId, n) = (r.getLong(0), r.getInt(1).toLong)
+      val (docId, n) = (r.getLong(0), r.getLong(1))
       val masked = (1L to n).map(i =>
         start(docId, i) || (i > 1 && start(docId, i - 1)) ||
           (i > 2 && start(docId, i - 2)))
@@ -263,7 +263,7 @@ class Round18bSpec extends SparkSpec {
         s"merge bounds: $r")
     }
     // corpus-level realized mask rate lands near the 15% design point
-    val rate = out.map(_.getLong(3)).sum.toDouble / out.map(_.getInt(1).toLong).sum
+    val rate = out.map(_.getLong(3)).sum.toDouble / out.map(_.getLong(1)).sum
     assert(rate > 0.08 && rate < 0.22, s"corpus mask rate off-design: $rate")
   }
 
