@@ -20,6 +20,17 @@ object PortableHash {
   def hash32(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 1, 8), 16, 10).cast(LongType)
 
+  /** Uniform hash in [0, 2⁶⁰) — the first 15 md5 hex digits, the widest
+    * prefix that parses into a signed BIGINT on both engines without
+    * overflow. DuckDB rendering:
+    * `CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15)) AS BIGINT)`.
+    * Used where a consumer needs a near-64-bit space (the minhash
+    * signatures' min-over-hashes, where 32-bit collisions would bias the
+    * Jaccard estimator) AND cross-engine reproducibility.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
   /** NULL values map to the KMV sketches' −1 "no value" skip sentinel. */
   def hash32OrSkip(c: Column): Column = coalesce(hash32(c), lit(-1L))
 }

@@ -333,18 +333,59 @@ object LlmOps {
             WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.04
             ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
 
+  /** DuckDB rendering of the k=16 minhash signature table — the md5-prefix
+    * hash ([[graft.functions.PortableHash.hash60]]) makes the signatures
+    * bit-identical across engines, so the ENTIRE minhash family
+    * (candidates, match counts, Jaccard estimates) is hash-checked, not
+    * just property-tested. The band condition is stated as the true
+    * semantics (some band's 4 rows all equal — rendered as a distinct
+    * band-slice equi-join, the same plan shape as the engine); the band
+    * HASH the engine shuffles on is a prefilter both paths verify away,
+    * so it needs no oracle counterpart.
+    */
+  private val minhashSigsSql: String = {
+    val mins = (0 until 16).map(i =>
+      s"min(CAST(('0x' || substr(md5(tok || '#$i'), 1, 15)) AS BIGINT))")
+      .mkString(",\n                     ")
+    s"""toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+        sigs AS (SELECT doc_id,
+                   [$mins] AS sig
+                 FROM toks GROUP BY doc_id),
+        banded AS (SELECT doc_id, b,
+                          array_to_string(sig[b*4+1:b*4+4], ',') AS slice
+                   FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bs),
+        cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+                 FROM banded a JOIN banded c
+                   ON a.b = c.b AND a.slice = c.slice
+                      AND a.doc_id < c.doc_id)"""
+  }
+
+  private val minhashPairsOracle: String =
+    s"""WITH $minhashSigsSql
+        SELECT c.id1, c.id2,
+               CAST(len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i]))
+                    AS BIGINT) AS matching,
+               CAST(len(list_filter(range(1, 17), i -> s1.sig[i] = s2.sig[i]))
+                    AS DOUBLE) / 16 AS est_jaccard
+        FROM cand c JOIN sigs s1 ON s1.doc_id = c.id1
+                    JOIN sigs s2 ON s2.doc_id = c.id2
+        ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""
+
   /** MinHash + LSH near-dup candidates — the 100 TB path. k=16 min-hashes
     * per doc, banded 4×4: candidate pairs are those equal on ALL 4 rows of
     * some band — no quadratic verification ever materializes at scale (the
     * band key is the shuffle key). Estimated similarity = matching
-    * signature fraction. No oracle (randomized estimator); property-tested
-    * for recall against `llm_jaccard_near_dup` (§5).
+    * signature fraction. Fully oracle-checked since the portable-hash
+    * signature swap ([[minhashSigs]]): the DuckDB oracle rebuilds the
+    * identical signatures and band-slice candidates; recall remains
+    * property-tested against `llm_jaccard_near_dup` (§5).
     */
   val llmDedupMinhash: Q = Q(
     "llm_dedup_minhash",
     (s, d) => minhashPairs(s, docTokens(s, d),
       precomputedSigs = Some(corpusToksAndSigs(s, d)._2)),
-    None)
+    Some(minhashPairsOracle))
 
   /** The 100 TB minhash plan forced end-to-end on the real corpus:
     * `broadcastRowBudget = 0` disables the broadcast-block fast path, so
@@ -353,22 +394,32 @@ object LlmOps {
     * sf-scale corpus otherwise always fits the broadcast budget, which
     * would leave the scale path exercised only by unit tests; LlmOpsSpec
     * proves both paths emit the identical pair set, and this key runs the
-    * banded one under the driver's rows-check on corpus data.
+    * banded one under the driver's FULL hash gate on corpus data (same
+    * oracle as `llm_dedup_minhash` — passing both is the cross-engine
+    * proof that the forced shuffle plan changes nothing but the plan).
     */
   val llmDedupMinhashBanded: Q = Q(
     "llm_dedup_minhash_banded",
     (s, d) => minhashPairs(s, docTokens(s, d), broadcastRowBudget = 0L,
       precomputedSigs = Some(corpusToksAndSigs(s, d)._2)),
-    None)
+    Some(minhashPairsOracle))
 
   /** k=16 minhash signature per doc (shared by the dedup pair engine and
     * the Jaccard estimator): per-seed min over salted token hashes — one
-    * hash agg, map-side combinable.
+    * hash agg, map-side combinable. The per-seed hash is
+    * [[graft.functions.PortableHash.hash60]] (md5-prefix, 60-bit space)
+    * rather than xxhash64 so the signatures — and therefore the whole
+    * minhash family's pair sets and estimates — reproduce bit-for-bit in
+    * the DuckDB oracle; the 60-bit space keeps min-collision bias
+    * negligible at any realistic vocabulary (P[collision among m tokens]
+    * ≈ m²/2⁶¹). Swap in xxhash64 for raw throughput where oracle
+    * portability is not needed; the plan shape is identical.
     */
   private[operators] def minhashSigs(toks: DataFrame): DataFrame = {
     val numHashes = 16
     val sigCols = (0 until numHashes).map(i =>
-      min(xxhash64(concat(col("tok"), lit(s"#$i")))).as(s"h$i"))
+      min(graft.functions.PortableHash.hash60(
+        concat(col("tok"), lit(s"#$i")))).as(s"h$i"))
     toks.groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("doc_id"),
@@ -2703,8 +2754,11 @@ object LlmOps {
     * threshold-free dup-rate profiling: estimate the full similarity
     * histogram of a corpus WITHOUT computing any exact intersection.
     * Candidates + signatures are two outputs of the same one-pass sig
-    * build; the estimate itself is a per-row zip_with fold. Rows-only —
-    * spec bounds the mean absolute error against exact Jaccard.
+    * build; the estimate itself is a per-row zip_with fold. Fully
+    * oracle-checked (portable md5-prefix signatures, [[minhashSigs]]);
+    * the spec additionally bounds the mean absolute error against exact
+    * Jaccard — the oracle proves the arithmetic, the MAE bound proves
+    * the estimator.
     */
   val llmMinhashJaccardEst: Q = Q(
     "llm_minhash_jaccard_est",
@@ -2721,7 +2775,14 @@ object LlmOps {
         .select(col("id1"), col("id2"), col("j_est"))
         .orderBy(asc_nulls_first("id1"), asc("id2"))
     },
-    None)
+    Some(s"""WITH $minhashSigsSql
+        SELECT c.id1, c.id2,
+               round(CAST(len(list_filter(range(1, 17),
+                               i -> s1.sig[i] = s2.sig[i]))
+                          AS DOUBLE) / 16, 4) AS j_est
+        FROM cand c JOIN sigs s1 ON s1.doc_id = c.id1
+                    JOIN sigs s2 ON s2.doc_id = c.id2
+        ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * k-means clustering THEN within-cluster cosine near-dup — the
