@@ -584,9 +584,11 @@ object LlmOps {
   }
 
   /** Near-dup cluster resolution — the step every dedup pipeline ends
-    * with: fold the pairwise near-dup graph (here: the simhash Hamming≤3
-    * pairs) into connected components and keep ONE representative (the
-    * minimum doc_id) per component. Every document appears in the output
+    * with: fold the pairwise near-dup graph (the exact-Jaccard τ=0.9
+    * pairs on the deterministic `doc_id % 5 = 1` shard, the same cached
+    * [[shardedJaccardPairs]] edge set five other registry keys consume)
+    * into connected components and keep ONE representative (the minimum
+    * doc_id) per component. Every shard document appears in the output
     * with its cluster id and a `keep` decision; singletons keep
     * themselves.
     *
@@ -601,18 +603,51 @@ object LlmOps {
     * Components in MapReduce and Beyond" (SOCC'14) is IMPLEMENTED as
     * [[dedupClusterRepStar]] — O(log² n) rounds independent of diameter,
     * spec-proven to emit the identical cluster table on the real pair
-    * set. Not SQL-expressible as one deterministic query (iterative
-    * fixpoint) → rows-only + spec vs a union-find reference on the real
-    * pair set.
+    * set (the propagation/union-find/star trio stays spec-exercised on
+    * the full-corpus simhash graph too, via LlmOpsSpec/GraphOpsSpec).
+    * Fully ORACLE-CHECKED since r19: the DuckDB oracle reproduces the
+    * components with the same recursive-CTE min-label closure
+    * `llm_dedup_keep_best` proved terminates on this shard (the shard
+    * bounds the closure's quadratic clique blow-up; the engine path is
+    * the identical full machinery at any scale).
     */
   val llmDedupClusterRep: Q = Q(
     "llm_dedup_cluster_rep",
     (s, d) => {
-      val pairs = simhashPairs(s, d).select(col("id1"), col("id2"))
-      val docs = Tables.read(s, d, "documents").select(col("doc_id"))
+      val pairs = shardedJaccardPairs(s, d)
+      val docs = Tables.read(s, d, "documents")
+        .filter(col("doc_id") % lit(5) === 1).select(col("doc_id"))
       dedupClusterRep(pairs, docs)
     },
-    None)
+    // same closure skeleton as llm_dedup_keep_best's oracle; the
+    // `cc.label < e.src` guard prunes useless closure rows
+    Some("""WITH RECURSIVE
+            docs AS (SELECT * FROM documents WHERE doc_id % 5 = 1),
+            toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                     FROM docs),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                             CAST(COUNT(*) AS BIGINT) AS inter
+                      FROM toks a JOIN toks b
+                        ON a.tok = b.tok AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id),
+            pairs AS (SELECT id1, id2 FROM inter
+                      JOIN sizes s1 ON id1 = s1.doc_id
+                      JOIN sizes s2 ON id2 = s2.doc_id
+                      WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.9),
+            edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                      UNION SELECT id2 AS src, id1 AS dst FROM pairs),
+            cc AS (SELECT doc_id AS node, doc_id AS label FROM docs
+                   UNION
+                   SELECT e.src AS node, cc.label FROM edges e JOIN cc ON cc.node = e.dst
+                   WHERE cc.label < e.src),
+            lab AS (SELECT node AS doc_id, min(label) AS cluster FROM cc GROUP BY node),
+            csz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+            SELECT l.doc_id, l.cluster,
+                   CAST(csz.cluster_size AS BIGINT) AS cluster_size,
+                   l.doc_id = l.cluster AS keep
+            FROM lab l JOIN csz USING (cluster)
+            ORDER BY l.doc_id NULLS FIRST"""))
 
   /** Quality-aware cluster resolution, fully ORACLE-CHECKED — the keep
     * policy production dedup actually ships (keep the HIGHEST-QUALITY
