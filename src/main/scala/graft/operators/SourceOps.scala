@@ -172,13 +172,16 @@ object SourceOps {
             GROUP BY 1 ORDER BY status NULLS FIRST"""))
 
   /** Continuous keyed-record stream from earliest offsets (reference
-    * `setup.sh:144`): file-streaming stand-in for the Kafka source (offline),
-    * run to completion. Rows-only check.
+    * `setup.sh:144`): the source leg auto-selects — a live
+    * `format("kafka")` read when a broker is configured
+    * ([[graft.streaming.StreamRunner.kafkaBootstrap]]; gated integration
+    * spec), the file-streaming replay otherwise (this offline harness,
+    * byte-identical to the pre-seam behavior) — run to completion.
     */
   val srcKafkaStream: Q = Q(
     "src_kafka_stream",
     (s, d) => {
-      val streamed = StreamRunner.streamTable(s, d, "events")
+      val streamed = StreamRunner.streamTableOrKafka(s, d, "events")
         .select(col("event_id"), col("user_id"), col("event_type"))
       StreamRunner.runToTable(streamed, "append").orderBy(asc_nulls_first("event_id"))
     },

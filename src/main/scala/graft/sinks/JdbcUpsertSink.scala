@@ -27,33 +27,41 @@ import graft.sources.CdcEnvelope
   */
 object JdbcUpsertSink {
 
-  /** Build a foreachBatch function writing to `table` keyed by `keyCols`. */
-  def upsertBatch(url: String, table: String, keyCols: Seq[String])
+  /** Build a foreachBatch function writing to `table` keyed by `keyCols`.
+    * Statement text comes from the [[SinkDialect]] seam: the default ANSI
+    * dialect renders the DELETE-by-key + INSERT transaction (Derby and
+    * any transactional RDBMS); [[ClickHouseDialect]] renders INSERT-only
+    * (ReplacingMergeTree dedups at merge time — reference `setup.sh:63`),
+    * in which case the delete leg simply never exists in the prepared
+    * statement set. Executor mechanics are dialect-independent.
+    */
+  def upsertBatch(url: String, table: String, keyCols: Seq[String],
+                  dialect: SinkDialect = AnsiDeleteInsertDialect)
       : (DataFrame, Long) => Unit = (batch, _) => {
     val cols = batch.schema.fieldNames.toSeq
     require(keyCols.forall(cols.contains), s"key $keyCols not in $cols")
+    val delSql = dialect.deleteByKeySql(table, keyCols)
+    val insSql = dialect.insertSql(table, cols)
     batch.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val conn = DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)
-          val del = conn.prepareStatement(
-            s"DELETE FROM $table WHERE " +
-              keyCols.map(k => s"$k = ?").mkString(" AND "))
-          val ins = conn.prepareStatement(
-            s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
-              s"(${cols.map(_ => "?").mkString(", ")})")
+          val del = delSql.map(conn.prepareStatement)
+          val ins = conn.prepareStatement(insSql)
           rows.foreach { r =>
-            keyCols.zipWithIndex.foreach { case (k, i) =>
-              del.setObject(i + 1, r.getAs[Any](k))
+            del.foreach { d =>
+              keyCols.zipWithIndex.foreach { case (k, i) =>
+                d.setObject(i + 1, r.getAs[Any](k))
+              }
+              d.addBatch()
             }
-            del.addBatch()
             cols.zipWithIndex.foreach { case (c, i) =>
               ins.setObject(i + 1, r.getAs[Any](c))
             }
             ins.addBatch()
           }
-          del.executeBatch()
+          del.foreach(_.executeBatch())
           ins.executeBatch()
           conn.commit()
         } catch {

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.sql.DriverManager
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** JDBC snapshot source — the production path of the reference's initial
@@ -13,6 +15,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * database through the JDBC source.
   */
 object JdbcSnapshot {
+
+  /** Catalog walk over the live connection — the reference's control path
+    * literally (`setup.sh:29-34`: `psql -Atc` over
+    * `information_schema.tables` discovers the table list the DDL
+    * generator then loops over). Rendered through the JDBC-standard
+    * `DatabaseMetaData.getTables` so the same call walks Postgres'
+    * information_schema, Derby's SYS.SYSTABLES, or any other catalog —
+    * one driver-side metadata round-trip, O(#tables), free at any data
+    * scale. Returns user TABLE names under `schemaPattern`, sorted for
+    * deterministic fan-out order (the reference's `ORDER BY` is implied
+    * by psql's default but the fan-out must not depend on catalog
+    * iteration order).
+    */
+  def discoverTables(url: String, schemaPattern: String = "%"): Seq[String] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, schemaPattern, "%",
+        Array("TABLE"))
+      val names = Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(_.getString("TABLE_NAME"))
+        .toVector
+      names.sorted
+    } finally conn.close()
+  }
 
   /** Whole-table snapshot over one connection (small tables / dims). */
   def read(spark: SparkSession, url: String, table: String,

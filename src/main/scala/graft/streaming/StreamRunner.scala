@@ -3,7 +3,9 @@ package graft.streaming
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, from_json}
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 /** Utilities to run a Structured Streaming pipeline to completion over the
   * finite test corpus and hand back its result as a batch DataFrame.
@@ -101,6 +103,63 @@ object StreamRunner {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(dir.toString)
   }
+
+  /** Live-Kafka selector: broker address from the session conf
+    * `spark.graft.kafka.bootstrap` or the `SPARK_GRAFT_KAFKA_BOOTSTRAP`
+    * environment variable; absent (every offline harness run) → `None`,
+    * and each caller takes the file-source path byte-identically — the
+    * documented offline design. Presence implies an environment that
+    * also ships the `spark-sql-kafka` connector jar (not in the offline
+    * container), matching the reference's live topology
+    * (`docker-compose.yml:87`: one broker; `setup.sh:144`: consume from
+    * earliest offsets).
+    */
+  def kafkaBootstrap(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.kafka.bootstrap")
+      .filter(_.nonEmpty)
+      .orElse(sys.env.get("SPARK_GRAFT_KAFKA_BOOTSTRAP").filter(_.nonEmpty))
+
+  /** The live leg of [[streamTable]]: `readStream.format("kafka")` from
+    * EARLIEST offsets (reference `setup.sh:144` replays the topic from
+    * the beginning), one JSON record per message decoded into `schema`'s
+    * columns. Delivery is at-least-once — offsets commit via the sink's
+    * checkpoint AFTER the micro-batch lands (the reference's producer
+    * overrides `acks=all, retries=10, delivery.timeout=60s`,
+    * `setup.sh:101-103`, give the same contract on the produce side) —
+    * so the downstream must be idempotent: compose with
+    * [[graft.sinks.JdbcUpsertSink]]'s keyed upsert or
+    * [[graft.operators.Upsert.latestByKey]], exactly as the file path
+    * does. Malformed messages surface as null-struct rows for the caller
+    * to quarantine ([[graft.sources.CdcEnvelope.unwrapTolerant]] —
+    * `errors.tolerance=all`, `setup.sh:145-147`).
+    */
+  def streamKafkaTopic(spark: SparkSession, bootstrap: String, topic: String,
+                       schema: StructType): DataFrame = {
+    val child = tunedSession(spark)
+    child.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"), schema).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** [[streamTable]] with the Kafka leg auto-selected: when a broker is
+    * configured the table streams from topic `graft.<table>` (the
+    * topic-per-table layout the reference's RegexRouter normalizes,
+    * `setup.sh:119-122`), else from the corpus files. Both legs emit the
+    * same schema, so every downstream transform — and every
+    * batch-equivalence spec pinned to the file leg — applies to both.
+    */
+  def streamTableOrKafka(spark: SparkSession, sfDir: String,
+                         name: String): DataFrame =
+    kafkaBootstrap(spark) match {
+      case Some(b) =>
+        streamKafkaTopic(spark, b, s"graft.$name",
+          graft.Tables.read(tunedSession(spark), sfDir, name).schema)
+      case None => streamTable(spark, sfDir, name)
+    }
 
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return the (batch) result. `outputMode` is "append" for row streams,
