@@ -5,11 +5,12 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native Catalyst expression for the 64-bit simhash of a string — the
+/** Native Catalyst expression for the 60-bit simhash of a string — the
   * codegen'd replacement for the former ScalaUDF around
-  * [[VectorMath.simhash64]] (same whitespace tokenization, same FNV-1a
-  * token hashes, bit-identical output), keeping `llm_dedup_simhash`'s
-  * fingerprint stage inside whole-stage codegen.
+  * [[VectorMath.simhash64]] (same whitespace tokenization, same
+  * md5-prefix token hashes, bit-identical output), keeping
+  * `llm_dedup_simhash`'s fingerprint stage inside whole-stage codegen
+  * while the md5-prefix hash keeps the fingerprint DuckDB-portable.
   */
 case class Simhash64(child: Expression) extends UnaryExpression {
 

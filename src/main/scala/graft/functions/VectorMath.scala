@@ -89,12 +89,22 @@ object VectorMath {
     x ^ (x >>> 31)
   }
 
-  /** FNV-1a 64-bit string hash — deterministic across JVMs, no deps. */
-  def fnv1a64(s: String): Long = {
-    var h = 0xCBF29CE484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001B3L; i += 1 }
-    h
+  /** 60-bit md5-prefix token hash — the per-token form of
+    * [[graft.functions.PortableHash.hash60]]'s contract: the integer
+    * value of the first 15 md5 hex digits of the token's UTF-8 bytes,
+    * reproducible in DuckDB as
+    * `CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)`. This is what
+    * makes [[simhash64]] — and through it the whole simhash near-dup /
+    * graph family — oracle-checkable. First 8 digest bytes big-endian,
+    * shifted right 4 = first 15 hex digits.
+    */
+  def tokenHash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (d(j) & 0xFFL); j += 1 }
+    h >>> 4
   }
 
   /** Rademacher ±1 hyperplane component for (plane, dim) — sign LSH. */
@@ -136,18 +146,28 @@ object VectorMath {
     bucket
   }
 
-  /** 64-bit simhash over whitespace tokens (±1 per bit per token hash). */
+  /** 60-bit simhash over whitespace tokens (±1 per bit per token
+    * OCCURRENCE — multiset semantics; empty tokens from doubled spaces
+    * are skipped). Token hashes are [[tokenHash60]] (md5-prefix) rather
+    * than a JVM-private hash, so the fingerprint — and every pair set
+    * and graph built on it — reproduces bit-for-bit in the DuckDB
+    * oracle; 60 of 64 bits is the widest md5 prefix that parses into a
+    * signed BIGINT on both engines. The 4×16-bit chunk banding in
+    * `LlmOps.computeSimhashPairs` is unaffected (the top chunk simply
+    * carries 12 live bits), and the Hamming≤3 pigeonhole guarantee
+    * holds for any bit width.
+    */
   def simhash64(text: String): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](60)
     var start = 0
     val n = text.length
     var i = 0
     while (i <= n) {
       if (i == n || text.charAt(i) == ' ') {
         if (i > start) {
-          val h = fnv1a64(text.substring(start, i))
+          val h = tokenHash60(text.substring(start, i))
           var b = 0
-          while (b < 64) {
+          while (b < 60) {
             counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
             b += 1
           }
@@ -158,7 +178,7 @@ object VectorMath {
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    while (b < 60) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 }

@@ -81,9 +81,12 @@ object GraphOps {
          SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
          FROM deg GROUP BY degree ORDER BY degree NULLS FIRST"""))
 
-  /** The banded-simhash degree distribution — same two hash aggs, but the
-    * edge list is the Hamming≤3 simhash pair set (native expression, not
-    * SQL-portable → conservation spec + scale demo; see SCALE.md).
+  /** The banded-simhash degree distribution — same two hash aggs, but
+    * the edge list is the Hamming≤3 simhash pair set. Fully
+    * oracle-checked since the portable-hash fingerprint swap (r19):
+    * the oracle is [[LlmOps.simhashPairsSql]] + the identical SQL tail
+    * the exact-Jaccard flavor uses (conservation spec + scale demo
+    * retained; see SCALE.md).
     */
   val graphDegreeDistSimhash: Q = Q(
     "graph_degree_dist_simhash",
@@ -98,7 +101,13 @@ object GraphOps {
       deg.groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
         .orderBy(asc_nulls_first("degree"))
     },
-    None) // simhash pairs are not SQL-portable (native expression) — spec'd
+    Some(LlmOps.simhashPairsSql(3) +
+      """, deg AS (SELECT id, COUNT(*) AS degree
+                   FROM (SELECT id1 AS id FROM pairs
+                         UNION ALL SELECT id2 AS id FROM pairs)
+                   GROUP BY id)
+         SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM deg GROUP BY degree ORDER BY degree NULLS FIRST"""))
 
   /** PageRank over the (symmetrized) similarity graph: damping 0.85,
     * FIXED 5 iterations, restricted to paired nodes. Runs on the
@@ -145,9 +154,12 @@ object GraphOps {
           ORDER BY rank DESC, doc_id NULLS FIRST"""))
 
   /** Banded-simhash PageRank — identical engine ([[pageRank]]),
-    * Hamming≤3 simhash edge set (native expression, not SQL-portable →
-    * exact driver-reference + repartitioning-invariance spec + scale
-    * demo).
+    * Hamming≤3 simhash edge set. Fully oracle-checked since the
+    * portable-hash fingerprint swap (r19): the oracle reuses
+    * [[graphPagerank]]'s recursive-CTE iteration tail verbatim over
+    * [[LlmOps.simhashPairsSql]]'s pair set — the same §2.0 fixed IEEE
+    * operation sequence, now replayed on the banded graph too (exact
+    * driver-reference + repartitioning-invariance spec retained).
     */
   val graphPagerankSimhash: Q = Q(
     "graph_pagerank_simhash",
@@ -157,7 +169,29 @@ object GraphOps {
         .select(col("id").as("doc_id"), col("rank"))
         .orderBy(desc("rank"), asc_nulls_first("doc_id"))
     },
-    None)
+    Some(LlmOps.simhashPairsSql(3).replaceFirst("WITH", "WITH RECURSIVE") +
+      """, edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                     UNION ALL SELECT id2 AS src, id1 AS dst FROM pairs),
+          deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+          nb AS (SELECT count(*) AS n,
+                        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / count(*)
+                          AS base
+                 FROM deg),
+          pr AS (SELECT 0 AS it, d.src AS id, CAST(1.0 AS DOUBLE) / nb.n AS rank
+                 FROM deg d CROSS JOIN nb
+                 UNION ALL
+                 SELECT r.it + 1, e.dst AS id,
+                        min(nb.base) + CAST(0.85 AS DOUBLE)
+                          * CAST(sum(CAST(r.rank / d.deg AS DECIMAL(30,15)))
+                                 AS DOUBLE) AS rank
+                 FROM pr r
+                 JOIN edges e ON e.src = r.id
+                 JOIN deg d ON d.src = r.id
+                 CROSS JOIN nb
+                 WHERE r.it < 5
+                 GROUP BY r.it, e.dst)
+          SELECT id AS doc_id, rank FROM pr WHERE it = 5
+          ORDER BY rank DESC, doc_id NULLS FIRST"""))
 
   /** Iterative engine (unit-test seam). Every node of the symmetrized
     * pair graph has degree ≥ 1 and ≥ 1 in-edge, so there are no dangling
@@ -220,14 +254,20 @@ object GraphOps {
           JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2"""))
 
   /** Banded-simhash triangle count — identical engine
-    * ([[triangleCount]]), Hamming≤3 simhash edge set (not SQL-portable →
-    * brute-force-reference spec + scale demo).
+    * ([[triangleCount]]), Hamming≤3 simhash edge set. Fully
+    * oracle-checked since the portable-hash fingerprint swap (r19):
+    * [[LlmOps.simhashPairsSql]] + the exact flavor's orientation-free
+    * a<b<c tail (brute-force-reference spec + scale demo retained).
     */
   val graphTriangleCountSimhash: Q = Q(
     "graph_triangle_count_simhash",
     (s, d) => triangleCount(
       LlmOps.simhashPairs(s, d).select(col("id1"), col("id2"))),
-    None)
+    Some(LlmOps.simhashPairsSql(3) +
+      """ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+          FROM pairs e1
+          JOIN pairs e2 ON e2.id1 = e1.id2
+          JOIN pairs e3 ON e3.id1 = e1.id1 AND e3.id2 = e2.id2"""))
 
   /** Engine (unit-test seam): input is an undirected pair list (either
     * column order, duplicates/self-loops tolerated); output is one row
@@ -312,13 +352,35 @@ object GraphOps {
   /** Radius-5 banded-simhash link prediction — the original wider-graph
     * registration (at small scale the Hamming≤3 graph has no open
     * wedges, and the ≤5 graph is the denser scale demo); identical
-    * engine, not SQL-portable → fixture spec.
+    * engine. Fully oracle-checked since the portable-hash fingerprint
+    * swap (r19) — and the radius-5 oracle is the interesting one: the
+    * 4-chunk banding is recall-APPROXIMATE past Hamming 3 (5 flipped
+    * bits can touch all 4 chunks), so [[LlmOps.simhashPairsSql]] states
+    * the banded subset (Hamming ≤ 5 AND ≥1 equal chunk), not the
+    * brute-force truth — the oracle pins exactly what the engine
+    * computes, chunk condition included (fixture spec retained).
     */
   val graphLinkPredictionSimhash: Q = Q(
     "graph_link_prediction_simhash",
     (s, d) => linkPrediction(
       LlmOps.simhashPairs(s, d, maxHamming = 5).select(col("id1"), col("id2"))),
-    None)
+    Some(LlmOps.simhashPairsSql(5) +
+      """, adj AS (SELECT id1 AS id, id2 AS nb FROM pairs
+                   UNION ALL SELECT id2 AS id, id1 AS nb FROM pairs),
+          deg AS (SELECT id, COUNT(*) AS deg FROM adj GROUP BY id),
+          wedges AS (SELECT x.nb AS a, y.nb AS b, COUNT(*) AS common
+                     FROM adj x JOIN adj y ON x.id = y.id AND x.nb < y.nb
+                     GROUP BY x.nb, y.nb),
+          cand AS (SELECT w.a, w.b, w.common FROM wedges w
+                   ANTI JOIN pairs p ON w.a = p.id1 AND w.b = p.id2)
+          SELECT c.a, c.b, c.common, da.deg AS deg_a, db.deg AS deg_b,
+                 CAST(c.common AS DOUBLE) / (da.deg + db.deg - c.common)
+                   AS jaccard
+          FROM cand c
+          JOIN deg da ON da.id = c.a
+          JOIN deg db ON db.id = c.b
+          ORDER BY jaccard DESC, common DESC,
+                   a NULLS FIRST, b NULLS FIRST LIMIT 20"""))
 
   /** Engine (unit-test seam): undirected edge list (a < b per row,
     * deduplicated) → non-edge pairs ranked by common-neighbor Jaccard.

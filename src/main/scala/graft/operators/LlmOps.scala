@@ -522,19 +522,25 @@ object LlmOps {
     pairs.orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
   }
 
-  /** SimHash near-dup: 64-bit per-doc fingerprint (sign of per-bit sums of
-    * token hashes), then ALL pairs with Hamming distance ≤ 3 — found
-    * completely via 4×16-bit chunk banding (pigeonhole: ≤3 differing bits
-    * cannot hit all 4 chunks), so the quadratic scan is replaced by an
-    * equi-join on (chunk, value) with exact post-verification by
-    * `bit_count(xor)`. Deterministic given xxhash64 — but not
-    * SQL-portable, so covered by unit tests instead of a DuckDB oracle.
+  /** SimHash near-dup: 60-bit per-doc fingerprint (sign of per-bit sums
+    * of md5-prefix token hashes — [[graft.functions.VectorMath.simhash64]]),
+    * then ALL pairs with Hamming distance ≤ 3 — found completely via
+    * 4×16-bit chunk banding (pigeonhole: ≤3 differing bits cannot hit
+    * all 4 chunks), so the quadratic scan is replaced by an equi-join on
+    * (chunk, value) with exact post-verification by `bit_count(xor)`.
+    * Fully oracle-checked since the portable-hash fingerprint swap
+    * (r19): the DuckDB oracle rebuilds every fingerprint and pair from
+    * first principles ([[simhashPairsSql]]); the codegen'd native
+    * expression stays the engine path, spec-pinned bit-equal to the
+    * reference implementation.
     */
   val llmDedupSimhash: Q = Q(
     "llm_dedup_simhash",
     (s, d) => simhashPairs(s, d)
       .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2")),
-    None)
+    Some(simhashPairsSql(3) +
+      """ SELECT id1, id2, hamming FROM pairs
+          ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
 
   /** Unsorted simhash Hamming≤`maxHamming` pair engine — shared by the
     * registered op (which adds the presentation sort) and the
@@ -578,9 +584,51 @@ object LlmOps {
       .join(chunked.select(col("chunk"), col("v"), col("doc_id").as("id2"), col("simhash").as("sh2")),
         Seq("chunk", "v"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), expr("bit_count(sh1 ^ sh2)").as("hamming"))
+      .select(col("id1"), col("id2"),
+        expr("CAST(bit_count(sh1 ^ sh2) AS BIGINT)").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB rendering of the simhash fingerprint table and the
+    * chunk-banded Hamming-pair set — portable since [[simhashes]] moved
+    * to the md5-prefix token hash ([[graft.functions.VectorMath.tokenHash60]]).
+    * The oracle rebuilds the fingerprints from first principles (per-token
+    * md5-prefix hash → ±1 per-bit votes → sign), then states the pair
+    * condition EXACTLY as the engine computes it: Hamming ≤ radius AND
+    * at least one equal 16-bit chunk. For radius ≤3 the chunk disjunct
+    * is implied (pigeonhole) and merely mirrors the plan; for radius 4–5
+    * it is load-bearing — the banding is recall-approximate there and
+    * the oracle must state the banded subset, not the brute-force truth.
+    * Ends with `pairs AS (...)` so the exact-Jaccard graph oracles' SQL
+    * tails drop in unchanged.
+    */
+  private[operators] def simhashPairsSql(maxHamming: Int): String = {
+    val chunkEq = (0 until 4).map(c =>
+      s"((a.sh >> ${c * 16}) & 65535) = ((b.sh >> ${c * 16}) & 65535)")
+      .mkString("\n                          OR ")
+    s"""WITH toksr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents),
+        toks AS (SELECT doc_id, tok FROM toksr WHERE tok <> ''),
+        th AS (SELECT doc_id,
+                      CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+               FROM toks),
+        bits AS (SELECT doc_id, b,
+                        sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+                 FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bs
+                 GROUP BY doc_id, b),
+        fp0 AS (SELECT doc_id,
+                       bit_or(CASE WHEN c > 0
+                              THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                              ELSE CAST(0 AS BIGINT) END) AS sh
+                FROM bits GROUP BY doc_id),
+        fp AS (SELECT d.doc_id, coalesce(f.sh, CAST(0 AS BIGINT)) AS sh
+               FROM documents d LEFT JOIN fp0 f USING (doc_id)),
+        pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                         CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+                  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming
+                    AND ($chunkEq))"""
   }
 
   /** Near-dup cluster resolution — the step every dedup pipeline ends
@@ -919,8 +967,10 @@ object LlmOps {
     resolveClusters(labels, nodes)
   }
 
-  /** 64-bit simhash per document: sum ±1 per bit position over token
-    * hashes (weighted by token multiplicity), take the sign bit-vector.
+  /** 60-bit simhash per document: sum ±1 per bit position over
+    * md5-prefix token hashes (weighted by token multiplicity), take the
+    * sign bit-vector — DuckDB-portable since r19 (see
+    * [[graft.functions.VectorMath.tokenHash60]]).
     * One primitive-loop kernel per document — the equivalent
     * higher-order-function pipeline (per-token 64-element bit arrays,
     * element-wise array sums) evaluates a lambda tree per element and is

@@ -156,8 +156,11 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(viaMap == viaPositions && viaMap.nonEmpty)
   }
 
-  test("splitmix64/fnv1a64 are stable (pinned values)") {
+  test("splitmix64/tokenHash60 are stable (pinned values)") {
     assert(VectorMath.splitmix64(0L) == -2152535657050944081L)
-    assert(VectorMath.fnv1a64("spark") == 4844180546837584714L)
+    // int value of the first 15 md5 hex digits (independently computed) —
+    // the DuckDB-portable token hash the simhash family builds on
+    assert(VectorMath.tokenHash60("spark") == 688788748498370921L)
+    assert(VectorMath.tokenHash60("hello") == 419982666956583591L)
   }
 }
