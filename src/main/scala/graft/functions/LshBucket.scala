@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * the LSH bucket assignment of `llm_ann_lsh_topk` stays inside
   * whole-stage codegen instead of dropping to a per-row ScalaUDF.
   *
-  * Semantics are exactly [[VectorMath.lshBucket]] (the planes come from the
-  * same splitmix64 derivation), reading the columnar `ArrayData` in place.
+  * Semantics are exactly [[VectorMath.lshBucket]] (the planes come from
+  * the same md5-prefix derivation — DuckDB-portable, see
+  * [[VectorMath.planeComponent]]), reading the columnar `ArrayData` in
+  * place.
   */
 case class LshBucket(left: Expression, right: Expression)
     extends BinaryExpression {

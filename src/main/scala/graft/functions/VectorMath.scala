@@ -78,17 +78,6 @@ object VectorMath {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** splitmix64 — deterministic 64-bit mix for derived pseudo-randomness
-    * (LSH hyperplanes, simhash token hashes). Public-domain algorithm
-    * (Steele et al., "Fast splittable pseudorandom number generators").
-    */
-  def splitmix64(x0: Long): Long = {
-    var x = x0 + 0x9E3779B97F4A7C15L
-    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-    x ^ (x >>> 31)
-  }
-
   /** 60-bit md5-prefix token hash — the per-token form of
     * [[graft.functions.PortableHash.hash60]]'s contract: the integer
     * value of the first 15 md5 hex digits of the token's UTF-8 bytes,
@@ -107,9 +96,31 @@ object VectorMath {
     h >>> 4
   }
 
-  /** Rademacher ±1 hyperplane component for (plane, dim) — sign LSH. */
+  /** Rademacher ±1 hyperplane component for (plane, dim) — sign LSH.
+    * Derived from the portable md5-prefix hash (bit 0 of
+    * [[tokenHash60]] over the "plane#dim" rendering) rather than a
+    * JVM-private mix, so the sign-LSH bucket of any vector — and the
+    * whole banded embedding near-dup / ANN family built on it —
+    * reproduces bit-for-bit in the DuckDB oracle
+    * (`('0x' || substr(md5(b || '#' || i), 1, 15))::BIGINT & 1`).
+    * Rows memoize (one md5 per (plane, dim) EVER, grown on demand), so
+    * the per-vector codegen loop reads a primitive double array.
+    */
   def planeComponent(plane: Int, dim: Int): Double =
-    if ((splitmix64(plane.toLong * 64 + dim) & 1L) == 1L) 1.0 else -1.0
+    planeRow(plane, dim + 1)(dim)
+
+  private val planeRows =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+
+  private def planeRow(plane: Int, minLen: Int): Array[Double] = {
+    val cached = planeRows.get(plane)
+    if (cached != null && cached.length >= minLen) cached
+    else planeRows.compute(plane, (_, old) =>
+      if (old != null && old.length >= minLen) old
+      else Array.tabulate(math.max(minLen, 64)) { i =>
+        if ((tokenHash60(plane + "#" + i) & 1L) == 1L) 1.0 else -1.0
+      })
+  }
 
   /** LSH bucket over Catalyst ArrayData in place (no array
     * materialization) — called from both the interpreted and generated
@@ -123,9 +134,10 @@ object VectorMath {
     var b = 0
     val n = v.numElements()
     while (b < nBits) {
+      val row = planeRow(b, n)
       var acc = 0.0
       var i = 0
-      while (i < n) { acc += v.getFloat(i).toDouble * planeComponent(b, i); i += 1 }
+      while (i < n) { acc += v.getFloat(i).toDouble * row(i); i += 1 }
       if (acc > 0) bucket |= (1 << b)
       b += 1
     }
@@ -137,9 +149,10 @@ object VectorMath {
     var bucket = 0
     var b = 0
     while (b < nBits) {
+      val row = planeRow(b, v.length)
       var acc = 0.0
       var i = 0
-      while (i < v.length) { acc += v(i).toDouble * planeComponent(b, i); i += 1 }
+      while (i < v.length) { acc += v(i).toDouble * row(i); i += 1 }
       if (acc > 0) bucket |= (1 << b)
       b += 1
     }

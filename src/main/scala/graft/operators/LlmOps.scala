@@ -1222,6 +1222,71 @@ object LlmOps {
       .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
   }
 
+  /** DuckDB rendering of the sign-LSH bucket table `bk(vec_id, bucket)` —
+    * portable since [[graft.functions.VectorMath.planeComponent]] moved
+    * to the md5-prefix derivation: the oracle rebuilds each plane's ±1
+    * component row (one small `pm` CTE of $nBits × 64 md5 calls), then
+    * computes every bucket bit as the sign of the SAME left-to-right
+    * double dot product the engine's codegen loop runs (`list_sum` over
+    * `list_transform(range, ...)` — the ordered-reduction idiom the
+    * cosine oracle already relies on). CTE fragment (no leading WITH),
+    * for composition into the consuming oracles.
+    */
+  private def lshBucketSql(nBits: Int): String =
+    s"""pm AS (SELECT b, list(CASE WHEN
+                     CAST(('0x' || substr(md5(b || '#' || i), 1, 15)) AS BIGINT)
+                       & 1 = 1
+                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
+                     ORDER BY i) AS ws
+              FROM (SELECT unnest(range(0, $nBits)) AS b) bs
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS i) dims
+              GROUP BY b),
+        bb AS (SELECT e.vec_id, p.b,
+                      list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * p.ws[i])) AS s
+               FROM embeddings e CROSS JOIN pm p),
+        bk AS (SELECT vec_id,
+                      bit_or(CASE WHEN s > 0
+                             THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+                             ELSE CAST(0 AS BIGINT) END) AS bucket
+               FROM bb GROUP BY vec_id)"""
+
+  /** Exact-cosine SQL over two 64-dim float columns `$a`/`$b` — the
+    * left-to-right reduction the engine's `graft_cosine` kernel runs
+    * (same formula as the `llm_cosine_topk` oracle).
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65),
+          i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         * sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
+
+  /** Shared oracle for both banded-LSH embedding near-dup keys (the
+    * broadcast and forced-shuffle resolves emit identical rows — both
+    * hash-checking against ONE statement is the cross-engine form of
+    * the path-equivalence spec): bucket table → 8×4-bit band explode →
+    * distinct band-collision candidates (the engine's first-matching-band
+    * filter is exactly a per-pair dedup, so DISTINCT states it) → exact
+    * cosine re-score ≥ τ.
+    */
+  private val embedLshPairsOracle: String =
+    s"""WITH ${lshBucketSql(32)},
+        banded AS (SELECT vec_id, t, (bucket >> (t * 4)) & 15 AS band
+                   FROM bk CROSS JOIN (SELECT unnest(range(0, 8)) AS t) ts),
+        cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+                 FROM banded a JOIN banded c
+                   ON a.t = c.t AND a.band = c.band AND a.vec_id < c.vec_id),
+        sc AS (SELECT cand.id1, cand.id2,
+                      round(${cosineSql("e1.embedding", "e2.embedding")}, 4)
+                        AS score
+               FROM cand
+               JOIN embeddings e1 ON e1.vec_id = cand.id1
+               JOIN embeddings e2 ON e2.vec_id = cand.id2)
+        SELECT id1, id2, score FROM sc WHERE score >= 0.35
+        ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""
+
   /** LSH-bucketed embedding near-dup — the 100 TB plan behind
     * `llm_embed_cosine_dup`'s exact broadcast-block baseline (the doc there
     * says "past ~10 blocks use LSH": this is that op). One native
@@ -1236,14 +1301,16 @@ object LlmOps {
     * Candidates arrive exactly once (first-colliding-table filter, see
     * [[embedCosinePairsLsh]]) and score once each. Skewed buckets
     * (correlated corpora) are AQE skew-join territory; at 100 TB raise
-    * `bitsPerTable` so bucket occupancy tracks corpus growth. No oracle
-    * (approximate recall, not SQL-portable) — rows-only + spec.
+    * `bitsPerTable` so bucket occupancy tracks corpus growth. Fully
+    * oracle-checked since the portable plane derivation (r19):
+    * [[embedLshPairsOracle]] rebuilds buckets, band candidates, and
+    * exact re-scores; the recall property stays spec-measured.
     */
   val llmEmbedCosineDupLsh: Q = Q(
     "llm_embed_cosine_dup_lsh",
     (s, d) => embedCosinePairsLsh(s,
       Tables.read(s, d, "embeddings").select(col("vec_id"), col("embedding"))),
-    None)
+    Some(embedLshPairsOracle))
 
   /** The banded-LSH near-dup with the SHUFFLE score-resolve forced
     * (`broadcastRowBudget = 0`) — the plan that runs when the vector side
@@ -1251,15 +1318,17 @@ object LlmOps {
     * table twice instead of broadcast-hash-joining it. The sf-scale
     * corpus always fits the broadcast budget, which would leave this
     * shape exercised only by unit tests; this key runs it end-to-end on
-    * corpus data under the driver's rows-check (the minhash_banded
-    * precedent). LlmOpsSpec proves both resolves emit identical rows.
+    * corpus data under the driver's FULL hash gate (the minhash_banded
+    * precedent — same oracle as `llm_embed_cosine_dup_lsh`, so passing
+    * both is the cross-engine proof the forced shuffle changes nothing
+    * but the plan). LlmOpsSpec proves both resolves emit identical rows.
     */
   val llmEmbedCosineDupLshShuffled: Q = Q(
     "llm_embed_cosine_dup_lsh_shuffled",
     (s, d) => embedCosinePairsLsh(s,
       Tables.read(s, d, "embeddings").select(col("vec_id"), col("embedding")),
       broadcastRowBudget = 0L),
-    None)
+    Some(embedLshPairsOracle))
 
   /** Banded-LSH near-dup engine (unit-test seam: `nTables`/`bitsPerTable`
     * tune the recall/candidate-volume trade, `nTables * bitsPerTable ≤ 32`;
@@ -1542,8 +1611,8 @@ object LlmOps {
     * Bit count sizes buckets to the corpus (~n/2^bits candidates per probe);
     * at 100 TB: more bits, buckets are the shuffle key, the query side
     * broadcasts, and the exact re-rank touches only the probed buckets.
-    * No oracle (approximate recall) — property-tested against
-    * `llm_cosine_topk`.
+    * Fully oracle-checked since the portable plane derivation (r19);
+    * recall stays property-tested against `llm_cosine_topk`.
     */
   val llmAnnLshTopk: Q = Q(
     "llm_ann_lsh_topk",
@@ -1567,11 +1636,30 @@ object LlmOps {
         .withColumn("qvec", typedLit(qvec))
         .withColumn("score", round(cosineCols(s)("embedding", "qvec"), 4))
         .drop("qvec")
-        .select(col("vec_id"), col("label"), col("bucket"), col("score"))
+        .select(col("vec_id"), col("label"),
+          col("bucket").cast(LongType).as("bucket"), col("score"))
         .orderBy(desc_nulls_first("score"), asc_nulls_first("vec_id"))
         .limit(10)
     },
-    None)
+    // fully oracle-checked since the portable plane derivation (r19):
+    // the oracle rebuilds the buckets, multi-probes the query bucket +
+    // its 6 Hamming-1 neighbors, and re-ranks by the exact cosine —
+    // the recall property vs brute force stays spec-measured
+    Some(s"""WITH ${lshBucketSql(6)},
+        q AS (SELECT e.embedding AS qvec, bk.bucket AS qb
+              FROM embeddings e JOIN bk USING (vec_id) WHERE e.vec_id = 0),
+        probes AS (SELECT qb AS p FROM q
+                   UNION ALL
+                   SELECT xor(q.qb, 1 << CAST(b AS INT)) AS p
+                   FROM q CROSS JOIN (SELECT unnest(range(0, 6)) AS b) bs),
+        cand AS (SELECT e.vec_id, e.label, bk.bucket, e.embedding
+                 FROM embeddings e JOIN bk USING (vec_id)
+                 WHERE e.vec_id <> 0
+                   AND bk.bucket IN (SELECT p FROM probes))
+        SELECT c.vec_id, c.label, c.bucket,
+               round(${cosineSql("c.embedding", "q.qvec")}, 4) AS score
+        FROM cand c CROSS JOIN q
+        ORDER BY score DESC NULLS FIRST, vec_id NULLS FIRST LIMIT 10"""))
 
   /** IVF (inverted-file) ANN top-k — the second scale path for similarity
     * search, complementing the LSH op: spherical-k-means centroids

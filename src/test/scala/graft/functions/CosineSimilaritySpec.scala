@@ -156,11 +156,13 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(viaMap == viaPositions && viaMap.nonEmpty)
   }
 
-  test("splitmix64/tokenHash60 are stable (pinned values)") {
-    assert(VectorMath.splitmix64(0L) == -2152535657050944081L)
+  test("tokenHash60 is stable (pinned values)") {
     // int value of the first 15 md5 hex digits (independently computed) —
-    // the DuckDB-portable token hash the simhash family builds on
+    // the DuckDB-portable hash the simhash + sign-LSH families build on
     assert(VectorMath.tokenHash60("spark") == 688788748498370921L)
     assert(VectorMath.tokenHash60("hello") == 419982666956583591L)
+    // plane components derive from bit 0 of the same hash
+    assert(VectorMath.planeComponent(0, 0) ==
+      (if ((VectorMath.tokenHash60("0#0") & 1L) == 1L) 1.0 else -1.0))
   }
 }
