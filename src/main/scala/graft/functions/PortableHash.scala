@@ -31,6 +31,14 @@ object PortableHash {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
 
+  /** The DuckDB rendering of [[hash60]] over a SQL string expression —
+    * ONE definition for every oracle builder (minhash signatures,
+    * simhash fingerprints, sign-LSH planes), so a prefix-width change
+    * cannot silently desynchronize one oracle family from the engine.
+    */
+  def duckDbHash60Sql(x: String): String =
+    s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"
+
   /** NULL values map to the KMV sketches' −1 "no value" skip sentinel. */
   def hash32OrSkip(c: Column): Column = coalesce(hash32(c), lit(-1L))
 }

@@ -88,13 +88,20 @@ object VectorMath {
     * shifted right 4 = first 15 hex digits.
     */
   def tokenHash60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val d = md5Digest.get()
+    val bytes = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     var h = 0L
     var j = 0
-    while (j < 8) { h = (h << 8) | (d(j) & 0xFFL); j += 1 }
+    while (j < 8) { h = (h << 8) | (bytes(j) & 0xFFL); j += 1 }
     h >>> 4
   }
+
+  // digest() resets the instance, so one per thread serves every call —
+  // the per-token JCA provider lookup + allocation would otherwise be
+  // the dominant cost of the simhash kernel's hottest loop
+  private val md5Digest =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
 
   /** Rademacher ±1 hyperplane component for (plane, dim) — sign LSH.
     * Derived from the portable md5-prefix hash (bit 0 of

@@ -345,7 +345,7 @@ object LlmOps {
     */
   private val minhashSigsSql: String = {
     val mins = (0 until 16).map(i =>
-      s"min(CAST(('0x' || substr(md5(tok || '#$i'), 1, 15)) AS BIGINT))")
+      s"min(${graft.functions.PortableHash.duckDbHash60Sql(s"tok || '#$i'")})")
       .mkString(",\n                     ")
     s"""toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
                  FROM documents),
@@ -600,8 +600,11 @@ object LlmOps {
     * is implied (pigeonhole) and merely mirrors the plan; for radius 4–5
     * it is load-bearing — the banding is recall-approximate there and
     * the oracle must state the banded subset, not the brute-force truth.
-    * Ends with `pairs AS (...)` so the exact-Jaccard graph oracles' SQL
-    * tails drop in unchanged.
+    * Degenerate docs mirror the engine exactly: NULL text → NULL
+    * fingerprint → excluded from the chunk join (the WHERE on `fp`);
+    * token-less non-NULL text → fingerprint 0, participating (the
+    * coalesce). Ends with `pairs AS (...)` so the exact-Jaccard graph
+    * oracles' SQL tails drop in unchanged.
     */
   private[operators] def simhashPairsSql(maxHamming: Int): String = {
     val chunkEq = (0 until 4).map(c =>
@@ -611,7 +614,7 @@ object LlmOps {
                        FROM documents),
         toks AS (SELECT doc_id, tok FROM toksr WHERE tok <> ''),
         th AS (SELECT doc_id,
-                      CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+                      ${graft.functions.PortableHash.duckDbHash60Sql("tok")} AS h
                FROM toks),
         bits AS (SELECT doc_id, b,
                         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS c
@@ -623,7 +626,8 @@ object LlmOps {
                               ELSE CAST(0 AS BIGINT) END) AS sh
                 FROM bits GROUP BY doc_id),
         fp AS (SELECT d.doc_id, coalesce(f.sh, CAST(0 AS BIGINT)) AS sh
-               FROM documents d LEFT JOIN fp0 f USING (doc_id)),
+               FROM documents d LEFT JOIN fp0 f USING (doc_id)
+               WHERE d.text IS NOT NULL),
         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
                          CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
                   FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -1234,7 +1238,7 @@ object LlmOps {
     */
   private def lshBucketSql(nBits: Int): String =
     s"""pm AS (SELECT b, list(CASE WHEN
-                     CAST(('0x' || substr(md5(b || '#' || i), 1, 15)) AS BIGINT)
+                     ${graft.functions.PortableHash.duckDbHash60Sql("b || '#' || i")}
                        & 1 = 1
                      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
                      ORDER BY i) AS ws
@@ -1605,7 +1609,9 @@ object LlmOps {
 
   /** LSH-bucketed ANN top-k — the scale path for similarity search.
     * 6 deterministic pseudo-random hyperplanes (Rademacher ±1 components
-    * derived from xxhash64(bit, dim)); bucket key = sign bits of the 6
+    * derived from the portable md5-prefix hash —
+    * [[graft.functions.VectorMath.planeComponent]]); bucket key = sign
+    * bits of the 6
     * projections; the candidate set is the query's bucket plus all
     * Hamming-1 neighbor buckets (multi-probe), re-ranked exactly by cosine.
     * Bit count sizes buckets to the corpus (~n/2^bits candidates per probe);

@@ -115,9 +115,12 @@ object StreamRunner {
     * earliest offsets).
     */
   def kafkaBootstrap(spark: SparkSession): Option[String] =
-    spark.conf.getOption("spark.graft.kafka.bootstrap")
-      .filter(_.nonEmpty)
-      .orElse(sys.env.get("SPARK_GRAFT_KAFKA_BOOTSTRAP").filter(_.nonEmpty))
+    spark.conf.getOption("spark.graft.kafka.bootstrap") match {
+      // a PRESENT conf wins outright: an explicitly empty value is the
+      // per-session OFF switch even when the environment names a broker
+      case Some(v) => Some(v).filter(_.nonEmpty)
+      case None => sys.env.get("SPARK_GRAFT_KAFKA_BOOTSTRAP").filter(_.nonEmpty)
+    }
 
   /** The live leg of [[streamTable]]: `readStream.format("kafka")` from
     * EARLIEST offsets (reference `setup.sh:144` replays the topic from

@@ -24,14 +24,29 @@ class JdbcPipelineSpec extends SparkSpec {
   private val writeSingleFile =
     graft.streaming.StreamingOps.writeSingleFile(_: DataFrame, _: Path, _: Path, _: Long)
 
+  /** Execute DDL, tolerating Derby's table-exists error (SQLState
+    * X0Y32) so any test in this suite can ensure its fixture without
+    * depending on which sibling ran first.
+    */
+  private def ensureTable(ddl: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().execute(ddl)
+    catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+    } finally conn.close()
+  }
+
+  private val users3Ddl = AnsiDeleteInsertDialect.createTableDdl("app", "users3",
+    Seq("user_id" -> "integer", "username" -> "character varying",
+      "account_type" -> "character varying",
+      "updated_at" -> "timestamp without time zone",
+      "created_at" -> "timestamp without time zone"))
+
   test("streaming CDC op-log upserts into Derby; snapshot read-back matches golden") {
     import spark.implicits._
-    val conn = DriverManager.getConnection(url)
-    try {
-      conn.createStatement().execute(
-        "CREATE TABLE users (user_id INT PRIMARY KEY, username VARCHAR(255), " +
-          "account_type VARCHAR(50), version BIGINT)")
-    } finally conn.close()
+    ensureTable(
+      "CREATE TABLE users (user_id INT PRIMARY KEY, username VARCHAR(255), " +
+        "account_type VARCHAR(50), version BIGINT)")
 
     val base = graft.util.TempDirs.create("graft_jdbc")
     val streamDir = base.resolve("stream")
@@ -76,14 +91,10 @@ class JdbcPipelineSpec extends SparkSpec {
 
   test("tolerant CDC apply: good rows land, malformed quarantined, replay converges") {
     import spark.implicits._
-    val conn = DriverManager.getConnection(url)
-    try {
-      val st = conn.createStatement()
-      st.execute("CREATE TABLE users2 (user_id INT PRIMARY KEY, " +
-        "username VARCHAR(255), account_type VARCHAR(50), " +
-        "updated_at TIMESTAMP, created_at TIMESTAMP)")
-      st.execute("CREATE TABLE users2_dlq (raw VARCHAR(2000), error VARCHAR(50))")
-    } finally conn.close()
+    ensureTable("CREATE TABLE users2 (user_id INT PRIMARY KEY, " +
+      "username VARCHAR(255), account_type VARCHAR(50), " +
+      "updated_at TIMESTAMP, created_at TIMESTAMP)")
+    ensureTable("CREATE TABLE users2_dlq (raw VARCHAR(2000), error VARCHAR(50))")
 
     def env(id: Int, name: String): String =
       s"""{"schema":{"type":"struct","fields":[],"name":"postgres_cdc.iman.users.Value"},""" +
@@ -131,12 +142,12 @@ class JdbcPipelineSpec extends SparkSpec {
     assert(ansiDdl == "CREATE TABLE users3 (user_id INT, username VARCHAR(255), " +
       "account_type VARCHAR(255), updated_at TIMESTAMP, created_at TIMESTAMP, " +
       "PRIMARY KEY (user_id))")
-    val conn = DriverManager.getConnection(url)
-    try conn.createStatement().execute(ansiDdl) finally conn.close()
+    ensureTable(ansiDdl) // proves the rendered DDL executes on Derby
   }
 
   test("upsert through the explicit dialect seam replays idempotently on Derby") {
     import spark.implicits._
+    ensureTable(users3Ddl) // order-independent fixture
     val batch = Seq((7, "d1"), (8, "d2")).toDF("user_id", "username")
     val sink = JdbcUpsertSink.upsertBatch(url, "users3", Seq("user_id"),
       AnsiDeleteInsertDialect)
@@ -150,7 +161,15 @@ class JdbcPipelineSpec extends SparkSpec {
   test("JDBC catalog discovery ≡ inventory (the reference's information_schema walk)") {
     // the reference discovers its table list over the wire
     // (setup.sh:29-34); DatabaseMetaData.getTables is the JDBC-standard
-    // rendering of that walk — here against Derby's system catalog
+    // rendering of that walk — here against Derby's system catalog.
+    // Fixtures ensured here too, so the test is order-independent.
+    ensureTable("CREATE TABLE users (user_id INT PRIMARY KEY, " +
+      "username VARCHAR(255), account_type VARCHAR(50), version BIGINT)")
+    ensureTable("CREATE TABLE users2 (user_id INT PRIMARY KEY, " +
+      "username VARCHAR(255), account_type VARCHAR(50), " +
+      "updated_at TIMESTAMP, created_at TIMESTAMP)")
+    ensureTable("CREATE TABLE users2_dlq (raw VARCHAR(2000), error VARCHAR(50))")
+    ensureTable(users3Ddl)
     val discovered = JdbcSnapshot.discoverTables(url, "APP")
     assert(discovered == Seq("USERS", "USERS2", "USERS2_DLQ", "USERS3"),
       s"catalog walk drifted from the created inventory: $discovered")

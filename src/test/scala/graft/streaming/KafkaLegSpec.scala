@@ -36,9 +36,10 @@ class KafkaLegSpec extends SparkSpec {
     val child = spark.newSession()
     child.conf.set("spark.graft.kafka.bootstrap", "broker:9092")
     assert(StreamRunner.kafkaBootstrap(child).contains("broker:9092"))
+    // an explicitly EMPTY conf is the per-session off switch — it must
+    // win over the environment, not fall through to it
     child.conf.set("spark.graft.kafka.bootstrap", "")
-    assert(StreamRunner.kafkaBootstrap(child).isEmpty
-      || sys.env.contains("SPARK_GRAFT_KAFKA_BOOTSTRAP"))
+    assert(StreamRunner.kafkaBootstrap(child).isEmpty)
   }
 
   test("live broker: earliest-offset topic replay equals the batch table (gated)") {
