@@ -89,7 +89,8 @@ object Scale {
     "llm_knn_label_probe", "ts_seasonality_strength", "llm_curriculum_order",
     "ts_hour_weekday_heatmap", "ts_gap_histogram",
     "llm_vocab_coverage_curve", "llm_boilerplate_windows",
-    "agg_gini_activity", "ts_user_lifetime", "sink_equality_delete_read")
+    "agg_gini_activity", "ts_user_lifetime", "sink_equality_delete_read",
+    "agg_bitmap_audience", "llm_ann_recall_eval")
   private val pairOps = Seq(
     "llm_dedup_keep_best",
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
@@ -100,7 +101,8 @@ object Scale {
     "graph_link_prediction_simhash", "graph_link_prediction",
     "graph_degree_dist", "graph_triangle_count", "graph_pagerank",
     "graph_bfs_distance", "graph_component_sizes", "graph_clustering_coeff",
-    "graph_assortativity", "llm_dedup_threshold_sweep")
+    "graph_assortativity", "llm_dedup_threshold_sweep",
+    "llm_minhash_calibration")
 
   /** Rehearsal overrides for ops whose registered form assumes the
     * driver's single-file corpus. The k× events table is MANY parquet

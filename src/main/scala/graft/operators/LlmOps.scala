@@ -343,12 +343,17 @@ object LlmOps {
     * HASH the engine shuffles on is a prefilter both paths verify away,
     * so it needs no oracle counterpart.
     */
-  private val minhashSigsSql: String = {
+  private val minhashSigsSql: String = minhashSigsSqlFor("")
+
+  /** The same CTE chain over an optionally filtered document set (the
+    * calibration op scopes to the exact-Jaccard shard).
+    */
+  private def minhashSigsSqlFor(where: String): String = {
     val mins = (0 until 16).map(i =>
       s"min(${graft.functions.PortableHash.duckDbHash60Sql(s"tok || '#$i'")})")
       .mkString(",\n                     ")
     s"""toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-                 FROM documents),
+                 FROM documents $where),
         sigs AS (SELECT doc_id,
                    [$mins] AS sig
                  FROM toks GROUP BY doc_id),
@@ -1667,6 +1672,77 @@ object LlmOps {
         FROM cand c CROSS JOIN q
         ORDER BY score DESC NULLS FIRST, vec_id NULLS FIRST LIMIT 10"""))
 
+  /** ANN recall@10 EVALUATION — the acceptance measurement every ANN
+    * deployment ships next to its index: for each probe anchor
+    * (`vec_id % 50 = 0`), compare the multi-probe LSH candidate set
+    * (the anchor's bucket + its `nBits` Hamming-1 neighbors — exactly
+    * `llm_ann_lsh_topk`'s probe policy) against the exact brute-force
+    * top-10, and report per-anchor candidate volume, hits, and
+    * recall@10. Ground truth REQUIRES the exact anchors×corpus scoring
+    * pass, so eval cost is |probe batch| × corpus by construction — the
+    * batch is the sampling knob (bounded in production; the corpus side
+    * streams through the codegen'd kernel once per batch). Fully
+    * hash-checked — possible only since the plane derivation became
+    * portable (r19): the oracle rebuilds buckets, ranks by the same
+    * (rounded score, vec_id) total order, and counts the identical
+    * candidate membership.
+    */
+  val llmAnnRecallEval: Q = Q(
+    "llm_ann_recall_eval",
+    (s, d) => {
+      val nBits = 6
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val cos = cosineCols(s)("a_emb", "n_emb")
+      val e = Tables.read(s, d, "embeddings")
+        .withColumn("bucket", expr(s"graft_lsh_bucket(embedding, $nBits)"))
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+        .truncated // referenced by the anchor batch AND the corpus side
+      val anchors = broadcast(e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+          col("bucket").as("a_bucket")))
+      val isCand = col("n_bucket") === col("a_bucket") ||
+        expr("bit_count(n_bucket ^ a_bucket) = 1")
+      e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col("bucket").as("n_bucket"))
+        .crossJoin(anchors)
+        .filter(col("n_id") =!= col("anchor_id"))
+        .select(col("anchor_id"), col("a_bucket"), col("n_id"),
+          col("n_bucket"), round(cos, 4).as("score"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("anchor_id"))
+            .orderBy(col("score").desc, col("n_id").asc)))
+        .groupBy(col("anchor_id"))
+        .agg(sum(when(isCand, 1L).otherwise(0L)).as("n_candidates"),
+          sum(when(col("rn") <= 10 && isCand, 1L).otherwise(0L)).as("n_hits"))
+        .withColumn("recall", col("n_hits").cast(DoubleType) / 10.0)
+        .orderBy(asc_nulls_first("anchor_id"))
+    },
+    Some(s"""WITH ${lshBucketSql(6)},
+        a AS (SELECT e.vec_id AS anchor_id, e.embedding AS a_emb,
+                     bk.bucket AS a_bucket
+              FROM embeddings e JOIN bk USING (vec_id)
+              WHERE e.vec_id % 50 = 0),
+        n AS (SELECT e.vec_id AS n_id, e.embedding AS n_emb,
+                     bk.bucket AS n_bucket
+              FROM embeddings e JOIN bk USING (vec_id)),
+        sc AS (SELECT a.anchor_id, a.a_bucket, n.n_id, n.n_bucket,
+                      round(${cosineSql("a.a_emb", "n.n_emb")}, 4) AS score
+               FROM a JOIN n ON n.n_id <> a.anchor_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY anchor_id
+                   ORDER BY score DESC, n_id) AS rn
+              FROM sc)
+        SELECT anchor_id,
+               CAST(sum(CASE WHEN n_bucket = a_bucket
+                             OR bit_count(xor(n_bucket, a_bucket)) = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN rn <= 10 AND (n_bucket = a_bucket
+                             OR bit_count(xor(n_bucket, a_bucket)) = 1)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               CAST(sum(CASE WHEN rn <= 10 AND (n_bucket = a_bucket
+                             OR bit_count(xor(n_bucket, a_bucket)) = 1)
+                        THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall
+        FROM r GROUP BY anchor_id ORDER BY anchor_id NULLS FIRST"""))
+
   /** IVF (inverted-file) ANN top-k — the second scale path for similarity
     * search, complementing the LSH op: spherical-k-means centroids
     * partition the corpus into `nLists` inverted lists, the query probes
@@ -2963,6 +3039,83 @@ object LlmOps {
                     JOIN sigs s2 ON s2.doc_id = c.id2
         ORDER BY id1 NULLS FIRST, id2 NULLS FIRST"""))
 
+  /** MinHash estimator CALIBRATION curve — the measurement that closes
+    * the minhash family's loop: for every banded candidate pair on the
+    * portable `doc_id % 5 = 1` shard, bucket by MATCHING signature count
+    * (the estimator's 17 discrete levels) and report, per level, the
+    * pair count, the mean EXACT Jaccard, and the mean absolute
+    * estimation error. This is the table a dedup rollout reads to pick
+    * its production matching threshold (the empirical form of the
+    * σ=√(J(1−J)/k) bound `llm_minhash_jaccard_est` states analytically)
+    * — and it became fully hash-checkable only once BOTH sides were
+    * portable: the md5-prefix signatures (r19) and the shard-scoped
+    * exact-Jaccard machinery (`llm_dedup_keep_best`'s precedent).
+    * Scale shape: the candidate join is the banded minhash plan, the
+    * exact-J side is the shard-bounded inverted-index join, and the
+    * curve is a 17-cell hash agg — per-pair doubles are summed as exact
+    * DECIMALs so the means are order-independent (the
+    * `agg_weighted_median` discipline).
+    */
+  val llmMinhashCalibration: Q = Q(
+    "llm_minhash_calibration",
+    (s, d) => {
+      val shard = col("doc_id") % lit(5) === 1
+      val toks = docTokens(s, d).filter(shard)
+      val sigs = corpusToksAndSigs(s, d)._2.filter(shard)
+      val cand = minhashPairs(s, toks, precomputedSigs = Some(sigs))
+        .select(col("id1"), col("id2"), col("matching"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = toks.select(col("doc_id").as("id1"), col("tok"))
+        .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
+        .filter(col("id1") < col("id2"))
+        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      val j = cand
+        .join(inter, Seq("id1", "id2"), "left")
+        .join(sizes.select(col("doc_id").as("id1"), col("sz").as("n1")), "id1")
+        .join(sizes.select(col("doc_id").as("id2"), col("sz").as("n2")), "id2")
+        .select(col("matching"),
+          (coalesce(col("inter"), lit(0L)).cast(DoubleType) /
+            (col("n1") + col("n2") - coalesce(col("inter"), lit(0L))))
+            .as("jx"))
+        .withColumn("est", col("matching").cast(DoubleType) / 16.0)
+      j.groupBy(col("matching"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jx").cast(DecimalType(28, 10))).as("sj"),
+          sum(abs(col("est") - col("jx")).cast(DecimalType(28, 10))).as("se"))
+        .select(col("matching"), col("n_pairs"),
+          round(col("sj").cast(DoubleType) / col("n_pairs"), 4)
+            .as("mean_exact_j"),
+          round(col("se").cast(DoubleType) / col("n_pairs"), 4)
+            .as("mean_abs_err"))
+        .orderBy(asc_nulls_first("matching"))
+    },
+    Some(s"""WITH ${minhashSigsSqlFor("WHERE doc_id % 5 = 1")},
+        m AS (SELECT c.id1, c.id2,
+                     CAST(len(list_filter(range(1, 17),
+                              i -> s1.sig[i] = s2.sig[i])) AS BIGINT)
+                       AS matching
+              FROM cand c JOIN sigs s1 ON s1.doc_id = c.id1
+                          JOIN sigs s2 ON s2.doc_id = c.id2),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                         CAST(COUNT(*) AS BIGINT) AS inter
+                  FROM toks a JOIN toks b
+                    ON a.tok = b.tok AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        j AS (SELECT m.matching,
+                     CAST(coalesce(i.inter, 0) AS DOUBLE)
+                       / (s1.sz + s2.sz - coalesce(i.inter, 0)) AS jx,
+                     CAST(m.matching AS DOUBLE) / 16 AS est
+              FROM m LEFT JOIN inter i USING (id1, id2)
+              JOIN sizes s1 ON m.id1 = s1.doc_id
+              JOIN sizes s2 ON m.id2 = s2.doc_id)
+        SELECT matching, CAST(count(*) AS BIGINT) AS n_pairs,
+               round(CAST(sum(CAST(jx AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*), 4) AS mean_exact_j,
+               round(CAST(sum(CAST(abs(est - jx) AS DECIMAL(28,10))) AS DOUBLE)
+                     / count(*), 4) AS mean_abs_err
+        FROM j GROUP BY matching ORDER BY matching NULLS FIRST"""))
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * k-means clustering THEN within-cluster cosine near-dup — the
     * clustering is the blocking step, so the quadratic scan shrinks from
@@ -3404,9 +3557,10 @@ object LlmOps {
     llmJaccardNearDup,
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
     llmDedupSimhash, llmDedupClusterRep, llmDedupKeepBest, llmSubstringDedup,
-    llmMinhashJaccardEst, llmEditDistanceDup,
+    llmMinhashJaccardEst, llmMinhashCalibration, llmEditDistanceDup,
     llmCosineTopk, llmMmrDiversify, llmEmbedCosineDup, llmEmbedCosineDupLsh,
-    llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnIvfTopk,
+    llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnRecallEval,
+    llmAnnIvfTopk,
     llmHardNegativeMine, llmKnnLabelProbe, llmDedupThresholdSweep,
     llmAnnPqTopk, llmSemdedupCentroid,
     llmTextTokenStats, llmLangSourceDist, llmQualityScore, llmTokenCountBpe,

@@ -514,6 +514,85 @@ object PipelineOps {
                    day0 + CAST(floor(log2(bitmap)) AS BIGINT) AS last_day
             FROM bm ORDER BY user_id NULLS FIRST"""))
 
+  /** Audience set algebra on activity BITMAPS — the downstream payoff
+    * [[aggActivityBitmap]]'s doc promises: two audiences (clickers vs
+    * purchasers — the purchaser side carries the `user_id % 3 ≠ 0`
+    * carve of `agg_kmv_set_ops`, since in this corpus every user does
+    * everything and an uncarved intersection is the union) reduce to
+    * one 62-day bitmap EACH per user, and every audience question —
+    * membership, co-membership, same-day co-activity, overlap/union
+    * day-volumes — becomes bitwise AND/OR + `bit_count` on two longs.
+    * Plan shape: one map-side-combinable `bit_or` hash agg to the
+    * |users| table (16 bytes of state per user), then a single global
+    * roll-up — the audience-intersection query 1000 shards answer by
+    * shipping bitmaps, not user lists (same shape as ClickHouse's
+    * groupBitmapAnd/Or). The >62-day raise_error guard and day re-base
+    * are [[aggActivityBitmap]]'s, mirrored in the oracle.
+    */
+  val aggBitmapAudience: Q = Q(
+    "agg_bitmap_audience",
+    (s, d) => {
+      val dayNs = 86400000000000L
+      val ev = Tables.read(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          expr(s"ts div $dayNs").as("day"))
+      val lo = ev.agg(min(col("day")).as("day0"))
+      val perUser = ev.crossJoin(broadcast(lo))
+        .select(col("user_id"), col("event_type"),
+          expr("CASE WHEN day - day0 > 62 THEN CAST(raise_error(" +
+            "'agg_bitmap_audience: corpus day span exceeds 62 days') " +
+            "AS BIGINT) ELSE " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(day - day0 AS INT)) END")
+            .as("bit"))
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(expr(
+            "bit_or(CASE WHEN event_type = 'click' THEN bit END)"), lit(0L))
+            .as("cbm"),
+          coalesce(expr(
+            "bit_or(CASE WHEN event_type = 'purchase' AND user_id % 3 <> 0 " +
+              "THEN bit END)"), lit(0L)).as("pbm"))
+      perUser.agg(
+        sum(when(col("cbm") =!= 0, 1L).otherwise(0L)).as("n_clickers"),
+        sum(when(col("pbm") =!= 0, 1L).otherwise(0L)).as("n_purchasers"),
+        sum(when(col("cbm") =!= 0 && col("pbm") =!= 0, 1L).otherwise(0L))
+          .as("n_both"),
+        sum(when(expr("(cbm & pbm)") =!= 0, 1L).otherwise(0L))
+          .as("n_same_day"),
+        sum(expr("CAST(bit_count(cbm & pbm) AS BIGINT)")).as("overlap_days"),
+        sum(expr("CAST(bit_count(cbm | pbm) AS BIGINT)")).as("union_days"))
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type,
+                               epoch_ns(ts) // 86400000000000 AS day
+                        FROM events
+                        WHERE event_type IN ('click', 'purchase')),
+            lo AS (SELECT min(day) AS day0 FROM ev),
+            bits AS (SELECT user_id, event_type,
+                            CASE WHEN day - day0 > 62
+                            THEN CAST(error('agg_bitmap_audience: corpus day span exceeds 62 days') AS BIGINT)
+                            ELSE CAST(1 AS BIGINT) << CAST(day - day0 AS INT)
+                            END AS bit
+                     FROM ev CROSS JOIN lo),
+            pu AS (SELECT user_id,
+                          coalesce(bit_or(CASE WHEN event_type = 'click'
+                                          THEN bit END), 0) AS cbm,
+                          coalesce(bit_or(CASE WHEN event_type = 'purchase'
+                                               AND user_id % 3 <> 0
+                                          THEN bit END), 0) AS pbm
+                   FROM bits GROUP BY user_id)
+            SELECT CAST(sum(CASE WHEN cbm <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_clickers,
+                   CAST(sum(CASE WHEN pbm <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_purchasers,
+                   CAST(sum(CASE WHEN cbm <> 0 AND pbm <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_both,
+                   CAST(sum(CASE WHEN (cbm & pbm) <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_same_day,
+                   CAST(sum(bit_count(cbm & pbm)) AS BIGINT) AS overlap_days,
+                   CAST(sum(bit_count(cbm | pbm)) AS BIGINT) AS union_days
+            FROM pu"""))
+
   /** Hour-of-day × weekday activity heatmap — the 7×24 traffic profile
     * every ops dashboard renders (and the 2-D generalization of
     * `ts_weekday_profile`'s weekday marginal): per cell, event count
@@ -3296,6 +3375,7 @@ object PipelineOps {
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
     tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest, tsHoltWinters,
     tsDownsampleLttb, tsCohortRetention, aggActivityBitmap,
+    aggBitmapAudience,
     tsSeasonalityStrength, tsHourWeekdayHeatmap, tsGapHistogram,
     llmVocabCoverageCurve, llmBoilerplateWindows, aggGiniActivity,
     tsUserLifetime)

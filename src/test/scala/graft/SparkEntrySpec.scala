@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (283 keys, 272 oracles)") {
-    assert(SparkEntry.queries.size == 283,
+  test("registry matches the SURVEY §2 inventory size (286 keys, 275 oracles)") {
+    assert(SparkEntry.queries.size == 286,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 272,
+    assert(SparkEntry.oracleSql.size == 275,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 
