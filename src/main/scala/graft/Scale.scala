@@ -90,7 +90,8 @@ object Scale {
     "ts_hour_weekday_heatmap", "ts_gap_histogram",
     "llm_vocab_coverage_curve", "llm_boilerplate_windows",
     "agg_gini_activity", "ts_user_lifetime", "sink_equality_delete_read",
-    "agg_bitmap_audience", "llm_ann_recall_eval")
+    "agg_bitmap_audience", "llm_ann_recall_eval", "ts_acf",
+    "llm_split_leakage_audit", "llm_label_centroid_drift")
   private val pairOps = Seq(
     "llm_dedup_keep_best",
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",

@@ -3116,6 +3116,81 @@ object LlmOps {
                      / count(*), 4) AS mean_abs_err
         FROM j GROUP BY matching ORDER BY matching NULLS FIRST"""))
 
+  /** Per-label embedding CENTROID drift — the class-geometry audit an
+    * embedding-quality dashboard tracks next to the kNN probe: for each
+    * label, the EXACT per-coordinate mean vector, reported as its
+    * cosine to the GLOBAL centroid (→1 = the class sits on the corpus
+    * mean, i.e. no separation; low/negative = the class pulls away —
+    * drift when tracked across data batches) and its norm (→0 = the
+    * class's vectors cancel, another collapse signal). Everything is
+    * order-independent by construction, which is what makes a
+    * FLOAT-mean quantity oracle-able where IVF's iterative means are
+    * not: per-(label, coord) sums accumulate as exact DECIMALs (one
+    * map-side-combinable hash agg over the posexploded coordinates —
+    * 64·|labels| cells regardless of corpus size), means are one double
+    * division each, and the 64-term cosine reduces over DECIMAL
+    * products of those means. At 100 TB the only corpus-sized work is
+    * the coordinate explode feeding the partial agg.
+    */
+  val llmLabelCentroidDrift: Q = Q(
+    "llm_label_centroid_drift",
+    (s, d) => {
+      val pe = Tables.read(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("label"), col("pos"),
+          col("v").cast(DoubleType).as("v"))
+        .truncated // feeds the per-label AND the global sum
+      val labm = pe.groupBy(col("label"), col("pos"))
+        .agg(sum(col("v").cast(DecimalType(27, 10))).as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("pos"),
+          (col("sv").cast(DoubleType) / col("n")).as("lm"), col("n"))
+      val glob = pe.groupBy(col("pos"))
+        .agg(sum(col("v").cast(DecimalType(27, 10))).as("gv"),
+          count(lit(1)).as("gn"))
+        .select(col("pos"), (col("gv").cast(DoubleType) / col("gn")).as("gm"))
+      labm.join(glob, "pos")
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          sum((col("lm") * col("gm")).cast(DecimalType(30, 12))).as("sdot"),
+          sum((col("lm") * col("lm")).cast(DecimalType(30, 12))).as("sll"),
+          sum((col("gm") * col("gm")).cast(DecimalType(30, 12))).as("sgg"))
+        .select(col("label"), col("n_vecs"),
+          round(col("sdot").cast(DoubleType) /
+            (sqrt(col("sll").cast(DoubleType))
+              * sqrt(col("sgg").cast(DoubleType))), 6).as("cos_to_global"),
+          round(sqrt(col("sll").cast(DoubleType)), 6).as("centroid_norm"))
+        .orderBy(asc_nulls_first("label"))
+    },
+    Some("""WITH pe AS (SELECT label, i AS pos,
+                               CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+                                 AS v
+                        FROM embeddings
+                        CROSS JOIN (SELECT unnest(range(0, 64)) AS i) dims),
+            labm AS (SELECT label, pos,
+                            CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE)
+                              / count(*) AS lm,
+                            count(*) AS n
+                     FROM pe GROUP BY 1, 2),
+            gbl AS (SELECT pos,
+                            CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE)
+                              / count(*) AS gm
+                     FROM pe GROUP BY 1),
+            agg AS (SELECT l.label,
+                           CAST(max(l.n) AS BIGINT) AS n_vecs,
+                           CAST(sum(CAST(l.lm * g.gm AS DECIMAL(30,12)))
+                                AS DOUBLE) AS sdot,
+                           CAST(sum(CAST(l.lm * l.lm AS DECIMAL(30,12)))
+                                AS DOUBLE) AS sll,
+                           CAST(sum(CAST(g.gm * g.gm AS DECIMAL(30,12)))
+                                AS DOUBLE) AS sgg
+                    FROM labm l JOIN gbl g USING (pos)
+                    GROUP BY l.label)
+            SELECT label, n_vecs,
+                   round(sdot / (sqrt(sll) * sqrt(sgg)), 6) AS cos_to_global,
+                   round(sqrt(sll), 6) AS centroid_norm
+            FROM agg ORDER BY label NULLS FIRST"""))
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
     * k-means clustering THEN within-cluster cosine near-dup — the
     * clustering is the blocking step, so the quadratic scan shrinks from
@@ -3208,6 +3283,61 @@ object LlmOps {
                          WHEN ($scrambleSql) % 100 < 95 THEN 'val'
                          ELSE 'test' END AS split
              FROM documents ORDER BY doc_id NULLS FIRST"""))
+
+  /** Train/val/test SPLIT-LEAKAGE audit — the gate a training run
+    * checks before trusting its eval numbers: an eval document whose
+    * EXACT text also appears in train (by md5 digest, the
+    * [[llmDedupExactDigest]] identity) leaks the answer key, and the
+    * split law alone cannot prevent it — duplicates straddle bucket
+    * boundaries because the split hashes doc_id, not content. Same
+    * split law as `llm_train_split` (scramble % 100 → 90/5/5), digests
+    * once per doc; per eval split: doc count, leaked count (digest
+    * ∈ train's distinct digest set — one digest-keyed left-semi join,
+    * 16-byte keys through the shuffle, map-side distinct on the build
+    * side), leak rate. At 100 TB this is exactly the decontamination
+    * join shape (`llm_contamination_ngram` is the fuzzy sibling; this
+    * is the exact one).
+    */
+  val llmSplitLeakageAudit: Q = Q(
+    "llm_split_leakage_audit",
+    (s, d) => {
+      val docs = Tables.read(s, d, "documents")
+        .withColumn("bucket", expr(s"($scrambleSql) % 100"))
+        .withColumn("split", when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+        .select(col("doc_id"), col("split"),
+          md5(col("text").cast("binary")).as("digest"))
+        .truncated // referenced by the train side AND both eval aggs
+      val trainDigests = docs.filter(col("split") === "train")
+        .select(col("digest")).distinct()
+      val eval = docs.filter(col("split") =!= "train")
+      val leaked = eval.join(trainDigests, Seq("digest"), "left_semi")
+        .groupBy(col("split")).agg(count(lit(1)).as("n_leaked"))
+      eval.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .join(leaked, Seq("split"), "left")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+        .withColumn("leak_rate",
+          round(col("n_leaked").cast(DoubleType) / col("n_docs"), 6))
+        .orderBy(asc_nulls_first("split"))
+    },
+    Some(s"""WITH docs AS (SELECT doc_id,
+                    CASE WHEN ($scrambleSql) % 100 < 90 THEN 'train'
+                         WHEN ($scrambleSql) % 100 < 95 THEN 'val'
+                         ELSE 'test' END AS split,
+                    md5(text) AS digest
+             FROM documents),
+        train AS (SELECT DISTINCT digest FROM docs WHERE split = 'train'),
+        ev AS (SELECT * FROM docs WHERE split <> 'train'),
+        leaked AS (SELECT split, CAST(count(*) AS BIGINT) AS n_leaked
+                   FROM ev SEMI JOIN train USING (digest)
+                   GROUP BY split)
+        SELECT ev.split, CAST(count(*) AS BIGINT) AS n_docs,
+               coalesce(any_value(l.n_leaked), 0) AS n_leaked,
+               round(CAST(coalesce(any_value(l.n_leaked), 0) AS DOUBLE)
+                     / count(*), 6) AS leak_rate
+        FROM ev LEFT JOIN leaked l ON l.split = ev.split
+        GROUP BY ev.split ORDER BY ev.split NULLS FIRST"""))
 
   /** Fixed-size uniform corpus sample (k = 200) — the distributed
     * equivalent of reservoir sampling, made DETERMINISTIC: tag every doc
@@ -3558,6 +3688,7 @@ object LlmOps {
     llmNgramJaccard, llmDedupMinhash, llmDedupMinhashBanded,
     llmDedupSimhash, llmDedupClusterRep, llmDedupKeepBest, llmSubstringDedup,
     llmMinhashJaccardEst, llmMinhashCalibration, llmEditDistanceDup,
+    llmSplitLeakageAudit, llmLabelCentroidDrift,
     llmCosineTopk, llmMmrDiversify, llmEmbedCosineDup, llmEmbedCosineDupLsh,
     llmEmbedCosineDupLshShuffled, llmAnnLshTopk, llmAnnRecallEval,
     llmAnnIvfTopk,

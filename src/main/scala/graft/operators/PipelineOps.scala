@@ -1724,6 +1724,76 @@ object PipelineOps {
             FROM dau d LEFT JOIN nu n ON d.day = n.day
             ORDER BY d.day NULLS FIRST"""))
 
+  /** Multi-lag autocorrelation function (ACF, lags 1–7) of the daily
+    * value series — the seasonality diagnostic `ts_autocorr_lag1`'s
+    * single lag cannot show (a weekly cycle surfaces as the lag-7 peak;
+    * the full profile is what ARIMA order selection and
+    * `ts_seasonal_decompose`'s period choice read). Aggregate-first:
+    * ONE corpus hash agg (map-side partials, DECIMAL-exact value sums)
+    * to the O(#days) daily table, then per lag a self-join of that tiny
+    * table on `day + lag` and the `agg_corr_manual` DECIMAL-moment
+    * Pearson — every post-agg row count is |days| × 7 regardless of
+    * corpus size (at far larger day ranges the moment decimals widen,
+    * the same knob every moment op documents). Degenerate lags (≤1 pair
+    * or zero variance) emit NULL.
+    */
+  val tsAcf: Q = Q(
+    "ts_acf",
+    (s, d) => {
+      val daily = Tables.read(s, d, "events")
+        .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+        .agg(sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("v"))
+        .truncated // both sides of each per-lag self-join
+      val lags = daily.sparkSession.range(1, 8).select(col("id").as("lag"))
+      val p = daily.select(col("day"), col("v").as("x"))
+        .crossJoin(broadcast(lags))
+        .join(daily.select(col("day").as("d2"), col("v").as("y")),
+          col("d2") === col("day") + col("lag"))
+      val m = p.groupBy(col("lag")).agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x").cast(DecimalType(30, 10))).cast(DoubleType).as("sx"),
+        sum(col("y").cast(DecimalType(30, 10))).cast(DoubleType).as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(30, 6)))
+          .cast(DoubleType).as("sxx"),
+        sum((col("y") * col("y")).cast(DecimalType(30, 6)))
+          .cast(DoubleType).as("syy"),
+        sum((col("x") * col("y")).cast(DecimalType(30, 6)))
+          .cast(DoubleType).as("sxy"))
+      m.select(col("lag"), col("n").cast(LongType).as("n_pairs"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) > 0 &&
+               (col("n") * col("syy") - col("sy") * col("sy")) > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy"))
+              / (sqrt(col("n") * col("sxx") - col("sx") * col("sx"))
+                 * sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6))
+            .as("acf"))
+        .orderBy(asc_nulls_first("lag"))
+    },
+    Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                                  CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                       AS DOUBLE) AS v
+                           FROM events GROUP BY 1),
+            lags AS (SELECT unnest(range(1, 8)) AS lag),
+            p AS (SELECT l.lag, a.v AS x, b.v AS y
+                  FROM daily a CROSS JOIN lags l
+                  JOIN daily b ON b.day = a.day + l.lag),
+            m AS (SELECT lag,
+                         CAST(count(*) AS DOUBLE) AS n,
+                         CAST(sum(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+                         CAST(sum(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+                         CAST(sum(CAST(x * x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+                         CAST(sum(CAST(y * y AS DECIMAL(30,6))) AS DOUBLE) AS syy,
+                         CAST(sum(CAST(x * y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+                  FROM p GROUP BY lag)
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   CAST(n AS BIGINT) AS n_pairs,
+                   CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                        THEN round((n * sxy - sx * sy)
+                               / (sqrt(n * sxx - sx * sx)
+                                  * sqrt(n * syy - sy * sy)), 6)
+                        END AS acf
+            FROM m ORDER BY lag NULLS FIRST"""))
+
   /** CUSUM drift statistic per user series — the classic change-point /
     * drift detector over an event stream, kept EXACT cross-engine by
     * clearing the denominators: instead of cusum_k = Σ_{i≤k}(v_i − S/n)
@@ -3375,7 +3445,7 @@ object PipelineOps {
     tsRollingDau, tsActiveStreak, llmTextNormalize, tsSeasonalDecompose,
     tsHoltForecast, tsSeasonalAnomaly, tsForecastBacktest, tsHoltWinters,
     tsDownsampleLttb, tsCohortRetention, aggActivityBitmap,
-    aggBitmapAudience,
+    aggBitmapAudience, tsAcf,
     tsSeasonalityStrength, tsHourWeekdayHeatmap, tsGapHistogram,
     llmVocabCoverageCurve, llmBoilerplateWindows, aggGiniActivity,
     tsUserLifetime)

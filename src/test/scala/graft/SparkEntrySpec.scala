@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (286 keys, 275 oracles)") {
-    assert(SparkEntry.queries.size == 286,
+  test("registry matches the SURVEY §2 inventory size (289 keys, 278 oracles)") {
+    assert(SparkEntry.queries.size == 289,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 275,
+    assert(SparkEntry.oracleSql.size == 278,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

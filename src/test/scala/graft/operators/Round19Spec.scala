@@ -82,6 +82,93 @@ class Round19Spec extends SparkSpec {
     }
   }
 
+  test("llm_split_leakage_audit: leakage equals a driver digest recomputation") {
+    val out = graft.SparkEntry.queries("llm_split_leakage_audit")(spark, sf)
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set("test", "val"))
+    val docs = Tables.read(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val bucket = ((id * 2654435761L) % 1000000007L) % 100
+        val split =
+          if (bucket < 90) "train" else if (bucket < 95) "val" else "test"
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.getString(1).getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        (split, digest)
+      }
+    val trainDigests = docs.collect { case ("train", dg) => dg }.toSet
+    Seq("val", "test").foreach { sp =>
+      val ev = docs.filter(_._1 == sp)
+      val (nDocs, nLeaked, rate) = out(sp)
+      assert(nDocs == ev.length, s"$sp doc count")
+      assert(nLeaked == ev.count(d => trainDigests(d._2)), s"$sp leak count")
+      assert(rate == BigDecimal(nLeaked.toDouble / nDocs)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"$sp rate")
+    }
+  }
+
+  test("ts_acf: seven lags over the contiguous day range, lag-1 agrees with a driver Pearson") {
+    val out = graft.SparkEntry.queries("ts_acf")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 7L))
+    out.foreach { r =>
+      if (!r.isNullAt(2))
+        assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"|acf| > 1: $r")
+    }
+    // daily series from an independent aggregation; contiguous days ⇒
+    // n_pairs(lag) = |days| - lag
+    val daily = Tables.read(spark, sf, "events")
+      .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+      .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double").as("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(out.map(_.getLong(1)).toSeq ==
+      (1 to 7).map(l => daily.length.toLong - l))
+    // driver Pearson at lag 1 (BigDecimal sums mirror the decimal moments)
+    val pairs = daily.sliding(2).map(a => (a(0)._2, a(1)._2)).toSeq
+    val n = pairs.length.toDouble
+    def dsum(xs: Seq[Double], scale: Int) =
+      xs.map(BigDecimal(_).setScale(scale, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    val sx = dsum(pairs.map(_._1), 10); val sy = dsum(pairs.map(_._2), 10)
+    val sxx = dsum(pairs.map(p => p._1 * p._1), 6)
+    val syy = dsum(pairs.map(p => p._2 * p._2), 6)
+    val sxy = dsum(pairs.map(p => p._1 * p._2), 6)
+    val want = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(math.abs(out.head.getDouble(2) - want) < 1e-6,
+      s"lag-1 acf ${out.head.getDouble(2)} != driver $want")
+  }
+
+  test("llm_label_centroid_drift: geometry invariants + one label's norm replayed") {
+    val out = graft.SparkEntry.queries("llm_label_centroid_drift")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    val total = Tables.read(spark, sf, "embeddings").count()
+    assert(out.map(_.getLong(1)).sum == total, "n_vecs partitions the corpus")
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9, s"|cos| > 1: $r")
+      assert(r.getDouble(3) >= 0.0, s"negative norm: $r")
+    }
+    // replay one label's centroid norm with exact decimal coordinate sums
+    val lab = out.head.getInt(0)
+    val vecs = Tables.read(spark, sf, "embeddings")
+      .filter(col("label") === lab)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val means = (0 until 64).map { i =>
+      vecs.map(v => BigDecimal(v(i).toDouble)
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble / vecs.length
+    }
+    val norm = math.sqrt(means.map(m =>
+      BigDecimal(m * m).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      .sum.toDouble)
+    assert(math.abs(out.head.getDouble(3) - norm) < 1e-6,
+      s"label $lab norm ${out.head.getDouble(3)} != driver $norm")
+  }
+
   test("agg_bitmap_audience: set algebra equals a direct (user, day) recomputation") {
     val row = graft.SparkEntry.queries("agg_bitmap_audience")(spark, sf)
       .head()
