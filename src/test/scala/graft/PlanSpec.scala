@@ -338,4 +338,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"the |classes|-row table must broadcast:\n$p")
   }
+
+  test("llm_split_leakage_audit: document bodies never ride the leakage join") {
+    val p = plan(LlmOps.llmSplitLeakageAudit.fn(spark, sf))
+    // the semi join must key on the 16-byte digest; shuffling `text`
+    // would make the audit corpus-bytes-wide at 100 TB
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text"),
+      s"document text crosses an exchange:\n$exchanges")
+  }
+
+  test("ts_acf: aggregate-first — the corpus reduces before any lag join") {
+    val root = PipelineOps.tsAcf.fn(spark, sf)
+    // the single corpus-sized operation is the daily hash agg; every
+    // join in the plan runs on the |days|-scale table (no join may sit
+    // below the first aggregate on the events scan side)
+    val p = plan(root)
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && (joinIdx < 0 || joinIdx < aggIdx ||
+      p.substring(0, joinIdx).contains("HashAggregate")),
+      s"a join ran below the daily aggregation:\n${p.take(1500)}")
+  }
+
+  test("llm_label_centroid_drift: one corpus explode feeds map-side partial aggs") {
+    val p = plan(LlmOps.llmLabelCentroidDrift.fn(spark, sf))
+    // the per-(label, pos) and per-pos sums must partial-aggregate
+    // before their exchanges — the corpus-sized explode never shuffles raw
+    assert(p.contains("HashAggregate"), p.take(800))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("embedding"),
+      s"raw embedding arrays cross an exchange:\n$exchanges")
+  }
 }
