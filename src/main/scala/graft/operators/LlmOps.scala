@@ -1697,9 +1697,17 @@ object LlmOps {
         .withColumn("bucket", expr(s"graft_lsh_bucket(embedding, $nBits)"))
         .select(col("vec_id"), col("embedding"), col("bucket"))
         .truncated // referenced by the anchor batch AND the corpus side
-      val anchors = broadcast(e.filter(col("vec_id") % 50 === 0)
+      // the % 50 anchor set is a FRACTION of the corpus, not a bound, so
+      // the broadcast is budget-gated exactly like [[probeAnchors]] — a
+      // forced hint would OOM once the batch outgrows executor memory
+      val anchors0 = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
-          col("bucket").as("a_bucket")))
+          col("bucket").as("a_bucket"))
+      val budget = 100000L
+      val anchors =
+        if (anchors0.limit((budget + 1).toInt).count() <= budget)
+          broadcast(anchors0)
+        else anchors0
       val isCand = col("n_bucket") === col("a_bucket") ||
         expr("bit_count(n_bucket ^ a_bucket) = 1")
       e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
@@ -3162,11 +3170,17 @@ object LlmOps {
           round(sqrt(col("sll").cast(DoubleType)), 6).as("centroid_norm"))
         .orderBy(asc_nulls_first("label"))
     },
+    // pe mirrors Spark's posexplode exactly: a NULL embedding emits no
+    // rows (the generator over NULL), and the dim fan-out is capped by
+    // the array's own length (the corpus contract is 64, as the whole
+    // cosine family assumes)
     Some("""WITH pe AS (SELECT label, i AS pos,
                                CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
                                  AS v
                         FROM embeddings
-                        CROSS JOIN (SELECT unnest(range(0, 64)) AS i) dims),
+                        CROSS JOIN (SELECT unnest(range(0, 64)) AS i) dims
+                        WHERE embedding IS NOT NULL
+                          AND i < len(embedding)),
             labm AS (SELECT label, pos,
                             CAST(sum(CAST(v AS DECIMAL(27,10))) AS DOUBLE)
                               / count(*) AS lm,
@@ -3267,21 +3281,31 @@ object LlmOps {
     * bucket) — one scan, zero shuffles, reproducible across runs and
     * engines; the standard holdout step every dataset build ends with.
     */
+  /** ONE definition of the 90/5/5 split law for BOTH engines — shared
+    * by `llm_train_split` and `llm_split_leakage_audit` so a ratio or
+    * scramble change cannot silently desynchronize the audit from the
+    * split it audits (the [[graft.functions.PortableHash.duckDbHash60Sql]]
+    * single-rendering discipline).
+    */
+  private def splitWhen(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
+  private val splitCaseSql: String =
+    s"""CASE WHEN ($scrambleSql) % 100 < 90 THEN 'train'
+             WHEN ($scrambleSql) % 100 < 95 THEN 'val'
+             ELSE 'test' END"""
+
   val llmTrainSplit: Q = Q(
     "llm_train_split",
     (s, d) =>
       Tables.read(s, d, "documents")
         .withColumn("bucket", expr(s"($scrambleSql) % 100"))
         .select(col("doc_id"), col("lang"), col("bucket"),
-          when(col("bucket") < 90, "train")
-            .when(col("bucket") < 95, "val")
-            .otherwise("test").as("split"))
+          splitWhen(col("bucket")).as("split"))
         .orderBy(asc_nulls_first("doc_id")),
     Some(s"""SELECT doc_id, lang,
                     ($scrambleSql) % 100 AS bucket,
-                    CASE WHEN ($scrambleSql) % 100 < 90 THEN 'train'
-                         WHEN ($scrambleSql) % 100 < 95 THEN 'val'
-                         ELSE 'test' END AS split
+                    $splitCaseSql AS split
              FROM documents ORDER BY doc_id NULLS FIRST"""))
 
   /** Train/val/test SPLIT-LEAKAGE audit — the gate a training run
@@ -3303,8 +3327,7 @@ object LlmOps {
     (s, d) => {
       val docs = Tables.read(s, d, "documents")
         .withColumn("bucket", expr(s"($scrambleSql) % 100"))
-        .withColumn("split", when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val").otherwise("test"))
+        .withColumn("split", splitWhen(col("bucket")))
         .select(col("doc_id"), col("split"),
           md5(col("text").cast("binary")).as("digest"))
         .truncated // referenced by the train side AND both eval aggs
@@ -3322,9 +3345,7 @@ object LlmOps {
         .orderBy(asc_nulls_first("split"))
     },
     Some(s"""WITH docs AS (SELECT doc_id,
-                    CASE WHEN ($scrambleSql) % 100 < 90 THEN 'train'
-                         WHEN ($scrambleSql) % 100 < 95 THEN 'val'
-                         ELSE 'test' END AS split,
+                    $splitCaseSql AS split,
                     md5(text) AS digest
              FROM documents),
         train AS (SELECT DISTINCT digest FROM docs WHERE split = 'train'),

@@ -348,17 +348,17 @@ class PlanSpec extends SparkSpec {
       s"document text crosses an exchange:\n$exchanges")
   }
 
-  test("ts_acf: aggregate-first — the corpus reduces before any lag join") {
-    val root = PipelineOps.tsAcf.fn(spark, sf)
-    // the single corpus-sized operation is the daily hash agg; every
-    // join in the plan runs on the |days|-scale table (no join may sit
-    // below the first aggregate on the events scan side)
-    val p = plan(root)
-    val aggIdx = p.indexOf("HashAggregate")
-    val joinIdx = p.indexOf("Join")
-    assert(aggIdx >= 0 && (joinIdx < 0 || joinIdx < aggIdx ||
-      p.substring(0, joinIdx).contains("HashAggregate")),
-      s"a join ran below the daily aggregation:\n${p.take(1500)}")
+  test("ts_acf: aggregate-first — no corpus scan survives into the lag joins") {
+    val p = plan(PipelineOps.tsAcf.fn(spark, sf))
+    // the events scan is fully reduced to the materialized |days| table
+    // BEFORE any join: the joined plan must read only the checkpointed
+    // daily rows (Scan ExistingRDD), never parquet — a regression that
+    // joins raw events would surface as a file scan below the join
+    assert(p.contains("Join"), p.take(800))
+    assert(!p.contains("Scan parquet") && !p.contains("FileScan"),
+      s"a corpus file scan reached the lag-join plan:\n${p.take(1500)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"expected the checkpointed daily table as the join input:\n${p.take(800)}")
   }
 
   test("llm_label_centroid_drift: one corpus explode feeds map-side partial aggs") {
