@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BigramCounts, CosineSimilarity, LshBucket, Simhash64}
+import graft.functions.{BigramCounts, CosineSimilarity, LshBucket, Simhash60}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
@@ -24,9 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       exprs => LshBucket(exprs(0), exprs(1))))
     ext.injectFunction((
-      new FunctionIdentifier("graft_simhash64"),
-      new ExpressionInfo(classOf[Simhash64].getName, "graft_simhash64"),
-      exprs => Simhash64(exprs(0))))
+      new FunctionIdentifier("graft_simhash60"),
+      new ExpressionInfo(classOf[Simhash60].getName, "graft_simhash60"),
+      exprs => Simhash60(exprs(0))))
     ext.injectFunction((
       new FunctionIdentifier("graft_bigram_counts"),
       new ExpressionInfo(classOf[BigramCounts].getName, "graft_bigram_counts"),

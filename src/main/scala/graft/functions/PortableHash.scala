@@ -35,6 +35,13 @@ object PortableHash {
     * ONE definition for every oracle builder (minhash signatures,
     * simhash fingerprints, sign-LSH planes), so a prefix-width change
     * cannot silently desynchronize one oracle family from the engine.
+    *
+    * Minimum oracle-side DuckDB: **0.10** — the `'0x…'` VARCHAR→BIGINT
+    * hex cast this rendering relies on was added there. On an older
+    * DuckDB every hash60-keyed oracle fails at once with a cast error;
+    * if that ever appears across the whole LSH/sketch family
+    * simultaneously, check the DuckDB version before suspecting the
+    * engine. (Also noted in BASELINE.md.)
     */
   def duckDbHash60Sql(x: String): String =
     s"CAST(('0x' || substr(md5($x), 1, 15)) AS BIGINT)"

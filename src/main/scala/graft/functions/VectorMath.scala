@@ -13,7 +13,7 @@ package graft.functions
   * Fixed-width numeric kernels are the one case where a tight JVM loop
   * beats the codegen'd expression tree (the same trade MLlib's BLAS
   * wrappers make); they are invoked from the native expressions
-  * ([[CosineSimilarity]], [[LshBucket]], [[Simhash64]]) and from the
+  * ([[CosineSimilarity]], [[LshBucket]], [[Simhash60]]) and from the
   * broadcast-block pair loops — never as ScalaUDFs.
   */
 object VectorMath {
@@ -83,7 +83,7 @@ object VectorMath {
     * value of the first 15 md5 hex digits of the token's UTF-8 bytes,
     * reproducible in DuckDB as
     * `CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)`. This is what
-    * makes [[simhash64]] — and through it the whole simhash near-dup /
+    * makes [[simhash60]] — and through it the whole simhash near-dup /
     * graph family — oracle-checkable. First 8 digest bytes big-endian,
     * shifted right 4 = first 15 hex digits.
     */
@@ -177,7 +177,7 @@ object VectorMath {
     * carries 12 live bits), and the Hamming≤3 pigeonhole guarantee
     * holds for any bit width.
     */
-  def simhash64(text: String): Long = {
+  def simhash60(text: String): Long = {
     val counts = new Array[Int](60)
     var start = 0
     val n = text.length

@@ -66,6 +66,31 @@ object LlmOps {
       else a0
     })
 
+  private val recallAnchorCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  Tables.registerEvictor(uuid =>
+    Tables.evictSessionEntries(recallAnchorCache, uuid)(df => Seq(df)))
+
+  /** The `vec_id % 50 = 0` bucketed probe-anchor batch of
+    * [[llmAnnRecallEval]] — same budget-gated-broadcast pattern as
+    * [[probeAnchors]], cached per (session, corpus) so its eager gating
+    * count (one corpus-scan Spark job) runs once, not once per
+    * invocation per bench rep.
+    */
+  private def recallAnchors(s: SparkSession, d: String, nBits: Int): DataFrame =
+    recallAnchorCache.computeIfAbsent((Tables.sessionKey(s), d), _ => {
+      org.apache.spark.sql.graft.GraftFunctions.register(s)
+      val a0 = Tables.read(s, d, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .withColumn("bucket", expr(s"graft_lsh_bucket(embedding, $nBits)"))
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
+          col("bucket").as("a_bucket"))
+      val budget = 100000L
+      if (a0.limit((budget + 1).toInt).count() <= budget) broadcast(a0)
+      else a0
+    })
+
   /** The `doc_id % 5 = 1` sharded exact-Jaccard τ=0.9 edge list shared by
     * `llm_dedup_keep_best` and the four oracle-checked graph ops —
     * materialized ONCE per (session, corpus) like [[corpusToksAndSigs]]:
@@ -528,7 +553,7 @@ object LlmOps {
   }
 
   /** SimHash near-dup: 60-bit per-doc fingerprint (sign of per-bit sums
-    * of md5-prefix token hashes — [[graft.functions.VectorMath.simhash64]]),
+    * of md5-prefix token hashes — [[graft.functions.VectorMath.simhash60]]),
     * then ALL pairs with Hamming distance ≤ 3 — found completely via
     * 4×16-bit chunk banding (pigeonhole: ≤3 differing bits cannot hit
     * all 4 chunks), so the quadratic scan is replaced by an equi-join on
@@ -984,8 +1009,8 @@ object LlmOps {
     * higher-order-function pipeline (per-token 64-element bit arrays,
     * element-wise array sums) evaluates a lambda tree per element and is
     * ~50× slower. The kernel runs as the native codegen'd
-    * [[graft.functions.Simhash64]] expression (bit-identical to
-    * `VectorMath.simhash64`; no ScalaUDF in the plan).
+    * [[graft.functions.Simhash60]] expression (bit-identical to
+    * `VectorMath.simhash60`; no ScalaUDF in the plan).
     */
   def simhashes(s: SparkSession, d: String): DataFrame =
     simhashOf(Tables.read(s, d, "documents"))
@@ -993,7 +1018,7 @@ object LlmOps {
   /** Simhash over any (doc_id, text) DataFrame (unit-test seam). */
   def simhashOf(docs: DataFrame): DataFrame = {
     org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
+    docs.select(col("doc_id"), expr("graft_simhash60(text)").as("simhash"))
   }
 
   // --------------------------------------------------- similarity search
@@ -1696,18 +1721,12 @@ object LlmOps {
       val e = Tables.read(s, d, "embeddings")
         .withColumn("bucket", expr(s"graft_lsh_bucket(embedding, $nBits)"))
         .select(col("vec_id"), col("embedding"), col("bucket"))
-        .truncated // referenced by the anchor batch AND the corpus side
+        .truncated
       // the % 50 anchor set is a FRACTION of the corpus, not a bound, so
-      // the broadcast is budget-gated exactly like [[probeAnchors]] — a
-      // forced hint would OOM once the batch outgrows executor memory
-      val anchors0 = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("anchor_id"), col("embedding").as("a_emb"),
-          col("bucket").as("a_bucket"))
-      val budget = 100000L
-      val anchors =
-        if (anchors0.limit((budget + 1).toInt).count() <= budget)
-          broadcast(anchors0)
-        else anchors0
+      // the broadcast is budget-gated exactly like [[probeAnchors]] —
+      // and, like it, cached per (session, corpus) so the eager gating
+      // count runs ONCE, not once per invocation
+      val anchors = recallAnchors(s, d, nBits)
       val isCand = col("n_bucket") === col("a_bucket") ||
         expr("bit_count(n_bucket ^ a_bucket) = 1")
       e.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
@@ -1721,8 +1740,14 @@ object LlmOps {
             .orderBy(col("score").desc, col("n_id").asc)))
         .groupBy(col("anchor_id"))
         .agg(sum(when(isCand, 1L).otherwise(0L)).as("n_candidates"),
-          sum(when(col("rn") <= 10 && isCand, 1L).otherwise(0L)).as("n_hits"))
-        .withColumn("recall", col("n_hits").cast(DoubleType) / 10.0)
+          sum(when(col("rn") <= 10 && isCand, 1L).otherwise(0L)).as("n_hits"),
+          count(lit(1)).as("n_others"))
+        // denominator is least(10, #non-anchor vectors): a batch with
+        // <10 others can still reach recall 1.0 instead of being
+        // structurally understated
+        .withColumn("recall", col("n_hits").cast(DoubleType) /
+          least(lit(10L), col("n_others")).cast(DoubleType))
+        .select("anchor_id", "n_candidates", "n_hits", "recall")
         .orderBy(asc_nulls_first("anchor_id"))
     },
     Some(s"""WITH ${lshBucketSql(6)},
@@ -1748,7 +1773,8 @@ object LlmOps {
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
                CAST(sum(CASE WHEN rn <= 10 AND (n_bucket = a_bucket
                              OR bit_count(xor(n_bucket, a_bucket)) = 1)
-                        THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall
+                        THEN 1 ELSE 0 END) AS DOUBLE)
+                 / least(10, count(*)) AS recall
         FROM r GROUP BY anchor_id ORDER BY anchor_id NULLS FIRST"""))
 
   /** IVF (inverted-file) ANN top-k — the second scale path for similarity

@@ -27,17 +27,44 @@ object JdbcSnapshot {
     * deterministic fan-out order (the reference's `ORDER BY` is implied
     * by psql's default but the fan-out must not depend on catalog
     * iteration order).
+    *
+    * `schemaPattern` defaults to the connection's CURRENT schema (not
+    * `"%"`): on a shared catalog a wildcard would fan out every schema's
+    * tables and two same-named tables in different schemas would collide
+    * in the unqualified name list. Cross-schema callers use
+    * [[discoverSchemaTables]], which keeps the qualifier.
     */
-  def discoverTables(url: String, schemaPattern: String = "%"): Seq[String] = {
+  def discoverTables(url: String, schemaPattern: String = null): Seq[String] = {
     val conn = DriverManager.getConnection(url)
     try {
-      val rs = conn.getMetaData.getTables(null, schemaPattern, "%",
+      val pattern = Option(schemaPattern)
+        .orElse(Option(conn.getSchema))
+        .getOrElse("%")
+      val rs = conn.getMetaData.getTables(null, pattern, "%",
         Array("TABLE"))
       val names = Iterator.continually(rs)
         .takeWhile(_.next())
         .map(_.getString("TABLE_NAME"))
         .toVector
       names.sorted
+    } finally conn.close()
+  }
+
+  /** Catalog walk across ALL schemas matching `schemaPattern`, returning
+    * (schema, table) pairs so same-named tables in different schemas
+    * stay distinct through the fan-out. Sorted for deterministic order.
+    */
+  def discoverSchemaTables(url: String,
+      schemaPattern: String = "%"): Seq[(String, String)] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, schemaPattern, "%",
+        Array("TABLE"))
+      Iterator.continually(rs)
+        .takeWhile(_.next())
+        .map(r => (r.getString("TABLE_SCHEM"), r.getString("TABLE_NAME")))
+        .toVector
+        .sorted
     } finally conn.close()
   }
 

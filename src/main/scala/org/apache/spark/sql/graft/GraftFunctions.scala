@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{BigramCounts, CosineSimilarity, LshBucket, Simhash64}
+import graft.functions.{BigramCounts, CosineSimilarity, LshBucket, Simhash60}
 
 /** Registration shim living in the `org.apache.spark.sql` namespace so it
   * can reach `sessionState.functionRegistry` (which is `private[sql]`) —
@@ -22,7 +22,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_lsh_bucket", exprs => LshBucket(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
-      "graft_simhash64", exprs => Simhash64(exprs(0)), "built-in")
+      "graft_simhash60", exprs => Simhash60(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_bigram_counts", exprs => BigramCounts(exprs(0)), "built-in")
     // Spark's own bloom-filter aggregate + probe are implemented but NOT

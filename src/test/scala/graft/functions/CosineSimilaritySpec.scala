@@ -64,22 +64,22 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(!p.contains("ScalaUDF") && p.contains("graft_lsh_bucket"), p)
   }
 
-  test("graft_simhash64 equals VectorMath.simhash64 bit-for-bit, UDF-free plan") {
+  test("graft_simhash60 equals VectorMath.simhash60 bit-for-bit, UDF-free plan") {
     import spark.implicits._
     GraftFunctions.register(spark)
     val texts = Seq("the quick brown fox", "a", "", "tok1 tok1 tok2")
     val got = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
-      .selectExpr("i", "graft_simhash64(t) AS h")
+      .selectExpr("i", "graft_simhash60(t) AS h")
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     texts.zipWithIndex.foreach { case (t, i) =>
-      assert(got(i) == VectorMath.simhash64(t), s"text '$t'")
+      assert(got(i) == VectorMath.simhash60(t), s"text '$t'")
     }
     val p = graft.Tables.read(spark, sf, "documents")
-      .selectExpr("graft_simhash64(text) AS h")
+      .selectExpr("graft_simhash60(text) AS h")
       .queryExecution.executedPlan.toString()
-    assert(!p.contains("ScalaUDF") && p.contains("graft_simhash64"), p)
+    assert(!p.contains("ScalaUDF") && p.contains("graft_simhash60"), p)
     // null in → null out
-    val nulls = Seq(Option.empty[String]).toDF("t").selectExpr("graft_simhash64(t)")
+    val nulls = Seq(Option.empty[String]).toDF("t").selectExpr("graft_simhash60(t)")
     assert(nulls.head().isNullAt(0))
   }
 

@@ -45,15 +45,15 @@ object VectorMathProps extends Properties("VectorMath") {
         java.lang.Double.doubleToLongBits(VectorMath.cosineD(b, a))
     }
 
-  property("simhash64 is token-order invariant (multiset semantics)") =
+  property("simhash60 is token-order invariant (multiset semantics)") =
     forAll(toks) { ts =>
-      VectorMath.simhash64(ts.mkString(" ")) ==
-        VectorMath.simhash64(ts.reverse.mkString(" "))
+      VectorMath.simhash60(ts.mkString(" ")) ==
+        VectorMath.simhash60(ts.reverse.mkString(" "))
     }
 
-  property("simhash64 ignores repeated separators") =
+  property("simhash60 ignores repeated separators") =
     forAll(toks) { ts =>
-      VectorMath.simhash64(ts.mkString(" ")) ==
-        VectorMath.simhash64(ts.mkString("  ") + " ")
+      VectorMath.simhash60(ts.mkString(" ")) ==
+        VectorMath.simhash60(ts.mkString("  ") + " ")
     }
 }

@@ -173,6 +173,16 @@ class JdbcPipelineSpec extends SparkSpec {
     val discovered = JdbcSnapshot.discoverTables(url, "APP")
     assert(discovered == Seq("USERS", "USERS2", "USERS2_DLQ", "USERS3"),
       s"catalog walk drifted from the created inventory: $discovered")
+    // no-pattern default scopes to the CONNECTION's current schema (APP
+    // for Derby embedded) — a "%" default would fan out every schema on
+    // a shared catalog and collide same-named tables across schemas
+    assert(JdbcSnapshot.discoverTables(url) == discovered,
+      "default discovery must equal the current-schema walk")
+    // the cross-schema walk keeps the qualifier, so same-named tables in
+    // different schemas stay distinct through the fan-out
+    val qualified = JdbcSnapshot.discoverSchemaTables(url, "APP")
+    assert(qualified == discovered.map(("APP", _)),
+      s"schema-qualified walk drifted: $qualified")
     // discovery feeds the same per-table DDL fan-out the session-catalog
     // path runs (op_schema_ddl_fanout): one rendered DDL per discovery
     val ddls = discovered.map(t =>
