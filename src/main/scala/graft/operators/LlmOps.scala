@@ -3472,60 +3472,157 @@ object LlmOps {
             FROM documents JOIN embeddings ON doc_id = vec_id
             ORDER BY doc_id NULLS FIRST"""))
 
+  private val pngBlobDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Deterministic grayscale-PNG fixture for [[llmMultimodalFeatures]]:
+    * one REAL 8-bit PNG per doc of the `doc_id % 100 = 7` shard, with
+    * dimensions and every pixel value in closed form of `doc_id` —
+    * `w = 8 + id % 56`, `h = 8 + (id/56) % 56`,
+    * `gray(x,y) = (31x + 17y + 13·id) % 256`. PNG is lossless, so the
+    * decoded raster reproduces the formula bit-exactly, which is what
+    * lets the DECODE op carry a full DuckDB oracle (the oracle never
+    * touches the files — it recomputes the same closed forms from
+    * `documents`). Built once per corpus via a driver write; the
+    * fixture is test harness, the op under test is the
+    * partition-parallel read + decode.
+    */
+  private[operators] def pngBlobsDir(s: SparkSession, d: String): String =
+    pngBlobDirs.computeIfAbsent(d, _ => {
+      val dir = graft.util.TempDirs.create("graft_png_blobs")
+      Tables.read(s, d, "documents")
+        .filter(col("doc_id") % 100 === 7)
+        .select(col("doc_id")).collect()
+        .foreach { r =>
+          val id = r.getLong(0)
+          val (w, h) = PngDecoder.dims(id)
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, PngDecoder.gray(id, x, y))
+              x += 1
+            }
+            y += 1
+          }
+          val ok = javax.imageio.ImageIO.write(img, "png",
+            dir.resolve(s"$id.png").toFile)
+          require(ok, s"no PNG writer available for doc $id")
+        }
+      dir.toString
+    })
+
   /** Multimodal feature extraction over an opaque binary column, via the
-    * typed per-partition batch surface (the real plumbing for image/audio
-    * decode at scale: partition-parallel, one decoder init per partition,
-    * rows never collected to the driver). The payload here is the UTF-8
-    * text bytes standing in for an image blob, and `fakeDecode` is a
-    * STUB for the real decoder (image/audio libraries are not available in
-    * this environment) — deterministic so the op is testable; schema,
-    * partitioning and batch shape are the real design.
+    * typed per-partition batch surface (the real plumbing for image
+    * decode at scale: partition-parallel `binaryFile` scan, one decoder
+    * init per partition, rows never collected to the driver). The decode
+    * is REAL — `javax.imageio` PNG (pure JDK, no external codec dep):
+    * width/height/pixel sums come from the decoded raster, the resize
+    * arithmetic fits the decoded dims into a 32-px box, and the
+    * frame-sampling arithmetic runs on a frame count read out of the
+    * decoded pixel (0,0) (video codecs remain unavailable, so the frame
+    * COUNT is data-embedded rather than container-parsed; the sampling
+    * itself is the real uniform-stride arithmetic). Because the fixture
+    * generator is closed-form in `doc_id` and PNG is lossless, every
+    * output column is statable in SQL — the op is fully hash-checked,
+    * not rows-only (the decode stub left the no-oracle tail in r20).
     */
   val llmMultimodalFeatures: Q = Q(
     "llm_multimodal_features",
     (s, d) => {
       import s.implicits._
-      val payloads = Tables.read(s, d, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val payloads = s.read.format("binaryFile").load(pngBlobsDir(s, d))
+        .select(
+          regexp_extract(col("path"), "([0-9]+)\\.png$", 1)
+            .cast(LongType).as("doc_id"),
+          col("content"))
         .as[(Long, Array[Byte])]
       payloads.mapPartitions { it =>
         // one decoder instance per partition (the expensive-init pattern)
-        val decoder = new FakeImageDecoder
+        val decoder = new PngDecoder
         it.map { case (id, bytes) => decoder.decode(id, bytes) }
       }.toDF()
+        .withColumn("gray_mean",
+          round(col("gray_sum").cast(DoubleType) / col("n_pixels"), 4))
         // int-array → csv string in the final projection only: the driver's
         // pandas rows-check cannot sort raw arrays (ints render identically
         // everywhere, so csv is deterministic)
         .withColumn("frame_samples",
           expr("concat_ws(',', transform(frame_samples, x -> cast(x AS STRING)))"))
+        .select("doc_id", "width", "height", "n_pixels", "gray_sum",
+          "gray_mean", "resized_w", "resized_h", "n_frames", "frame_samples")
         .orderBy(asc_nulls_first("doc_id"))
     },
-    None)
+    Some("""WITH sh AS (SELECT doc_id,
+                               8 + doc_id % 56 AS w,
+                               8 + (doc_id // 56) % 56 AS h
+                        FROM documents WHERE doc_id % 100 = 7),
+            px AS (SELECT doc_id, w, h,
+                          CAST(list_sum(flatten(list_transform(range(0, h),
+                                 y -> list_transform(range(0, w),
+                                   x -> (x*31 + y*17 + doc_id*13) % 256))))
+                            AS BIGINT) AS gray_sum,
+                          1 + ((doc_id*13) % 256) % 8 AS nf
+                   FROM sh)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS width,
+                   CAST(h AS BIGINT) AS height,
+                   CAST(w*h AS BIGINT) AS n_pixels,
+                   gray_sum,
+                   round(CAST(gray_sum AS DOUBLE) / (w*h), 4) AS gray_mean,
+                   CAST(CASE WHEN w <= 32 AND h <= 32 THEN w
+                             WHEN w >= h THEN 32
+                             ELSE greatest(1, (w*32) // h) END AS BIGINT)
+                     AS resized_w,
+                   CAST(CASE WHEN w <= 32 AND h <= 32 THEN h
+                             WHEN w >= h THEN greatest(1, (h*32) // w)
+                             ELSE 32 END AS BIGINT) AS resized_h,
+                   CAST(nf AS BIGINT) AS n_frames,
+                   CASE WHEN nf <= 3
+                        THEN array_to_string(list_transform(range(0, nf),
+                               i -> CAST(i AS VARCHAR)), ',')
+                        ELSE array_to_string(list_transform(range(0, 3),
+                               i -> CAST((i*nf) // 3 AS VARCHAR)), ',')
+                   END AS frame_samples
+            FROM px ORDER BY doc_id NULLS FIRST"""))
 
-  /** STUB decoder: stands in for a real image/audio codec (decode /
-    * feature-extract / resize / frame-sample). Deterministic features
-    * derived from the bytes so tests can assert behavior; the real
-    * implementation would swap the body, keeping the per-partition-init +
-    * typed-batch plumbing identical.
+  /** Pure-JDK PNG decoder for the typed per-partition surface: decodes
+    * the raster with `javax.imageio`, extracts dimension / pixel-sum /
+    * resize / frame-sample features. One instance per partition (decoder
+    * init is the expensive step a real codec amortizes the same way);
+    * the in-memory ImageIO cache avoids per-image temp files.
     */
-  final class FakeImageDecoder extends Serializable {
+  final class PngDecoder extends Serializable {
+    javax.imageio.ImageIO.setUseCache(false)
+
     def decode(id: Long, bytes: Array[Byte]): MultimodalFeatures = {
-      var checksum = 0L
-      var i = 0
-      while (i < bytes.length) { checksum = (checksum * 131 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
-      val w = 16 + (checksum % 64).toInt
-      val h = 16 + ((checksum / 64) % 64).toInt
-      val frames = 1 + (bytes.length % 8)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, s"doc $id: payload is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
+      var graySum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { graySum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      val frames = 1 + raster.getSample(0, 0, 0) % 8
       val (rw, rh) = resize(w, h, 32)
       MultimodalFeatures(
         doc_id = id,
-        byte_len = bytes.length.toLong,
-        checksum = checksum,
-        width = w,
-        height = h,
-        resized_w = rw,
-        resized_h = rh,
-        n_frames = frames,
+        width = w.toLong,
+        height = h.toLong,
+        n_pixels = w.toLong * h,
+        gray_sum = graySum,
+        resized_w = rw.toLong,
+        resized_h = rh.toLong,
+        n_frames = frames.toLong,
         frame_samples = sampleFrames(frames, 3))
     }
 
@@ -3541,6 +3638,16 @@ object LlmOps {
     def sampleFrames(n: Int, k: Int): Seq[Int] =
       if (n <= k) 0 until n
       else (0 until k).map(i => i * n / k)
+  }
+
+  /** Closed forms shared by the PNG fixture writer and its tests — the
+    * SAME formulas the DuckDB oracle states in SQL.
+    */
+  object PngDecoder {
+    def dims(id: Long): (Int, Int) =
+      (8 + (id % 56).toInt, 8 + ((id / 56) % 56).toInt)
+    def gray(id: Long, x: Int, y: Int): Int =
+      ((x * 31L + y * 17L + id * 13L) % 256L).toInt
   }
 
   // ---------------------------------------------------------- time series
@@ -3751,8 +3858,8 @@ object LlmOps {
     llmSourceKlDrift, llmWinnowFingerprint, llmWinnowDedupPairs)
 }
 
-/** Output row of the multimodal feature extraction (stubbed decode). */
+/** Output row of the multimodal feature extraction (real PNG decode). */
 final case class MultimodalFeatures(
-    doc_id: Long, byte_len: Long, checksum: Long,
-    width: Int, height: Int, resized_w: Int, resized_h: Int,
-    n_frames: Int, frame_samples: Seq[Int])
+    doc_id: Long, width: Long, height: Long, n_pixels: Long,
+    gray_sum: Long, resized_w: Long, resized_h: Long,
+    n_frames: Long, frame_samples: Seq[Int])

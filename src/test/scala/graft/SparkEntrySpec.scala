@@ -16,10 +16,10 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("registry matches the SURVEY §2 inventory size (289 keys, 278 oracles)") {
+  test("registry matches the SURVEY §2 inventory size (289 keys, 279 oracles)") {
     assert(SparkEntry.queries.size == 289,
       s"got ${SparkEntry.queries.size} — update SURVEY §2 and this pin together")
-    assert(SparkEntry.oracleSql.size == 278,
+    assert(SparkEntry.oracleSql.size == 279,
       s"got ${SparkEntry.oracleSql.size} oracle-registered keys")
   }
 

@@ -429,19 +429,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(sem.length * 10 >= exact.size, s"${sem.length} of ${exact.size} kept")
   }
 
-  test("fake multimodal decoder is deterministic and total") {
-    val d = new LlmOps.FakeImageDecoder
-    val f1 = d.decode(7L, "ab".getBytes("UTF-8"))
-    val f2 = d.decode(7L, "ab".getBytes("UTF-8"))
-    assert(f1 == f2)
-    assert(f1.byte_len == 2 && f1.checksum == 97L * 131 + 98)
-    assert(f1.width >= 16 && f1.height >= 16 && f1.n_frames >= 1)
-    val empty = d.decode(8L, Array.emptyByteArray)
-    assert(empty.byte_len == 0 && empty.checksum == 0)
+  test("PNG decoder round-trips the fixture's closed forms bit-exactly") {
+    // golden: write one fixture PNG the way pngBlobsDir does, decode it
+    // through the REAL javax.imageio path, and check every feature
+    // against the closed forms the DuckDB oracle states in SQL
+    val id = 107L
+    val (w, h) = LlmOps.PngDecoder.dims(id)
+    assert((w, h) == (8 + 107 % 56, 8 + (107 / 56) % 56))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, LlmOps.PngDecoder.gray(id, x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val d = new LlmOps.PngDecoder
+    val f = d.decode(id, bos.toByteArray)
+    val expectedSum = (for (y <- 0 until h; x <- 0 until w)
+      yield LlmOps.PngDecoder.gray(id, x, y).toLong).sum
+    assert(f.width == w && f.height == h && f.n_pixels == w.toLong * h)
+    assert(f.gray_sum == expectedSum, s"${f.gray_sum} != $expectedSum")
+    assert(f.n_frames == 1 + LlmOps.PngDecoder.gray(id, 0, 0) % 8)
+    assert((f.resized_w, f.resized_h) ==
+      { val (rw, rh) = d.resize(w, h, 32); (rw.toLong, rh.toLong) })
+    // decode is total on valid PNGs and loud on junk
+    val ex = intercept[IllegalArgumentException] {
+      d.decode(1L, "not a png".getBytes("UTF-8"))
+    }
+    assert(ex.getMessage.contains("not a decodable image"))
   }
 
   test("resize preserves aspect and bounds; frame sampling is uniform") {
-    val d = new LlmOps.FakeImageDecoder
+    val d = new LlmOps.PngDecoder
     assert(d.resize(64, 32, 32) == (32, 16))
     assert(d.resize(32, 64, 32) == (16, 32))
     assert(d.resize(10, 10, 32) == (10, 10))
