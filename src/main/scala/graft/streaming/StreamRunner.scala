@@ -164,6 +164,33 @@ object StreamRunner {
       case None => streamTable(spark, sfDir, name)
     }
 
+  /** The broker-less continuous CDC leg (reference `setup.sh:92`
+    * snapshot-then-WAL-stream, without a broker): micro-batch
+    * incremental reads from any JDBC source by a strictly-increasing
+    * `(tsCol, idCol)` watermark cursor — see
+    * [[graft.sources.JdbcCursorStreamProvider]] for the full contract
+    * (checkpointed offsets, admission control via `maxRowsPerPoll`,
+    * AvailableNow drain cap, the overlap-rewind seam for
+    * commit-order stragglers). Compose with `Upsert.latestByKey` /
+    * `JdbcUpsertSink` exactly like the file and Kafka legs — all three
+    * emit plain row batches, so every downstream transform (and every
+    * batch-equivalence spec) applies unchanged.
+    */
+  def streamJdbcCursor(spark: SparkSession, url: String, table: String,
+      tsCol: String = "updated_us", idCol: String = "id",
+      start: (Long, Long) = (Long.MinValue, Long.MinValue),
+      maxRowsPerPoll: Option[Long] = None): DataFrame = {
+    val child = tunedSession(spark)
+    val reader = child.readStream
+      .format(classOf[graft.sources.JdbcCursorStreamProvider].getName)
+      .option("url", url).option("dbtable", table)
+      .option("tsCol", tsCol).option("idCol", idCol)
+      .option("startTs", start._1.toString)
+      .option("startId", start._2.toString)
+    maxRowsPerPoll.foreach(n => reader.option("maxRowsPerPoll", n.toString))
+    reader.load()
+  }
+
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return the (batch) result. `outputMode` is "append" for row streams,
     * "complete" for streaming aggregations.
