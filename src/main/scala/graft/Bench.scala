@@ -2,6 +2,72 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** One rep's executor-side footprint, snapshotted from a
+    * [[RepProbe]] after the listener bus drains: the three quantities
+    * that separate "the query got slower" from "the host got slower" —
+    * GC time (memory pressure), shuffle volume (did the PLAN change?),
+    * and the longest single task (straggler vs uniform slowdown).
+    */
+  private[graft] final case class RepMetrics(
+      gcMs: Long, shuffleReadMb: Double, shuffleWriteMb: Double,
+      maxTaskMs: Long) {
+    def json: String = String.format(java.util.Locale.ROOT,
+      """{"gc_ms":%d,"shuffle_read_mb":%.1f,"shuffle_write_mb":%.1f,"max_task_ms":%d}""",
+      Long.box(gcMs), Double.box(shuffleReadMb), Double.box(shuffleWriteMb),
+      Long.box(maxTaskMs))
+  }
+
+  /** Task-end accumulator for one rep (reset between reps). Registered
+    * once on the shared queue; counters are atomic because task-end
+    * events arrive on the bus thread while the timing loop runs on main.
+    */
+  private[graft] final class RepProbe
+      extends org.apache.spark.scheduler.SparkListener {
+    private val gc = new java.util.concurrent.atomic.AtomicLong
+    private val sr = new java.util.concurrent.atomic.AtomicLong
+    private val sw = new java.util.concurrent.atomic.AtomicLong
+    private val mt = new java.util.concurrent.atomic.AtomicLong
+
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        gc.addAndGet(m.jvmGCTime)
+        sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+      if (e.taskInfo != null)
+        mt.accumulateAndGet(e.taskInfo.duration, math.max(_, _))
+    }
+
+    def reset(): Unit = { gc.set(0); sr.set(0); sw.set(0); mt.set(0) }
+
+    def snapshot(): RepMetrics = RepMetrics(gc.get,
+      sr.get / 1048576.0, sw.get / 1048576.0, mt.get)
+  }
+
+  /** Cells whose finite reps disagree by >3× — the recurring
+    * driver-window spike shape (`ts_daily_active_users` r17-r19): one
+    * rep stalls, the others floor. These get their per-rep metrics
+    * emitted so the spike is attributable (GC? shuffle? straggler?)
+    * instead of re-litigated as "host noise" each round.
+    */
+  private[graft] def spikeCells(repTimes: Map[String, Seq[Double]]): Set[String] =
+    repTimes.collect {
+      case (n, ts) if {
+        val f = ts.filterNot(_.isInfinite)
+        f.size >= 2 && f.max > 3 * f.min
+      } => n
+    }.toSet
+
+  /** Median of the finite reps (upper-mid on even counts, like the
+    * suspect threshold's registry median).
+    */
+  private[graft] def repMedian(ts: Seq[Double]): Double = {
+    val f = ts.filterNot(_.isInfinite).sorted
+    if (f.isEmpty) Double.PositiveInfinity else f(f.size / 2)
+  }
+
   /** Cells worth one more rep after the sweep: above 5× the registry
     * median AND above an absolute 2 s floor (a sub-2s cell can never
     * move a headline enough to matter; re-running it only adds noise).
@@ -117,17 +183,29 @@ object Bench {
       "src_schema_merge_roundtrip",
       "sink_compact_small_files", "sink_mv_incremental_refresh",
       "sink_compact_merge_dedup", "sink_mv_sketch_refresh")
+    val probe = new RepProbe
+    spark.sparkContext.addSparkListener(probe)
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : (Double, RepMetrics) = {
+      probe.reset()
       val t0 = System.nanoTime()
       // NonFatal: a genuine OOM/linkage error must crash the bench with
       // its own stack trace, not leave a corrupted JVM mis-timing the
       // rest of the sweep behind a silent -1 cell
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case scala.util.control.NonFatal(_) => false }
-      if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity
+      // the listener bus is async: drain before snapshotting so the
+      // rep's own task-end events are all attributed to this rep
+      org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+      (t, probe.snapshot())
     }
-    val firstPass = selected.map { case (name, fn) =>
+    // per-cell rep vectors (time + executor metrics): min stays the
+    // headline estimator; the vectors feed the r20 additions — the
+    // median-of-3 noise policy and the spike diagnostics
+    val repData =
+      scala.collection.mutable.LinkedHashMap[String, Vector[(Double, RepMetrics)]]()
+    selected.foreach { case (name, fn) =>
       if (writeHeavy(name)) {
         // NonFatal only: swallowing an OOM/linkage error here would leave
         // a corrupted JVM to crash the timed reps with no sign of the cause
@@ -139,8 +217,18 @@ object Bench {
       // fast-crashing rep must never win the min and masquerade as the
       // best timing. A query whose reps ALL fail serializes as -1 plus an
       // entry in "errors" (Infinity is not valid JSON).
-      name -> (1 to reps).map(_ => timeOnce(fn)).min
+      var v = (1 to reps).map(_ => timeOnce(fn)).toVector
+      // noise policy (r20): cells above 1 s get a THIRD rep and report a
+      // median alongside the min, so cross-round comparisons of the
+      // expensive cells can gate on the noise-robust median instead of
+      // relitigating each round's ±30% host window
+      val finite = v.map(_._1).filterNot(_.isInfinite)
+      if (finite.nonEmpty && finite.min > 1.0 && v.size < 3)
+        v = v :+ timeOnce(fn)
+      repData(name) = v
     }
+    val firstPass: Map[String, Double] =
+      repData.map { case (n, v) => n -> v.map(_._1).min }.toMap
     // Stall-proofing: a contended host inflates even min-of-N uniformly
     // (BENCH_r14: 44x on sub-second queries — a 198 s artifact the judge
     // re-ran at 64 s on identical code). A cell above 5x the registry
@@ -152,8 +240,11 @@ object Bench {
     // suspect/stalled decisions are pure functions, spec'd in BenchSpec.
     val suspect = suspectCells(firstPass)
     val results = firstPass.map { case (name, t) =>
-      if (suspect(name)) name -> math.min(t, timeOnce(selected(name)))
-      else name -> t
+      if (suspect(name)) {
+        val r = timeOnce(selected(name))
+        repData(name) = repData(name) :+ r // reps feed spike diagnostics
+        name -> math.min(t, r._1)
+      } else name -> t
     }
     val stalled = stalledCells(firstPass, results)
     // Control cell (ADVICE r15: make the adaptive protocol auditable):
@@ -167,7 +258,7 @@ object Bench {
       .sortBy { case (n, t) => (t, n) }
     val controlJson = if (finiteSorted.isEmpty) "null" else {
       val (cName, cFirst) = finiteSorted(finiteSorted.size / 2)
-      val cRe = timeOnce(selected(cName))
+      val cRe = timeOnce(selected(cName))._1
       val cReJson = if (cRe.isInfinite) "-1" else cRe.toString
       s"""{"name":"$cName","first":$cFirst,"recheck":$cReJson}"""
     }
@@ -186,8 +277,30 @@ object Bench {
       .getOrElse("null")
     val protocolJson =
       s""""base_reps":$reps,"retimed_cells":$retimedJson,"stalled_cells":$stalledJson,"control":$controlJson,"anchor_median_ratio":$anchorJson"""
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // r20 noise policy: median-of-N alongside the min for every cell
+    // that earned a third rep (>1 s) — cross-round comparisons of the
+    // expensive cells gate on this, not the min
+    val mediansJson = repData.toSeq
+      .collect { case (n, v) if v.size >= 3 => n -> repMedian(v.map(_._1)) }
+      .sortBy(_._1)
+      .map { case (n, m) =>
+        "\"" + n + "\":" + (if (m.isInfinite) "-1" else fmt3(m)) }
+      .mkString("{", ",", "}")
+    // r20 spike diagnostics: any cell whose reps disagree >3× emits its
+    // per-rep times AND executor metrics (GC / shuffle / max task), so a
+    // driver-window spike is attributable instead of shrugged off
+    val spikes = spikeCells(repData.view.mapValues(_.map(_._1)).toMap)
+    val spikesJson = spikes.toSeq.sorted.map { n =>
+      val v = repData(n)
+      val ts = v.map { case (t, _) => if (t.isInfinite) "-1" else fmt3(t) }
+        .mkString("[", ",", "]")
+      val ms = v.map(_._2.json).mkString("[", ",", "]")
+      s""""$n":{"rep_sec":$ts,"rep_metrics":$ms}"""
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","raw_total":$rawTotal,$protocolJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","raw_total":$rawTotal,$protocolJson,"medians3":$mediansJson,"spikes":$spikesJson,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // The full per-query line exceeds a tail-capture window at 150+
     // queries, so a capture that keeps only the LAST few KB beheads it
     // into unparseable JSON (every BENCH_r{5..10} landed "parsed": null).
@@ -217,8 +330,12 @@ object Bench {
     // full list lives in the full line / the file.
     val errCap = 12
     val errsCapped = failed.take(errCap).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // spike names (capped like errors) so a tail capture still names the
+    // cells whose full diagnostics live in the file's "spikes" object
+    val spikesCapped = spikes.toSeq.sorted.take(errCap)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","raw_total":$rawTotal,$protocolJson,"n_queries":${results.size},"queries":$slowest,"queries_truncated_to":$slowestN,"full_json":"${outPath}","n_errors":${failed.size},"errors":$errsCapped,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","raw_total":$rawTotal,$protocolJson,"n_queries":${results.size},"queries":$slowest,"queries_truncated_to":$slowestN,"full_json":"${outPath}","n_errors":${failed.size},"errors":$errsCapped,"n_spikes":${spikes.size},"spiked_cells":$spikesCapped,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

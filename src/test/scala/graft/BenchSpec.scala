@@ -86,4 +86,25 @@ class BenchSpec extends AnyFunSuite {
     assert(a.size > 200, s"expected the full registry, got ${a.size}")
     assert(a.values.forall(v => v > 0 && v < 60), "timings must be sane seconds")
   }
+
+  test("spike = reps disagreeing >3x; failed reps and singletons never spike") {
+    val reps = Map(
+      "steady" -> Seq(0.30, 0.35),          // within noise
+      "spiky" -> Seq(1.75, 0.25),           // the ts_daily_active_users shape
+      "edge" -> Seq(1.2, 0.4),              // exactly 3x: NOT a spike (>3x)
+      "one_failed" -> Seq(Double.PositiveInfinity, 0.2), // error, not spike
+      "single" -> Seq(0.4))
+    assert(Bench.spikeCells(reps) == Set("spiky"))
+  }
+
+  test("rep median is the noise-robust mid, ignoring failed reps") {
+    assert(Bench.repMedian(Seq(0.25, 1.75, 0.28)) == 0.28)
+    assert(Bench.repMedian(Seq(0.2, Double.PositiveInfinity, 0.3)) == 0.3)
+    assert(Bench.repMedian(Seq(Double.PositiveInfinity)).isInfinite)
+  }
+
+  test("rep metrics serialize as locale-proof JSON") {
+    val j = Bench.RepMetrics(12L, 1.5, 0.0, 340L).json
+    assert(j == """{"gc_ms":12,"shuffle_read_mb":1.5,"shuffle_write_mb":0.0,"max_task_ms":340}""")
+  }
 }
