@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BigramCounts, CosineSimilarity, LshBucket, Simhash60}
+import graft.functions.{BigramCounts, CosineSimilarity, FirstBandMatch, LshBucket, SigMatchCount, Simhash60}
 
 /** SparkSessionExtensions entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` to get the
@@ -31,5 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_bigram_counts"),
       new ExpressionInfo(classOf[BigramCounts].getName, "graft_bigram_counts"),
       exprs => BigramCounts(exprs(0))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sig_match"),
+      new ExpressionInfo(classOf[SigMatchCount].getName, "graft_sig_match"),
+      exprs => SigMatchCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_first_band_match"),
+      new ExpressionInfo(classOf[FirstBandMatch].getName, "graft_first_band_match"),
+      exprs => FirstBandMatch(exprs(0), exprs(1), exprs(2))))
   }
 }

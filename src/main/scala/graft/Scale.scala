@@ -92,6 +92,35 @@ object Scale {
     "agg_gini_activity", "ts_user_lifetime", "sink_equality_delete_read",
     "agg_bitmap_audience", "llm_ann_recall_eval", "ts_acf",
     "llm_split_leakage_audit", "llm_label_centroid_drift")
+  /** The ~2-dozen HEADLINE ops of the deep (k = 30/100) rehearsal — the
+    * ops whose 100 TB design claims carry the engine: banded near-dup
+    * (shuffle ∝ candidates), cluster resolution (driver state ∝ edges,
+    * distributed past the budget), the composed corpus build, MV/SCD2
+    * maintenance and compaction (write ∝ delta), TwoPassScan ranking
+    * (no single-partition window), the stream family (state ∝ keys/
+    * buckets), LSH ANN (probe-bounded), plus three linear controls.
+    * k > 10 runs exactly this subset: the full registry's decade-scaling
+    * is already measured at k ≤ 10, and the deep decade exists to test
+    * THESE claims, not to re-time 144 sub-second cells.
+    */
+  private val deepOps = Seq(
+    // NOT llm_jaccard_near_dup: the exact all-pairs ground truth is
+    // quadratic by definition (and past vocab 64 — any sharded k ≥ 3 —
+    // it leaves the bitmask fast path for the pair-dense inverted-index
+    // regime: 48 s at k=3 sharded); its banded siblings ARE its scale
+    // path, and they're measured below
+    "llm_dedup_minhash_banded", "llm_dedup_simhash", "llm_dedup_cluster_rep",
+    "llm_corpus_build_e2e",
+    "llm_dedup_exact_digest", "llm_cross_source_dedup",
+    "sink_mv_incremental_refresh", "sink_mv_sketch_refresh",
+    "stream_mv_maintenance", "sink_scd2_apply", "stream_scd2_apply",
+    "sink_compact_small_files", "sink_compact_merge_dedup",
+    "llm_corpus_shuffle", "llm_epoch_repeat",
+    "stream_snapshot_handoff", "stream_distinct_users_kmv",
+    "stream_topk_per_window", "stream_stream_join",
+    "llm_ann_lsh_topk", "op_zorder_layout",
+    "agg_hash_groupby", "join_inner_hash")
+
   private val pairOps = Seq(
     "llm_dedup_keep_best",
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
@@ -130,11 +159,30 @@ object Scale {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val scales = if (args.length > 1) args(1).split(",").map(_.toInt).toSeq
                  else Seq(1, 3, 10)
+    // "dense" (default) keeps the original replication: filler tokens
+    // push cross-replica EXACT Jaccard under τ but leave minhash-band
+    // collisions — candidate sets grow ~k², the corpus-density regime.
+    // "sharded" prefixes every token per replica (a per-replica token
+    // BIJECTION: within-replica Jaccard/shingle/minhash structure is
+    // IDENTICAL, cross-replica token sets are disjoint) — the
+    // new-data-shares-structure-but-not-content model under which the
+    // pair family's true cost is linear in k. The deep k=30/100
+    // rehearsal runs sharded; k ≤ 10 keeps dense for continuity with
+    // the r7–r19 tables.
+    val mode = if (args.length > 2) args(2)
+               else sys.env.getOrElse("SPARK_GRAFT_SCALE_MODE", "dense")
+    require(mode == "dense" || mode == "sharded", s"unknown mode '$mode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // the production knob under test at deep k: shuffle partitions scale
+    // WITH the data (default = cpus, the bench config); the k=30 minhash
+    // finding — 30× pairs at 6× worse throughput on 32 fixed partitions —
+    // is the measured cost of NOT raising it
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       // UTC like Verify/Bench: the events ts canonicalization is session-
       // time-zone arithmetic (Tables.canonicalEventTime)
       .config("spark.sql.session.timeZone", "UTC")
@@ -147,30 +195,58 @@ object Scale {
     Tables.read(spark, base, "region").count()
     SparkEntry.queries("agg_hash_groupby")(spark, base).count()
 
-    // (scale, op) -> (min seconds, output rows)
+    // (scale, op) -> (min seconds, max seconds, output rows). Min is the
+    // headline (the bench convention); max is kept because several pair
+    // ops build a per-(session, corpus) cached input (signatures, the
+    // sharded exact-Jaccard edge set) on their FIRST rep — min-of-reps
+    // alone would silently report only the warm steady state and hide
+    // the one-time build cost that a fresh cluster would actually pay.
     val results = scala.collection.mutable.LinkedHashMap
-      .empty[(Int, String), (Double, Long)]
+      .empty[(Int, String), (Double, Double, Long)]
     // dev-only subset filter, mirroring Bench's SPARK_GRAFT_BENCH_ONLY
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // opt-in per-rep stage metrics (GC / shuffle bytes / max task), the
+    // same probe Bench attaches to spike cells — used to ATTRIBUTE a
+    // superlinear deep-k cell instead of guessing at its regime
+    val probe = if (sys.env.get("SPARK_GRAFT_SCALE_METRICS").contains("1")) {
+      val p = new Bench.RepProbe
+      spark.sparkContext.addSparkListener(p)
+      Some(p)
+    } else None
     scales.foreach { k =>
-      val dir = buildScaled(spark, base, k)
-      val all = if (k <= 3) linearOps ++ pairOps else linearOps
-      val ops = only.fold(all)(names => all.filter(names))
+      val dir = buildScaled(spark, base, k, mode)
+      val all = if (k > 10) deepOps
+                else if (k <= 3) linearOps ++ pairOps
+                else linearOps
+      // an EXPLICIT subset overrides the k-gating: the gating exists to
+      // keep full runs affordable (pair ops at k ≤ 3, deep ops past 10),
+      // but a caller naming ops has chosen their own budget — without
+      // this, a k=10 deep-ladder run can never time a pair op
+      val ops = only.fold(all)(names =>
+        (linearOps ++ pairOps ++ deepOps).distinct.filter(names))
       ops.foreach { name =>
         val fn = replayFns.getOrElse(name, SparkEntry.queries(name))
         var rows = 0L
         val times = (1 to reps).map { _ =>
+          probe.foreach(_.reset())
           val t0 = System.nanoTime()
           rows = fn(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          probe.foreach { p =>
+            // drain the listener bus so late task-end events land in THIS
+            // rep's snapshot, same as Bench's spike path
+            org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
+            println(f"scale=$k%2d $name metrics rep: ${p.snapshot().json} sec=$sec%.3f")
+          }
+          sec
         }
-        results((k, name)) = (times.min, rows)
-        println(f"scale=$k%2d $name%-34s ${times.min}%8.3f s  $rows%10d rows")
+        results((k, name)) = (times.min, times.max, rows)
+        println(f"scale=$k%2d $name%-34s ${times.min}%8.3f s (max ${times.max}%.3f)  $rows%10d rows")
       }
     }
-    val json = results.map { case ((k, n), (t, r)) =>
-      s"""{"scale":$k,"query":"$n","sec":$t,"rows":$r}"""
+    val json = results.map { case ((k, n), (t, tMax, r)) =>
+      s"""{"scale":$k,"query":"$n","sec":$t,"secMax":$tMax,"rows":$r}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"scale_rehearsal","base":"$base","cpus":$cpus,"results":$json}""")
     spark.stop()
@@ -187,10 +263,17 @@ object Scale {
     row.getLong(0) + 1L
   }
 
-  /** Write the k×-replicated corpus as real parquet; k=1 reuses the base. */
-  def buildScaled(spark: SparkSession, base: String, k: Int): String = {
+  /** Write the k×-replicated corpus as real parquet; k=1 reuses the base.
+    * `mode` selects the documents replication (see main): "dense" filler
+    * tokens (near-dup density preserved ACROSS replicas — candidate sets
+    * grow superlinearly, the corpus-density regime) vs "sharded"
+    * per-replica token bijection (cross-replica shingle spaces disjoint
+    * — the true pair structure grows linearly, like genuinely new data).
+    */
+  def buildScaled(spark: SparkSession, base: String, k: Int,
+      mode: String = "dense"): String = {
     if (k == 1) return base
-    val dir = graft.util.TempDirs.create(s"graft_scale${k}x").toString
+    val dir = graft.util.TempDirs.create(s"graft_scale${k}x$mode").toString
     val dims = Seq("region", "nation", "customer", "supplier", "part")
     dims.foreach { t =>
       Tables.read(spark, base, t).write.parquet(s"$dir/$t.parquet")
@@ -220,6 +303,14 @@ object Scale {
         .withColumn("user_id", col("user_id") + lit(i * uOff)))
     replicate("documents", (d, i) =>
       if (i == 0) d
+      else if (mode == "sharded")
+        // token bijection: every token gets a replica prefix, so
+        // within-replica Jaccard/shingle/minhash structure is IDENTICAL
+        // to the base corpus while cross-replica token sets are disjoint
+        d.withColumn("doc_id", col("doc_id") + lit(i * dOff))
+          .withColumn("text", expr(
+            s"array_join(transform(split(text, ' '), t -> concat('r${i}x', t)), ' ')"))
+          .withColumn("n_chars", length(col("text")))
       else d
         .withColumn("doc_id", col("doc_id") + lit(i * dOff))
         .withColumn("text",

@@ -78,6 +78,47 @@ object VectorMath {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Equal-position count of two long arrays over ArrayData in place —
+    * called from both the interpreted and generated code of
+    * [[SigMatchCount]]. The minhash signature-agreement kernel: one
+    * branch-free loop, no intermediate array, evaluated once per LSH
+    * candidate pair.
+    */
+  def sigMatchCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                    b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    requireNoNulls(a, "graft_sig_match")
+    requireNoNulls(b, "graft_sig_match")
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1L; i += 1 }
+    c
+  }
+
+  /** First band (of `rowsPerBand` consecutive positions) where two
+    * fixed-width signatures fully agree; -1 if none — called from both
+    * the interpreted and generated code of [[FirstBandMatch]].
+    */
+  def firstBandMatch(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                     b: org.apache.spark.sql.catalyst.util.ArrayData,
+                     rowsPerBand: Int): Int = {
+    requireNoNulls(a, "graft_first_band_match")
+    requireNoNulls(b, "graft_first_band_match")
+    require(rowsPerBand > 0, "graft_first_band_match: rowsPerBand must be > 0")
+    val n = math.min(a.numElements(), b.numElements())
+    val bands = n / rowsPerBand
+    var band = 0
+    while (band < bands) {
+      var eq = true
+      var i = band * rowsPerBand
+      val end = i + rowsPerBand
+      while (eq && i < end) { eq = a.getLong(i) == b.getLong(i); i += 1 }
+      if (eq) return band
+      band += 1
+    }
+    -1
+  }
+
   /** 60-bit md5-prefix token hash — the per-token form of
     * [[graft.functions.PortableHash.hash60]]'s contract: the integer
     * value of the first 15 md5 hex digits of the token's UTF-8 bytes,

@@ -474,15 +474,19 @@ object LlmOps {
     */
   def minhashPairs(s: SparkSession, toks: DataFrame,
                    broadcastRowBudget: Long = 500000L,
-                   precomputedSigs: Option[DataFrame] = None): DataFrame = {
+                   precomputedSigs: Option[DataFrame] = None,
+                   tileRowBudget: Long = 100000L,
+                   chunkCap: Int = 256): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(s)
     val numHashes = 16
     val bands = 4
     val rows = numHashes / bands
     val sigs = precomputedSigs.getOrElse(minhashSigs(toks).cache())
     import s.implicits._
     val sigRows = sigs.select(col("doc_id"), col("sig")).as[(Long, Seq[Long])]
+    val nSigs = sigRows.count()
     val pairs =
-      if (sigRows.count() <= broadcastRowBudget) {
+      if (nSigs <= broadcastRowBudget) {
         val block = sigRows.collect().sortBy(_._1).map { case (id, sig) =>
           val sg = sig.toArray
           val bandHashes = Array.tabulate(bands)(b =>
@@ -535,17 +539,75 @@ object LlmOps {
           .select(col("doc_id"), col("sig"),
             col("bb.band").as("band"), col("bb.bslice").as("bslice"))
           .withColumn("bh", xxhash64(col("band"), col("bslice")))
-        val a = banded.select(col("band"), col("bh"), col("bslice").as("bs1"),
-          col("doc_id").as("id1"), col("sig").as("sig1"))
-        val b = banded.select(col("band"), col("bh"), col("bslice").as("bs2"),
-          col("doc_id").as("id2"), col("sig").as("sig2"))
-        a.join(b, Seq("band", "bh"))
-          .filter(col("id1") < col("id2") && col("bs1") === col("bs2"))
+        // Triangular tile-salting of oversized band buckets, size-gated.
+        // A dense corpus puts thousands of docs behind ONE (band,
+        // band-hash) key, and an equi-join computes each key's |bucket|²
+        // candidate cross product in a SINGLE task — AQE's skew split
+        // cannot rescue it because its detection is shuffle-BYTE-based
+        // and this skew is in join OUTPUT rows, not input bytes (measured
+        // in the k=30 scale rehearsal: max-task ≈ wall, 4× throughput
+        // loss). Fix: chunk each bucket into contiguous doc-id ranges of
+        // ≤ chunkCap and join on (band, bh, tileL, tileR) — a bucket of m
+        // chunks becomes m(m+1)/2 independent tiles of bounded work.
+        // Chunk ids are MONOTONE in doc_id (contiguous ranges, not
+        // round-robin), so for any pair id1 < id2, chunk(id1) ≤
+        // chunk(id2) and the pair materializes in exactly one tile — the
+        // id1 < id2 filter then dedups within the diagonal tile exactly
+        // as before; the emitted pair set is bit-identical (oracle
+        // hash-checked both ways).
+        //
+        // The tileRowBudget gate exists because tiling is NOT free at
+        // small scale: the chunk window + 4-column join key pushed the
+        // build side past AQE's runtime broadcast threshold in the k=10
+        // rehearsal, trading a broadcast-converted join (which spreads
+        // the pair explosion across every probe task by construction —
+        // 5.5 s) for a tiled SMJ (24.7 s). Below the gate the corpus is
+        // broadcast-convertible and AQE already distributes the
+        // explosion; past it the join is SMJ no matter what and tiling
+        // is what keeps bucket skew off the critical path (k=30: 63.7 s
+        // untiled → 38.7 s tiled, max task 47.9 s → 23.3 s).
+        val (a, b, joinKeys) = if (nSigs <= tileRowBudget) {
+          (banded.select(col("band"), col("bh"), col("bslice").as("bs1"),
+            col("doc_id").as("id1"), col("sig").as("sig1")),
+           banded.select(col("band"), col("bh"), col("bslice").as("bs2"),
+            col("doc_id").as("id2"), col("sig").as("sig2")),
+           Seq("band", "bh"))
+        } else {
+          val bucketW = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bh"))
+          val chunked = banded
+            .withColumn("m", ceil(count(lit(1)).over(bucketW) /
+              lit(chunkCap.toDouble)).cast("int"))
+            .withColumn("c", ((row_number().over(
+              bucketW.orderBy(col("doc_id"))) - 1) / chunkCap).cast("int"))
+          (chunked
+            .withColumn("tr", explode(expr("sequence(c, m - 1)")))
+            .select(col("band"), col("bh"), col("c").as("tl"), col("tr"),
+              col("bslice").as("bs1"),
+              col("doc_id").as("id1"), col("sig").as("sig1")),
+           chunked
+            .withColumn("tl", explode(expr("sequence(0, c)")))
+            .select(col("band"), col("bh"), col("tl"), col("c").as("tr"),
+              col("bslice").as("bs2"),
+              col("doc_id").as("id2"), col("sig").as("sig2")),
+           Seq("band", "bh", "tl", "tr"))
+        }
+        // Duplicate suppression WITHOUT a pair shuffle: a pair surfaces
+        // once per matching band, and the old distinct/groupBy dedup
+        // exchanged every candidate row (2.3 GB / 193 M rows at the k=30
+        // rehearsal, the op's single largest cost). Keeping only the row
+        // whose band IS the pair's first fully-matching band retains
+        // exactly one representative per pair by construction — no
+        // exchange, and it subsumes the bs1 = bs2 band verification (a
+        // band-hash collision can never equal the first MATCHING band).
+        // Both native expressions are codegen'd, evaluated once per
+        // candidate row. Emitted pair set is bit-identical
+        // (oracle hash-checked).
+        a.join(b, joinKeys)
+          .filter(col("id1") < col("id2") &&
+            expr(s"graft_first_band_match(sig1, sig2, $rows)") === col("band"))
           .select(col("id1"), col("id2"),
-            expr("CAST(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), v -> v)) AS BIGINT)")
-              .as("matching"))
-          .groupBy(col("id1"), col("id2"))
-          .agg(max(col("matching")).as("matching"))
+            expr("graft_sig_match(sig1, sig2)").as("matching"))
           .withColumn("est_jaccard",
             col("matching").cast(DoubleType) / lit(numHashes.toDouble))
       }

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.{BigramCounts, CosineSimilarity, LshBucket, Simhash60}
+import graft.functions.{BigramCounts, CosineSimilarity, FirstBandMatch, LshBucket, SigMatchCount, Simhash60}
 
 /** Registration shim living in the `org.apache.spark.sql` namespace so it
   * can reach `sessionState.functionRegistry` (which is `private[sql]`) —
@@ -25,6 +25,11 @@ object GraftFunctions {
       "graft_simhash60", exprs => Simhash60(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_bigram_counts", exprs => BigramCounts(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sig_match", exprs => SigMatchCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_first_band_match",
+      exprs => FirstBandMatch(exprs(0), exprs(1), exprs(2)), "built-in")
     // Spark's own bloom-filter aggregate + probe are implemented but NOT
     // exposed in the public function registry (they back the optimizer's
     // runtime row-group filtering); surfacing them here gives the dedup /

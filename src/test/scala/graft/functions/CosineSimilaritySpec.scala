@@ -156,6 +156,40 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(viaMap == viaPositions && viaMap.nonEmpty)
   }
 
+  test("graft_sig_match and graft_first_band_match: pinned semantics, UDF-free plan") {
+    import org.apache.spark.sql.functions.expr
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // sigs laid out as 4 bands × 2 rows; band 1 (positions 2,3) and band 3
+    // (positions 6,7) agree, bands 0 and 2 don't
+    val rows = Seq(
+      (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L),
+       Seq(9L, 2L, 3L, 4L, 0L, 6L, 7L, 8L))).toDF("s1", "s2")
+      .selectExpr("graft_sig_match(s1, s2) AS m",
+        "graft_first_band_match(s1, s2, 2) AS fb",
+        // no band agrees fully at width 4: (1,2,3,4)≠(9,2,3,4)
+        "graft_first_band_match(s1, s2, 4) AS none")
+      .head()
+    assert(rows.getLong(0) == 6L, "6 of 8 positions agree")
+    assert(rows.getInt(1) == 1, "first fully-matching 2-row band is band 1")
+    assert(rows.getInt(2) == -1, "no 4-row band fully matches")
+    // identical sigs: every position matches, first band is 0
+    val same = Seq((Seq(1L, 2L), Seq(1L, 2L))).toDF("s1", "s2")
+      .selectExpr("graft_sig_match(s1, s2)", "graft_first_band_match(s1, s2, 1)")
+      .head()
+    assert(same.getLong(0) == 2L && same.getInt(1) == 0)
+    // null in → null out, and the plan stays native
+    val nulls = Seq((Option.empty[Seq[Long]], Option(Seq(1L))))
+      .toDF("s1", "s2").selectExpr("graft_sig_match(s1, s2)")
+    assert(nulls.head().isNullAt(0))
+    val p = graft.Tables.read(spark, sf, "documents")
+      .selectExpr("array(doc_id) AS a")
+      .selectExpr("graft_sig_match(a, a) AS m", "graft_first_band_match(a, a, 1) AS f")
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("ScalaUDF") && p.contains("graft_sig_match") &&
+      p.contains("graft_first_band_match"), p)
+  }
+
   test("tokenHash60 is stable (pinned values)") {
     // int value of the first 15 md5 hex digits (independently computed) —
     // the DuckDB-portable hash the simhash + sign-LSH families build on

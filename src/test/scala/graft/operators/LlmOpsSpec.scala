@@ -30,6 +30,24 @@ class LlmOpsSpec extends SparkSpec {
         s"onlyB=${(viaBroadcast -- viaBandJoin).take(3)} onlyJ=${(viaBandJoin -- viaBroadcast).take(3)}")
   }
 
+  test("minhash: triangular bucket tiling emits the identical pair set") {
+    val toks = LlmOps.docTokens(spark, sf).cache()
+    def pairs(tileBudget: Long, cap: Int) =
+      LlmOps.minhashPairs(spark, toks, broadcastRowBudget = 0L,
+          tileRowBudget = tileBudget, chunkCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val untiled = pairs(Long.MaxValue, 256)
+    // tileBudget=0 forces the tiled branch; cap=3 forces REAL multi-chunk
+    // tiles (this corpus's dense band buckets are far larger than 3), so
+    // diagonal AND off-diagonal tiles are both exercised — the
+    // monotone-chunk argument that every pair lands in exactly one tile
+    // is what this pins
+    val tiled = pairs(0L, 3)
+    assert(untiled.nonEmpty && untiled == tiled,
+      s"untiled=${untiled.size} tiled=${tiled.size} " +
+        s"onlyU=${(untiled -- tiled).take(3)} onlyT=${(tiled -- untiled).take(3)}")
+  }
+
   test("jaccard: large-corpus/small-vocab gate routes to the inverted-index join") {
     val toks = LlmOps.docTokens(spark, sf).cache()
     def pairs(budget: Long) =
