@@ -672,13 +672,22 @@ object LlmOps {
       explode(expr("transform(sequence(0, 3), " +
         "c -> named_struct('chunk', c, 'v', (simhash >> (c * 16)) & 65535))")).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.v").as("v"))
+    // first-matching-chunk duplicate suppression (same trick as the
+    // minhash band join): a pair is a candidate once per equal chunk, so
+    // keeping only the row whose chunk IS the pair's lowest equal chunk
+    // replaces the distinct() — which exchanged every candidate row —
+    // with a codegen'd bit test and no shuffle at all. Every candidate
+    // has ≥1 equal chunk by construction of the join, so the CASE always
+    // hits; the emitted pair set is bit-identical (oracle hash-checked).
+    val firstChunk = "CASE " + (0 until 4).map(c =>
+      s"WHEN ((sh1 ^ sh2) & ${65535L << (c * 16)}L) = 0 THEN $c").mkString(" ") +
+      " END"
     chunked.select(col("chunk"), col("v"), col("doc_id").as("id1"), col("simhash").as("sh1"))
       .join(chunked.select(col("chunk"), col("v"), col("doc_id").as("id2"), col("simhash").as("sh2")),
         Seq("chunk", "v"))
-      .filter(col("id1") < col("id2"))
+      .filter(col("id1") < col("id2") && col("chunk") === expr(firstChunk))
       .select(col("id1"), col("id2"),
         expr("CAST(bit_count(sh1 ^ sh2) AS BIGINT)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
