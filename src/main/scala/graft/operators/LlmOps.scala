@@ -124,7 +124,7 @@ object LlmOps {
       (toks, minhashSigs(toks).cache())
     })
 
-  private[operators] def docTokens(s: SparkSession, d: String): DataFrame =
+  private[graft] def docTokens(s: SparkSession, d: String): DataFrame =
     corpusToksAndSigs(s, d)._1
 
   // ---------------------------------------------------------------- dedup
@@ -238,6 +238,27 @@ object LlmOps {
     if (probe.length <= 64) Some(probe.sorted) else None
   }
 
+  /** Bucket chunking for triangular tile-salting of a self-equi-join: adds
+    * `m` (chunk count of this row's bucket) and `c` (this row's chunk,
+    * MONOTONE in `orderCol` — contiguous ranges, so for any pair
+    * a < b within a bucket, c(a) ≤ c(b) and the pair lands in exactly one
+    * (cL, cR) tile). Callers explode `sequence(c, m-1)` on the left side
+    * and `sequence(0, c)` on the right and join on keyCols + (tl, tr):
+    * a bucket of m chunks becomes m(m+1)/2 bounded tiles instead of one
+    * |bucket|² task. Shared by the minhash band join and the exact-Jaccard
+    * inverted-index join — the skew (join-OUTPUT rows ∝ |bucket|²) is
+    * invisible to AQE's byte-based skew split in both.
+    */
+  private[graft] def chunkBuckets(postings: DataFrame, keyCols: Seq[String],
+      orderCol: String, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    postings
+      .withColumn("m", ceil(count(lit(1)).over(w) / lit(cap.toDouble)).cast("int"))
+      .withColumn("c", ((row_number().over(
+        w.orderBy(col(orderCol))) - 1) / cap).cast("int"))
+  }
+
   /** Exact Jaccard pair engine behind `llm_jaccard_near_dup` (unit-test
     * seam: `bitmaskRowBudget` forces either physical path).
     *
@@ -250,13 +271,36 @@ object LlmOps {
     * driver.
     */
   def jaccardPairs(s: SparkSession, toks: DataFrame,
-                   bitmaskRowBudget: Long = 2000000L): DataFrame = {
+                   bitmaskRowBudget: Long = 2000000L,
+                   tileRowBudget: Long = 500000L,
+                   chunkCap: Int = 256): DataFrame = {
     // the token pipeline feeds several passes (vocab probe, mask build,
     // pair-scan left side) — callers pass it cached
     def invertedIndexPairs: DataFrame = {
       val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      toks.select(col("doc_id").as("id1"), col("tok"))
-        .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
+      // Hot-token skew: a token shared by p docs makes the self-join emit
+      // p² candidate rows for ONE key, serialized into one task — the
+      // same output-row skew the minhash band join hit at deep k (AQE
+      // cannot see it; see chunkBuckets). Past the posting budget the
+      // join runs tile-salted: every (pair, shared token) row still
+      // appears exactly once (monotone chunks), so the downstream
+      // intersection COUNT — the semantic aggregation — is unchanged;
+      // below it the plain join keeps its AQE-convertible shape.
+      val joined =
+        if (toks.limit((tileRowBudget + 1).toInt).count() <= tileRowBudget) {
+          toks.select(col("doc_id").as("id1"), col("tok"))
+            .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
+        } else {
+          val chunked = chunkBuckets(toks, Seq("tok"), "doc_id", chunkCap)
+          chunked.withColumn("tr", explode(expr("sequence(c, m - 1)")))
+            .select(col("tok"), col("c").as("tl"), col("tr"),
+              col("doc_id").as("id1"))
+            .join(chunked.withColumn("tl", explode(expr("sequence(0, c)")))
+              .select(col("tok"), col("tl"), col("c").as("tr"),
+                col("doc_id").as("id2")),
+              Seq("tok", "tl", "tr"))
+        }
+      joined
         .filter(col("id1") < col("id2"))
         .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
         .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
@@ -573,13 +617,7 @@ object LlmOps {
             col("doc_id").as("id2"), col("sig").as("sig2")),
            Seq("band", "bh"))
         } else {
-          val bucketW = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("bh"))
-          val chunked = banded
-            .withColumn("m", ceil(count(lit(1)).over(bucketW) /
-              lit(chunkCap.toDouble)).cast("int"))
-            .withColumn("c", ((row_number().over(
-              bucketW.orderBy(col("doc_id"))) - 1) / chunkCap).cast("int"))
+          val chunked = chunkBuckets(banded, Seq("band", "bh"), "doc_id", chunkCap)
           (chunked
             .withColumn("tr", explode(expr("sequence(c, m - 1)")))
             .select(col("band"), col("bh"), col("c").as("tl"), col("tr"),

@@ -20,6 +20,21 @@ class PlanSpec extends SparkSpec {
   private def scanOf(df: DataFrame, marker: String): String =
     plan(df).linesIterator.filter(_.contains(marker)).mkString("\n")
 
+  test("minhash band join: first-band-match emission, no pair-dedup aggregate") {
+    // the r20 skew fix: each pair leaves the join exactly once (filtered
+    // on its first fully-matching band), so the plan must carry the
+    // native expression and must NOT re-aggregate pairs — a HashAggregate
+    // keyed (id1, id2) reappearing here is the 2.3 GB candidate exchange
+    // coming back
+    val toks = operators.LlmOps.docTokens(spark, sf).cache()
+    val p = plan(operators.LlmOps.minhashPairs(spark, toks,
+      broadcastRowBudget = 0L, tileRowBudget = 0L))
+    assert(p.contains("graft_first_band_match"), p)
+    assert(p.contains("graft_sig_match"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("id1") && l.contains("id2")), p)
+  }
+
   test("op_filter_pred pushes both predicates into the parquet scan") {
     val p = plan(Expressions.opFilterPred.fn(spark, sf))
     assert(p.contains("PushedFilters:"), p)

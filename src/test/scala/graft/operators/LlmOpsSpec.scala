@@ -61,6 +61,24 @@ class LlmOpsSpec extends SparkSpec {
       s"bitmask=${viaBitmask.size} join=${viaJoin.size}")
   }
 
+  test("jaccard: tile-salted inverted-index join preserves intersection counts") {
+    val toks = LlmOps.docTokens(spark, sf).cache()
+    def pairs(tileBudget: Long, cap: Int) =
+      LlmOps.jaccardPairs(spark, toks, bitmaskRowBudget = 0L,
+          tileRowBudget = tileBudget, chunkCap = cap)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+    val plain = pairs(Long.MaxValue, 256)
+    // tileBudget=0 forces tiling, cap=2 forces real multi-chunk postings
+    // (hot tokens here appear in far more than 2 docs): every (pair,
+    // shared token) row must still arrive exactly once or the `inter`
+    // count — the SEMANTIC aggregate, unlike minhash's dedup — drifts
+    val tiled = pairs(0L, 2)
+    assert(plain.nonEmpty && plain == tiled,
+      s"plain=${plain.size} tiled=${tiled.size} " +
+        s"onlyP=${(plain -- tiled).take(3)} onlyT=${(tiled -- plain).take(3)}")
+  }
+
   test("jaccard vocab gate: >64-token vocab probes small and routes to the join") {
     import org.apache.spark.sql.functions.{col, explode, split}
     import spark.implicits._
