@@ -259,6 +259,40 @@ object LlmOps {
         w.orderBy(col(orderCol))) - 1) / cap).cast("int"))
   }
 
+  /** Shared posting-pair-count engine: self-equi-join a distinct
+    * (doc_id, key) posting table and count shared keys per doc pair —
+    * the skeleton of every shingle/window/fingerprint pair family
+    * (exact-Jaccard tokens, 3-gram shingles, 20-token windows, winnow
+    * fingerprints). Hot keys are tile-salted past `tileRowBudget`
+    * postings (see [[chunkBuckets]] — a key shared by p docs otherwise
+    * serializes p² join-output rows into one task, invisible to AQE's
+    * byte-based skew split); below the budget the plain join keeps its
+    * AQE-convertible shape. Every (pair, shared key) row arrives exactly
+    * once either way (monotone chunks), so the count — the SEMANTIC
+    * aggregate — is identical; spec-pinned and oracle hash-checked at
+    * each call site.
+    */
+  private[graft] def postingPairCounts(postings: DataFrame, keyCol: String,
+      countName: String, tileRowBudget: Long = 500000L,
+      chunkCap: Int = 256): DataFrame = {
+    val joined =
+      if (postings.limit((tileRowBudget + 1).toInt).count() <= tileRowBudget) {
+        postings.select(col(keyCol), col("doc_id").as("id1"))
+          .join(postings.select(col(keyCol), col("doc_id").as("id2")), keyCol)
+      } else {
+        val chunked = chunkBuckets(postings, Seq(keyCol), "doc_id", chunkCap)
+        chunked.withColumn("tr", explode(expr("sequence(c, m - 1)")))
+          .select(col(keyCol), col("c").as("tl"), col("tr"),
+            col("doc_id").as("id1"))
+          .join(chunked.withColumn("tl", explode(expr("sequence(0, c)")))
+            .select(col(keyCol), col("tl"), col("c").as("tr"),
+              col("doc_id").as("id2")),
+            Seq(keyCol, "tl", "tr"))
+      }
+    joined.filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as(countName))
+  }
+
   /** Exact Jaccard pair engine behind `llm_jaccard_near_dup` (unit-test
     * seam: `bitmaskRowBudget` forces either physical path).
     *
@@ -278,31 +312,8 @@ object LlmOps {
     // pair-scan left side) — callers pass it cached
     def invertedIndexPairs: DataFrame = {
       val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      // Hot-token skew: a token shared by p docs makes the self-join emit
-      // p² candidate rows for ONE key, serialized into one task — the
-      // same output-row skew the minhash band join hit at deep k (AQE
-      // cannot see it; see chunkBuckets). Past the posting budget the
-      // join runs tile-salted: every (pair, shared token) row still
-      // appears exactly once (monotone chunks), so the downstream
-      // intersection COUNT — the semantic aggregation — is unchanged;
-      // below it the plain join keeps its AQE-convertible shape.
-      val joined =
-        if (toks.limit((tileRowBudget + 1).toInt).count() <= tileRowBudget) {
-          toks.select(col("doc_id").as("id1"), col("tok"))
-            .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
-        } else {
-          val chunked = chunkBuckets(toks, Seq("tok"), "doc_id", chunkCap)
-          chunked.withColumn("tr", explode(expr("sequence(c, m - 1)")))
-            .select(col("tok"), col("c").as("tl"), col("tr"),
-              col("doc_id").as("id1"))
-            .join(chunked.withColumn("tl", explode(expr("sequence(0, c)")))
-              .select(col("tok"), col("tl"), col("c").as("tr"),
-                col("doc_id").as("id2")),
-              Seq("tok", "tl", "tr"))
-        }
-      joined
-        .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      postingPairCounts(toks.select(col("doc_id"), col("tok")), "tok",
+          "inter", tileRowBudget, chunkCap)
         .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
         .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
         .withColumn("jaccard",
@@ -369,10 +380,7 @@ object LlmOps {
         .distinct()
         .cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = sh.select(col("doc_id").as("id1"), col("sh"))
-        .join(sh.select(col("doc_id").as("id2"), col("sh")), "sh")
-        .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      val inter = postingPairCounts(sh, "sh", "inter")
       inter
         .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
         .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
@@ -2402,12 +2410,7 @@ object LlmOps {
           .filter(col("doc_id") % 5 === 1))
         .select(col("doc_id"), col("fp_hash")).distinct()
         .truncated // both sides of the self-join
-      val a = fps.select(col("doc_id").as("id1"), col("fp_hash"))
-      val b = fps.select(col("doc_id").as("id2"), col("fp_hash"))
-      a.join(b, Seq("fp_hash"))
-        .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2"))
-        .agg(count(lit(1)).as("shared_fps"))
+      postingPairCounts(fps, "fp_hash", "shared_fps")
         .filter(col("shared_fps") >= 2)
         .orderBy(asc_nulls_first("id1"), asc_nulls_first("id2"))
     },
@@ -3126,12 +3129,7 @@ object LlmOps {
         // materialized ONCE: the self-join's aliased sides don't
         // ReuseExchange, so the window explode + distinct would run twice
         .truncated
-      val a = sh.select(col("win"), col("doc_id").as("id1"))
-      val b = sh.select(col("win"), col("doc_id").as("id2"))
-      a.join(b, "win")
-        .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2"))
-        .agg(count(lit(1)).as("n_shared"))
+      postingPairCounts(sh, "win", "n_shared")
         .orderBy(asc_nulls_first("id1"), asc("id2"))
     },
     Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -3910,10 +3908,7 @@ object LlmOps {
         .distinct()
         .cache()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = sh.select(col("doc_id").as("id1"), col("sh"))
-        .join(sh.select(col("doc_id").as("id2"), col("sh")), "sh")
-        .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
+      val inter = postingPairCounts(sh, "sh", "inter")
       inter
         .join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "n1"), "id1")
         .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
