@@ -272,26 +272,39 @@ object LlmOps {
     * aggregate — is identical; spec-pinned and oracle hash-checked at
     * each call site.
     */
+  /** Skew-safe self-equi-join of a (doc_id, key, payload...) table on
+    * `keyCol`: payload columns come back suffixed 1/2 per side (`h` →
+    * `h1`, `h2`), ids as `id1`/`id2`. Below `tileRowBudget` rows this is
+    * the plain AQE-convertible join; past it, buckets are
+    * triangular-tile-salted ([[chunkBuckets]]). Callers apply their own
+    * `id1 < id2` orientation filter — every unordered pair appears in
+    * exactly one tile per shared key either way.
+    */
+  private[graft] def tiledSelfJoin(postings: DataFrame, keyCol: String,
+      tileRowBudget: Long = 500000L, chunkCap: Int = 256): DataFrame = {
+    val payload = postings.columns.toSeq.filter(c => c != keyCol && c != "doc_id")
+    def side(df: DataFrame, n: Int, tileCols: Seq[(String, String)]) =
+      df.select((col(keyCol) +: tileCols.map { case (nm, src) => col(src).as(nm) }) ++
+        (col("doc_id").as(s"id$n") +: payload.map(c => col(c).as(s"$c$n"))): _*)
+    if (postings.limit((tileRowBudget + 1).toInt).count() <= tileRowBudget) {
+      side(postings, 1, Nil).join(side(postings, 2, Nil), keyCol)
+    } else {
+      val chunked = chunkBuckets(postings, Seq(keyCol), "doc_id", chunkCap)
+      side(chunked.withColumn("tr", explode(expr("sequence(c, m - 1)"))),
+          1, Seq("tl" -> "c", "tr" -> "tr"))
+        .join(side(chunked.withColumn("tl", explode(expr("sequence(0, c)"))),
+          2, Seq("tl" -> "tl", "tr" -> "c")),
+          Seq(keyCol, "tl", "tr"))
+    }
+  }
+
   private[graft] def postingPairCounts(postings: DataFrame, keyCol: String,
       countName: String, tileRowBudget: Long = 500000L,
-      chunkCap: Int = 256): DataFrame = {
-    val joined =
-      if (postings.limit((tileRowBudget + 1).toInt).count() <= tileRowBudget) {
-        postings.select(col(keyCol), col("doc_id").as("id1"))
-          .join(postings.select(col(keyCol), col("doc_id").as("id2")), keyCol)
-      } else {
-        val chunked = chunkBuckets(postings, Seq(keyCol), "doc_id", chunkCap)
-        chunked.withColumn("tr", explode(expr("sequence(c, m - 1)")))
-          .select(col(keyCol), col("c").as("tl"), col("tr"),
-            col("doc_id").as("id1"))
-          .join(chunked.withColumn("tl", explode(expr("sequence(0, c)")))
-            .select(col(keyCol), col("tl"), col("c").as("tr"),
-              col("doc_id").as("id2")),
-            Seq(keyCol, "tl", "tr"))
-      }
-    joined.filter(col("id1") < col("id2"))
+      chunkCap: Int = 256): DataFrame =
+    tiledSelfJoin(postings.select(col("doc_id"), col(keyCol)), keyCol,
+        tileRowBudget, chunkCap)
+      .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as(countName))
-  }
 
   /** Exact Jaccard pair engine behind `llm_jaccard_near_dup` (unit-test
     * seam: `bitmaskRowBudget` forces either physical path).
@@ -3864,10 +3877,11 @@ object LlmOps {
     (s, d) => {
       val b = Tables.read(s, d, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 12).as("pfx"),
-          substring(col("text"), 1, 60).as("head"))
-      val left = b.select(col("pfx"), col("doc_id").as("id1"), col("head").as("h1"))
-      val right = b.select(col("pfx"), col("doc_id").as("id2"), col("head").as("h2"))
-      left.join(right, Seq("pfx"))
+          substring(col("text"), 1, 60).as("h"))
+      // prefix blocks are the hot-bucket shape too (boilerplate-leading
+      // docs share pfx), and each candidate pays a Levenshtein — tile
+      // past the budget so one block cannot serialize into one task
+      tiledSelfJoin(b, "pfx")
         .filter(col("id1") < col("id2"))
         .withColumn("dist", levenshtein(col("h1"), col("h2")).cast(LongType))
         .filter(col("dist") <= 20)
