@@ -122,7 +122,7 @@ object Scale {
     "agg_hash_groupby", "join_inner_hash")
 
   private val pairOps = Seq(
-    "llm_dedup_keep_best",
+    "llm_dedup_keep_best", "llm_ngram_jaccard",
     "llm_jaccard_near_dup", "llm_dedup_minhash_banded", "llm_dedup_simhash",
     "llm_dedup_cluster_rep", "llm_embed_cosine_dup_lsh_shuffled",
     "llm_substring_dedup", "graph_pagerank_simhash", "stream_stream_join",
