@@ -67,7 +67,7 @@ object LlmOps {
     })
 
   private val recallAnchorCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), DataFrame]()
 
   Tables.registerEvictor(uuid =>
     Tables.evictSessionEntries(recallAnchorCache, uuid)(df => Seq(df)))
@@ -79,7 +79,10 @@ object LlmOps {
     * invocation per bench rep.
     */
   private def recallAnchors(s: SparkSession, d: String, nBits: Int): DataFrame =
-    recallAnchorCache.computeIfAbsent((Tables.sessionKey(s), d), _ => {
+    // nBits is part of the key: the cached batch's a_bucket values are a
+    // function of it, so a second caller with a different plane count
+    // must not be served the first caller's buckets
+    recallAnchorCache.computeIfAbsent((Tables.sessionKey(s), d, nBits), _ => {
       org.apache.spark.sql.graft.GraftFunctions.register(s)
       val a0 = Tables.read(s, d, "embeddings")
         .filter(col("vec_id") % 50 === 0)
@@ -259,19 +262,6 @@ object LlmOps {
         w.orderBy(col(orderCol))) - 1) / cap).cast("int"))
   }
 
-  /** Shared posting-pair-count engine: self-equi-join a distinct
-    * (doc_id, key) posting table and count shared keys per doc pair —
-    * the skeleton of every shingle/window/fingerprint pair family
-    * (exact-Jaccard tokens, 3-gram shingles, 20-token windows, winnow
-    * fingerprints). Hot keys are tile-salted past `tileRowBudget`
-    * postings (see [[chunkBuckets]] — a key shared by p docs otherwise
-    * serializes p² join-output rows into one task, invisible to AQE's
-    * byte-based skew split); below the budget the plain join keeps its
-    * AQE-convertible shape. Every (pair, shared key) row arrives exactly
-    * once either way (monotone chunks), so the count — the SEMANTIC
-    * aggregate — is identical; spec-pinned and oracle hash-checked at
-    * each call site.
-    */
   /** Skew-safe self-equi-join of a (doc_id, key, payload...) table on
     * `keyCol`: payload columns come back suffixed 1/2 per side (`h` →
     * `h1`, `h2`), ids as `id1`/`id2`. Below `tileRowBudget` rows this is
@@ -286,7 +276,9 @@ object LlmOps {
     def side(df: DataFrame, n: Int, tileCols: Seq[(String, String)]) =
       df.select((col(keyCol) +: tileCols.map { case (nm, src) => col(src).as(nm) }) ++
         (col("doc_id").as(s"id$n") +: payload.map(c => col(c).as(s"$c$n"))): _*)
-    if (postings.limit((tileRowBudget + 1).toInt).count() <= tileRowBudget) {
+    // probe is clamped so a huge budget cannot overflow limit()'s Int arg
+    val probeRows = math.min(tileRowBudget, Int.MaxValue - 1L).toInt + 1
+    if (postings.limit(probeRows).count() <= tileRowBudget) {
       side(postings, 1, Nil).join(side(postings, 2, Nil), keyCol)
     } else {
       val chunked = chunkBuckets(postings, Seq(keyCol), "doc_id", chunkCap)
@@ -298,6 +290,19 @@ object LlmOps {
     }
   }
 
+  /** Shared posting-pair-count engine: self-equi-join a distinct
+    * (doc_id, key) posting table and count shared keys per doc pair —
+    * the skeleton of every shingle/window/fingerprint pair family
+    * (exact-Jaccard tokens, 3-gram shingles, 20-token windows, winnow
+    * fingerprints). Hot keys are tile-salted past `tileRowBudget`
+    * postings (see [[chunkBuckets]] — a key shared by p docs otherwise
+    * serializes p² join-output rows into one task, invisible to AQE's
+    * byte-based skew split); below the budget the plain join keeps its
+    * AQE-convertible shape. Every (pair, shared key) row arrives exactly
+    * once either way (monotone chunks), so the count — the SEMANTIC
+    * aggregate — is identical; spec-pinned and oracle hash-checked at
+    * each call site.
+    */
   private[graft] def postingPairCounts(postings: DataFrame, keyCol: String,
       countName: String, tileRowBudget: Long = 500000L,
       chunkCap: Int = 256): DataFrame =
@@ -532,8 +537,10 @@ object LlmOps {
     * band-hash compare + signature match in one primitive loop per pair, no
     * candidate shuffle + distinct. Beyond the budget it switches to the
     * (band, band-hash) equi-join, which IS the 100 TB plan: one shuffle
-    * keyed by the band hash, candidate set ≪ n², exact band verification
-    * and pair-level distinct AFTER the equi-join. Both paths emit the
+    * keyed by the band hash, candidate set ≪ n², oversized buckets
+    * triangular-tile-salted, and each pair emitted exactly once from its
+    * FIRST fully-matching band (native `graft_first_band_match`) — no
+    * pair-level distinct and no candidate exchange. Both paths emit the
     * identical pair set (both verify full band equality, band hashes are
     * prefilters only).
     */
@@ -590,13 +597,9 @@ object LlmOps {
       } else {
         // (band, band-hash) equi-join: explode each signature into its
         // `bands` band slices; the xxhash64 of (band, slice) is the shuffle
-        // key and actual slice equality is verified post-join (the hash is
-        // a prefilter). The signature-match count is computed BEFORE the
-        // pair dedup, so the dedup is a groupBy over (id1, id2, matching) —
-        // three longs with map-side partial aggregation — instead of a
-        // distinct shuffling two full signatures per candidate row
-        // (`matching` is a pure function of the pair, so max() of
-        // duplicates is the value itself).
+        // key, a prefilter — actual band equality is certified post-join
+        // by the first-matching-band filter below, which also makes each
+        // pair arrive exactly once (no distinct, no pair exchange).
         val banded = sigs.select(col("doc_id"), col("sig"),
           explode(expr(
             s"transform(sequence(0, ${bands - 1}), b -> " +
@@ -631,10 +634,14 @@ object LlmOps {
         // explosion; past it the join is SMJ no matter what and tiling
         // is what keeps bucket skew off the critical path (k=30: 63.7 s
         // untiled → 38.7 s tiled, max task 47.9 s → 23.3 s).
+        // the band slices themselves don't ride the join: the
+        // first-matching-band filter below verifies band equality from
+        // the full signatures, so shuffling bs per candidate row would
+        // be dead payload on the join's hottest path
         val (a, b, joinKeys) = if (nSigs <= tileRowBudget) {
-          (banded.select(col("band"), col("bh"), col("bslice").as("bs1"),
+          (banded.select(col("band"), col("bh"),
             col("doc_id").as("id1"), col("sig").as("sig1")),
-           banded.select(col("band"), col("bh"), col("bslice").as("bs2"),
+           banded.select(col("band"), col("bh"),
             col("doc_id").as("id2"), col("sig").as("sig2")),
            Seq("band", "bh"))
         } else {
@@ -642,12 +649,10 @@ object LlmOps {
           (chunked
             .withColumn("tr", explode(expr("sequence(c, m - 1)")))
             .select(col("band"), col("bh"), col("c").as("tl"), col("tr"),
-              col("bslice").as("bs1"),
               col("doc_id").as("id1"), col("sig").as("sig1")),
            chunked
             .withColumn("tl", explode(expr("sequence(0, c)")))
             .select(col("band"), col("bh"), col("tl"), col("c").as("tr"),
-              col("bslice").as("bs2"),
               col("doc_id").as("id2"), col("sig").as("sig2")),
            Seq("band", "bh", "tl", "tr"))
         }

@@ -221,7 +221,10 @@ private class JdbcCursorReaderFactory(
     val range = partition.asInstanceOf[JdbcCursorRange]
     new PartitionReader[InternalRow] {
       private val conn = DriverManager.getConnection(url)
-      private val rs = {
+      // if statement/query construction throws after the connection
+      // opened, close() never runs on the half-built reader — release
+      // the connection here or each task retry leaks one
+      private val rs = try {
         val cols = schema.fieldNames.mkString(", ")
         val ps = conn.prepareStatement(
           s"SELECT $cols FROM $table " +
@@ -233,6 +236,10 @@ private class JdbcCursorReaderFactory(
         ps.setLong(4, range.end.ts); ps.setLong(5, range.end.ts)
         ps.setLong(6, range.end.id)
         ps.executeQuery()
+      } catch {
+        case e: Throwable =>
+          try conn.close() catch { case _: Exception => () }
+          throw e
       }
       override def next(): Boolean = rs.next()
       override def get(): InternalRow = {

@@ -37,8 +37,12 @@ object JdbcSnapshot {
   def discoverTables(url: String, schemaPattern: String = null): Seq[String] = {
     val conn = DriverManager.getConnection(url)
     try {
+      // Connection.getSchema is JDBC 4.1 and several real drivers throw
+      // SQLFeatureNotSupportedException (or AbstractMethodError from
+      // pre-4.1 compilations) instead of returning null — degrade to the
+      // wildcard walk rather than failing discovery outright
       val pattern = Option(schemaPattern)
-        .orElse(Option(conn.getSchema))
+        .orElse(scala.util.Try(Option(conn.getSchema)).toOption.flatten)
         .getOrElse("%")
       val rs = conn.getMetaData.getTables(null, pattern, "%",
         Array("TABLE"))
