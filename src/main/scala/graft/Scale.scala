@@ -107,8 +107,8 @@ object Scale {
     // NOT llm_jaccard_near_dup: the exact all-pairs ground truth is
     // quadratic by definition (and past vocab 64 — any sharded k ≥ 3 —
     // it leaves the bitmask fast path for the pair-dense inverted-index
-    // regime: 48 s at k=3 sharded); its banded siblings ARE its scale
-    // path, and they're measured below
+    // regime, now tile-salted but still candidate-bound); its banded
+    // siblings ARE its scale path, and they're measured below
     "llm_dedup_minhash_banded", "llm_dedup_simhash", "llm_dedup_cluster_rep",
     "llm_corpus_build_e2e",
     "llm_dedup_exact_digest", "llm_cross_source_dedup",
@@ -174,10 +174,13 @@ object Scale {
     require(mode == "dense" || mode == "sharded", s"unknown mode '$mode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    // the production knob under test at deep k: shuffle partitions scale
-    // WITH the data (default = cpus, the bench config); the k=30 minhash
-    // finding — 30× pairs at 6× worse throughput on 32 fixed partitions —
-    // is the measured cost of NOT raising it
+    // deep-k experiment knob: shuffle partitions ∝ data (default = cpus,
+    // the bench config). NOTE the k=30 A/B REFUTED the obvious
+    // hypothesis — 960 partitions recovered only ~9% of the minhash
+    // slowdown (the real causes were single-key bucket skew + the
+    // pair-dedup exchange, both since fixed; SCALE.md r20) — the knob
+    // stays because disproving partition-count theories cheaply is
+    // exactly what it's for
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
