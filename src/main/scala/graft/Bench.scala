@@ -212,6 +212,11 @@ object Bench {
         try fn(spark, sfDir).count()
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"warm rep failed for $name: $e") }
+        // drain before the first timed rep's probe.reset(): the warm
+        // rep's straggler task-end events would otherwise land after the
+        // reset and be attributed to rep 1's RepMetrics, skewing the
+        // spike-attribution diagnostics (GC/shuffle/max-task)
+        org.apache.spark.graft.ListenerDrain.drain(spark.sparkContext)
       }
       // A failed repetition records +Infinity, NOT its elapsed time — a
       // fast-crashing rep must never win the min and masquerade as the

@@ -18,6 +18,10 @@ object Explain {
     val base = args(1)
     val k = if (args.length > 2) args(2).toInt else 1
     val mode = if (args.length > 3) args(3) else "dense"
+    // same guard as Scale.main: a typo'd mode would silently fall through
+    // buildScaled's default-to-dense branch while the header prints the typo
+    require(mode == "dense" || mode == "sharded",
+      s"mode must be 'dense' or 'sharded', got '$mode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -308,8 +308,12 @@ object Scale {
       if (i == 0) d
       else if (mode == "sharded")
         // token bijection: every token gets a replica prefix, so
-        // within-replica Jaccard/shingle/minhash structure is IDENTICAL
-        // to the base corpus while cross-replica token sets are disjoint
+        // within-replica Jaccard/shingle SET structure is IDENTICAL to
+        // the base corpus while cross-replica token sets are disjoint.
+        // (Minhash/band-collision structure is only statistically
+        // equivalent, not identical: prefixing changes every md5-prefix
+        // token hash, so per-replica signatures — and hence candidate
+        // sets — are fresh draws from the same distribution.)
         d.withColumn("doc_id", col("doc_id") + lit(i * dOff))
           .withColumn("text", expr(
             s"array_join(transform(split(text, ' '), t -> concat('r${i}x', t)), ' ')"))

@@ -311,8 +311,30 @@ object LlmOps {
       .filter(col("id1") < col("id2"))
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as(countName))
 
+  /** (doc_id, mask, sz) token bitmask table — Some iff the distinct
+    * vocabulary fits 64 bits ([[smallVocab]]'s limit-65 probe decides,
+    * never a driver collect of the vocab). Shared by the exact-Jaccard
+    * bitmask fast path and the calibration op's exact-intersection side:
+    * with ≤64 tokens, |A ∩ B| is `bit_count(mask1 & mask2)` in whole-stage
+    * codegen — one long of state per doc instead of the inverted-index
+    * self-join whose intermediate is Σ_tok df(tok)² rows.
+    */
+  private[operators] def tokenMasks(toks: DataFrame): Option[DataFrame] =
+    smallVocab(toks).map { vocab =>
+      val bitOf = map(vocab.toSeq.zipWithIndex.flatMap {
+        case (t, i) => Seq(lit(t), lit(i))
+      }: _*)
+      toks
+        .withColumn("bit", bitOf(col("tok")))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("shiftleft(1L, bit)")).as("mask"),
+          count(lit(1)).as("sz"))
+    }
+
   /** Exact Jaccard pair engine behind `llm_jaccard_near_dup` (unit-test
-    * seam: `bitmaskRowBudget` forces either physical path).
+    * seam: `bitmaskRowBudget` forces either physical path; `tau` is the
+    * similarity threshold — the default 0.9 serves the near-dup ops, the
+    * threshold-sweep op passes its loosest τ and re-filters).
     *
     * The bitmask fast path needs BOTH a ≤64-token vocabulary AND a corpus
     * small enough to broadcast (one (long id, long mask, long sz) triple
@@ -325,7 +347,8 @@ object LlmOps {
   def jaccardPairs(s: SparkSession, toks: DataFrame,
                    bitmaskRowBudget: Long = 2000000L,
                    tileRowBudget: Long = 500000L,
-                   chunkCap: Int = 256): DataFrame = {
+                   chunkCap: Int = 256,
+                   tau: Double = 0.9): DataFrame = {
     // the token pipeline feeds several passes (vocab probe, mask build,
     // pair-scan left side) — callers pass it cached
     def invertedIndexPairs: DataFrame = {
@@ -336,19 +359,12 @@ object LlmOps {
         .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "n2"), "id2")
         .withColumn("jaccard",
           col("inter").cast(DoubleType) / (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= 0.9)
+        .filter(col("jaccard") >= tau)
     }
-    val pairs = smallVocab(toks) match {
-      case Some(vocab) =>
+    val pairs = tokenMasks(toks) match {
+      case Some(maskDf) =>
         import s.implicits._
-        val bitOf = map(vocab.toSeq.zipWithIndex.flatMap {
-          case (t, i) => Seq(lit(t), lit(i))
-        }: _*)
-        val masks = toks
-          .withColumn("bit", bitOf(col("tok")))
-          .groupBy(col("doc_id"))
-          .agg(sum(expr("shiftleft(1L, bit)")).as("mask"),
-            count(lit(1)).as("sz"))
+        val masks = maskDf
           .as[(Long, Long, Long)]
           .cache()
         if (masks.count() <= bitmaskRowBudget) {
@@ -363,7 +379,7 @@ object LlmOps {
               bc.value.iterator.filter(_._1 > id1).flatMap { case (id2, m2, n2) =>
                 val inter = java.lang.Long.bitCount(m1 & m2).toLong
                 val jaccard = inter.toDouble / (n1 + n2 - inter)
-                if (jaccard >= 0.9) Some((id1, id2, inter, n1, n2, jaccard))
+                if (jaccard >= tau) Some((id1, id2, inter, n1, n2, jaccard))
                 else None
               }
             }
@@ -1697,37 +1713,32 @@ object LlmOps {
     * τ ∈ {0.85, 0.9, 0.95} on the portable shard: the tuning curve a
     * dedup rollout is calibrated from ("how many pairs does each
     * threshold commit us to deleting") before freezing the single τ the
-    * production ops run at. ONE inverted-index pair join computed at
-    * the LOOSEST threshold (thresholds above this corpus's ~0.73
-    * typical cross-doc density, so the candidate set stays the near-dup
-    * tail, not the quadratic bulk), then three cumulative counts off
-    * the same materialized similarity table — the sweep costs one pair
-    * join, not three. Each similarity is the exact-operand division the
-    * pair family shares; τ comparisons are double-literal compares,
-    * identical cross-engine.
+    * production ops run at. ONE exact pair pass computed at the LOOSEST
+    * threshold — [[jaccardPairs]] at τ=0.85, i.e. the identical adaptive
+    * engine `llm_jaccard_near_dup` runs (bitmask popcount scan under a
+    * ≤64-token vocabulary, inverted-index join otherwise; spec-proven
+    * path-identical) — then ALL THREE cumulative counts in ONE
+    * conditional aggregation over that single pass (r21: the former
+    * three filter+count branches re-scanned the materialized pair table
+    * three times and unioned three one-row jobs). Each similarity is
+    * the exact-operand division the pair family shares; τ comparisons
+    * are double-literal compares, identical cross-engine.
     */
   val llmDedupThresholdSweep: Q = Q(
     "llm_dedup_threshold_sweep",
     (s, d) => {
       val toks = docTokens(s, d).filter(col("doc_id") % 5 === 1)
-      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val sims = toks.select(col("doc_id").as("id1"), col("tok"))
-        .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
-        .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-        .join(sizes.withColumnRenamed("doc_id", "id1")
-          .withColumnRenamed("sz", "n1"), "id1")
-        .join(sizes.withColumnRenamed("doc_id", "id2")
-          .withColumnRenamed("sz", "n2"), "id2")
-        .withColumn("jaccard", col("inter").cast(DoubleType) /
-          (col("n1") + col("n2") - col("inter")))
-        .filter(col("jaccard") >= 0.85)
-        .select(col("jaccard"))
-        .truncated // three cumulative counts share one pair join
-      Seq(0.85, 0.9, 0.95).map { t =>
-        sims.filter(col("jaccard") >= t)
-          .agg(lit(t).as("tau"), count(lit(1)).as("n_pairs"))
-      }.reduce(_ unionByName _).orderBy(asc("tau"))
+      val sims = jaccardPairs(s, toks, tau = 0.85).select(col("jaccard"))
+      sims.agg(
+          count(when(col("jaccard") >= 0.85, 1)).as("c85"),
+          count(when(col("jaccard") >= 0.9, 1)).as("c90"),
+          count(when(col("jaccard") >= 0.95, 1)).as("c95"))
+        .select(explode(array(
+          struct(lit(0.85).as("tau"), col("c85").as("n_pairs")),
+          struct(lit(0.9).as("tau"), col("c90").as("n_pairs")),
+          struct(lit(0.95).as("tau"), col("c95").as("n_pairs")))).as("r"))
+        .select(col("r.tau").as("tau"), col("r.n_pairs").as("n_pairs"))
+        .orderBy(asc("tau"))
     },
     Some("""WITH docs AS (SELECT * FROM documents WHERE doc_id % 5 = 1),
             toks AS (SELECT DISTINCT doc_id,
@@ -3168,7 +3179,12 @@ object LlmOps {
     * threshold-free dup-rate profiling: estimate the full similarity
     * histogram of a corpus WITHOUT computing any exact intersection.
     * Candidates + signatures are two outputs of the same one-pass sig
-    * build; the estimate itself is a per-row zip_with fold. Fully
+    * build, and the estimate is `matching / k` over the match count
+    * [[minhashPairs]] ALREADY emits per pair (r21: the former plan
+    * dropped `matching`, re-joined the signature table twice and
+    * re-counted agreements with a zip_with fold — two dead exchanges on
+    * the op's only corpus-sized table; the round-4 value is
+    * bit-identical, integer-over-16 division both ways). Fully
     * oracle-checked (portable md5-prefix signatures, [[minhashSigs]]);
     * the spec additionally bounds the mean absolute error against exact
     * Jaccard — the oracle proves the arithmetic, the MAE bound proves
@@ -3179,14 +3195,9 @@ object LlmOps {
     (s, d) => {
       val toks = docTokens(s, d)
       val sigs = corpusToksAndSigs(s, d)._2
-      val pairs = minhashPairs(s, toks, precomputedSigs = Some(sigs))
-        .select(col("id1"), col("id2"))
-      pairs
-        .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), "id1")
-        .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), "id2")
-        .withColumn("j_est", round(
-          expr("size(filter(zip_with(s1, s2, (a, b) -> a = b), x -> x))") / 16.0, 4))
-        .select(col("id1"), col("id2"), col("j_est"))
+      minhashPairs(s, toks, precomputedSigs = Some(sigs))
+        .select(col("id1"), col("id2"),
+          round(col("matching").cast(DoubleType) / 16.0, 4).as("j_est"))
         .orderBy(asc_nulls_first("id1"), asc("id2"))
     },
     Some(s"""WITH $minhashSigsSql
@@ -3209,8 +3220,16 @@ object LlmOps {
     * — and it became fully hash-checkable only once BOTH sides were
     * portable: the md5-prefix signatures (r19) and the shard-scoped
     * exact-Jaccard machinery (`llm_dedup_keep_best`'s precedent).
-    * Scale shape: the candidate join is the banded minhash plan, the
-    * exact-J side is the shard-bounded inverted-index join, and the
+    * Scale shape: the candidate join is the banded minhash plan; the
+    * exact-J side is ADAPTIVE like [[jaccardPairs]] (r21): under a
+    * ≤64-token vocabulary each doc's token set is one [[tokenMasks]]
+    * long and every candidate pair's exact intersection is
+    * `bit_count(mask1 & mask2)` in codegen — two small-side joins onto
+    * the candidate list instead of the Σ_tok df(tok)² inverted-index
+    * self-join (whose intermediate dwarfs the candidate set on a dense
+    * small vocab); larger vocabularies keep the inverted-index join.
+    * Both paths produce the identical exact integers (the bitmask ⊆
+    * bit-encoding of the same sets; oracle hash-checks the curve). The
     * curve is a 17-cell hash agg — per-pair doubles are summed as exact
     * DECIMALs so the means are order-independent (the
     * `agg_weighted_median` discipline).
@@ -3223,18 +3242,32 @@ object LlmOps {
       val sigs = corpusToksAndSigs(s, d)._2.filter(shard)
       val cand = minhashPairs(s, toks, precomputedSigs = Some(sigs))
         .select(col("id1"), col("id2"), col("matching"))
-      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = toks.select(col("doc_id").as("id1"), col("tok"))
-        .join(toks.select(col("doc_id").as("id2"), col("tok")), "tok")
-        .filter(col("id1") < col("id2"))
-        .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter"))
-      val j = cand
-        .join(inter, Seq("id1", "id2"), "left")
-        .join(sizes.select(col("doc_id").as("id1"), col("sz").as("n1")), "id1")
-        .join(sizes.select(col("doc_id").as("id2"), col("sz").as("n2")), "id2")
+      val withJx = tokenMasks(toks) match {
+        case Some(masks) =>
+          // every sig'd doc has ≥1 token, hence a mask row — inner joins
+          // lose nothing; a pair sharing no token gets inter = 0 from the
+          // AND, exactly the left-join coalesce the fallback spells out
+          cand
+            .join(masks.select(col("doc_id").as("id1"),
+              col("mask").as("m1"), col("sz").as("n1")), "id1")
+            .join(masks.select(col("doc_id").as("id2"),
+              col("mask").as("m2"), col("sz").as("n2")), "id2")
+            .withColumn("inter",
+              expr("cast(bit_count(m1 & m2) as bigint)"))
+        case None =>
+          val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+          val inter = postingPairCounts(
+            toks.select(col("doc_id"), col("tok")), "tok", "inter")
+          cand
+            .join(inter, Seq("id1", "id2"), "left")
+            .join(sizes.select(col("doc_id").as("id1"), col("sz").as("n1")), "id1")
+            .join(sizes.select(col("doc_id").as("id2"), col("sz").as("n2")), "id2")
+            .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      }
+      val j = withJx
         .select(col("matching"),
-          (coalesce(col("inter"), lit(0L)).cast(DoubleType) /
-            (col("n1") + col("n2") - coalesce(col("inter"), lit(0L))))
+          (col("inter").cast(DoubleType) /
+            (col("n1") + col("n2") - col("inter")))
             .as("jx"))
         .withColumn("est", col("matching").cast(DoubleType) / 16.0)
       j.groupBy(col("matching"))

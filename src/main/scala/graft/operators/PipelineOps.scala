@@ -922,15 +922,28 @@ object PipelineOps {
       val counts = Tables.read(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      val ranked = rankScan(counts).truncated // three curve points share it
-      Seq(100L, 1000L, 10000L).map { k =>
-        ranked.filter(col("token_id") < k)
-          .agg(lit(k).as("k"),
-            coalesce(max(col("cum_n")), lit(0L)).as("covered"),
-            max(col("total_n")).as("total"))
-      }.reduce(_ unionByName _)
-        .select(col("k"), col("covered"), col("total"),
-          (col("covered").cast(DoubleType) / col("total")).as("coverage"))
+      // all three curve points in ONE conditional aggregation over the
+      // ranked table (r21: the former per-k filter+agg branches re-scanned
+      // it three times and unioned three one-row jobs); cum_n is monotone
+      // in token_id, so max(cum_n | token_id < k) is the covered mass
+      // exactly as the per-branch agg computed it
+      val ranked = rankScan(counts)
+      ranked.agg(
+          coalesce(max(when(col("token_id") < 100L, col("cum_n"))), lit(0L))
+            .as("c100"),
+          coalesce(max(when(col("token_id") < 1000L, col("cum_n"))), lit(0L))
+            .as("c1000"),
+          coalesce(max(when(col("token_id") < 10000L, col("cum_n"))), lit(0L))
+            .as("c10000"),
+          max(col("total_n")).as("total"))
+        .select(explode(array(
+          struct(lit(100L).as("k"), col("c100").as("covered")),
+          struct(lit(1000L).as("k"), col("c1000").as("covered")),
+          struct(lit(10000L).as("k"), col("c10000").as("covered")))).as("r"),
+          col("total"))
+        .select(col("r.k").as("k"), col("r.covered").as("covered"),
+          col("total"),
+          (col("r.covered").cast(DoubleType) / col("total")).as("coverage"))
         .orderBy(asc("k"))
     },
     Some("""WITH c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
@@ -2916,23 +2929,28 @@ object PipelineOps {
         .truncated
       val a = daily.select(col("day").as("aday"), col("c"))
       val b = daily.select(col("day").as("bday"), col("p"))
-      Seq(0, 1, 2).map { k =>
-        a.join(b, col("bday") === col("aday") + k)
-          .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
-            sum(col("p")).as("sy"), sum(col("c") * col("c")).as("sxx"),
-            sum(col("p") * col("p")).as("syy"),
-            sum(col("c") * col("p")).as("sxy"))
-          .select(lit(k).cast(LongType).as("lag_days"), col("n"),
-            expr("""CASE WHEN n * sxx - sx * sx <= 0
-                         OR n * syy - sy * sy <= 0 THEN NULL
-                    ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                               / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                                  * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-                    END""").as("corr"))
-      }.reduce(_ unionByName _)
-        // a lag with NO aligned days must emit nothing: Spark's global agg
-        // yields one n=0 row where the oracle's GROUP BY yields none
-        .filter(col("n") > 0)
+      // one equi-join + one grouped agg for all three lags (r21: the
+      // former per-lag branches ran three joins + three one-row aggs and
+      // unioned them): the lag column fans the purchase side out 3× —
+      // |days| extra rows, nothing at any scale — and (bday = aday + lag)
+      // stays a plain equi-join key
+      a.join(b.withColumn("lag", explode(array(lit(0L), lit(1L), lit(2L)))),
+          col("bday") === col("aday") + col("lag"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+          sum(col("p")).as("sy"), sum(col("c") * col("c")).as("sxx"),
+          sum(col("p") * col("p")).as("syy"),
+          sum(col("c") * col("p")).as("sxy"))
+        .select(col("lag").as("lag_days"), col("n"),
+          expr("""CASE WHEN n * sxx - sx * sx <= 0
+                       OR n * syy - sy * sy <= 0 THEN NULL
+                  ELSE round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+                  END""").as("corr"))
+        // a grouped agg emits no row for a lag with NO aligned days —
+        // exactly the oracle's GROUP BY semantics (the former global agg
+        // needed an explicit n > 0 filter for its n=0 row)
         .orderBy(asc("lag_days"))
     },
     Some("""WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS day,

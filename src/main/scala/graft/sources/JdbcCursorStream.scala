@@ -174,7 +174,14 @@ private class JdbcCursorMicroBatchStream(
     CursorOffset.fromJson(json)
 
   override def prepareForTriggerAvailableNow(): Unit =
-    cap = maxBeyond(CursorOffset(Long.MinValue, Long.MinValue))
+    // a table that is EMPTY at query start must still pin a cap: with
+    // cap = None every later poll would chase the live table max and an
+    // AvailableNow drain under concurrent writers never reaches its
+    // fixed point. The start offset is the natural "no data at prepare"
+    // cap — beyond(start) ∧ upTo(start) is empty, so the query drains
+    // zero batches and terminates.
+    cap = Some(maxBeyond(CursorOffset(Long.MinValue, Long.MinValue))
+      .getOrElse(CursorOffset(startTs, startId)))
 
   override def getDefaultReadLimit: ReadLimit =
     maxRowsPerPoll.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
