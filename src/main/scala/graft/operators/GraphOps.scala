@@ -199,7 +199,9 @@ object GraphOps {
     */
   private[operators] def pageRank(pairs: DataFrame, iters: Int = 5,
                                   damping: Double = 0.85): DataFrame = {
-    val p = pairs.truncated
+    // callers pass a materialized pair table (the cached shardedJaccardPairs
+    // / simhashPairs); re-truncating it here would be one wasted eager job
+    val p = pairs
     val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
       .union(p.select(col("id2").as("src"), col("id1").as("dst")))
       .truncated
@@ -274,7 +276,9 @@ object GraphOps {
     * `n_triangles`.
     */
   private[operators] def triangleCount(pairs: DataFrame): DataFrame = {
-    val p = pairs.truncated
+    // input arrives materialized (cached pair tables at every call site);
+    // it is referenced once, so truncating it here bought nothing
+    val p = pairs
     val und = p.select(least(col("id1"), col("id2")).as("a"),
         greatest(col("id1"), col("id2")).as("b"))
       .filter(col("a") =!= col("b"))
@@ -386,7 +390,7 @@ object GraphOps {
     * deduplicated) → non-edge pairs ranked by common-neighbor Jaccard.
     */
   private[operators] def linkPrediction(pairs: DataFrame): DataFrame = {
-    val p = pairs.truncated
+    val p = pairs // materialized by the caller (cached pair tables)
     // symmetrize: one row per (node, neighbor) direction
     val adj = p.select(col("id1").as("id"), col("id2").as("nb"))
       .unionByName(p.select(col("id2").as("id"), col("id1").as("nb")))
@@ -448,7 +452,7 @@ object GraphOps {
     */
   private[operators] def bfsDistance(pairs: DataFrame, maxHops: Int = 3)
       : DataFrame = {
-    val p = pairs.truncated
+    val p = pairs // materialized by the caller (cached pair tables)
     val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
       .union(p.select(col("id2").as("src"), col("id1").as("dst")))
       .truncated
@@ -524,7 +528,8 @@ object GraphOps {
   val graphClusteringCoeff: Q = Q(
     "graph_clustering_coeff",
     (s, d) => {
-      val p = shardedJaccardPairs(s, d).truncated
+      // already truncated+cached by the shared shardedJaccardPairs map
+      val p = shardedJaccardPairs(s, d)
       val tri = triangleCount(p)
       val deg = p.select(col("id1").as("id"))
         .union(p.select(col("id2").as("id")))
@@ -567,7 +572,8 @@ object GraphOps {
   val graphAssortativity: Q = Q(
     "graph_assortativity",
     (s, d) => {
-      val p = shardedJaccardPairs(s, d).truncated
+      // already truncated+cached by the shared shardedJaccardPairs map
+      val p = shardedJaccardPairs(s, d)
       val edges = p.select(col("id1").as("src"), col("id2").as("dst"))
         .union(p.select(col("id2").as("src"), col("id1").as("dst")))
         .truncated

@@ -52,6 +52,18 @@ object StreamRunner {
       val child = s.newSession()
       val parent = s.conf.get("spark.sql.shuffle.partitions", "8").toInt
       child.conf.set("spark.sql.shuffle.partitions", math.min(8, parent).toString)
+      // Spark 4.1 writes + verifies a sibling .crc checksum file for every
+      // checkpoint file (offsets, commits, every state-store delta —
+      // spark.sql.streaming.checkpoint.fileChecksum.enabled, default on):
+      // corruption detection for long-lived checkpoints on unreliable
+      // storage. Every checkpoint these ops create is ephemeral per-run
+      // scratch under TempDirs, so the checksums double the per-batch
+      // small-file count for data whose lifetime is one AvailableNow
+      // drain. Off by default here; a parent session that SET the conf
+      // explicitly (a deployment with durable checkpoints) wins — getAll
+      // lists only explicitly-set entries, never defaults.
+      val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+      if (!s.conf.getAll.contains(ckKey)) child.conf.set(ckKey, "false")
       child
     })
 
