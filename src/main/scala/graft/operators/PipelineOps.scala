@@ -2931,11 +2931,13 @@ object PipelineOps {
       val b = daily.select(col("day").as("bday"), col("p"))
       // one equi-join + one grouped agg for all three lags (r21: the
       // former per-lag branches ran three joins + three one-row aggs and
-      // unioned them): the lag column fans the purchase side out 3× —
-      // |days| extra rows, nothing at any scale — and (bday = aday + lag)
-      // stays a plain equi-join key
-      a.join(b.withColumn("lag", explode(array(lit(0L), lit(1L), lit(2L)))),
-          col("bday") === col("aday") + col("lag"))
+      // unioned them): the lag column fans the CLICK side out 3× — |days|
+      // extra rows, nothing at any scale — and the lag lives on the same
+      // side as aday, so (aday + lag) = bday is a one-column-per-side
+      // equi-join key (lag on the b side would mix sides in one
+      // expression and degrade the join to a nested-loop cross product)
+      a.withColumn("lag", explode(array(lit(0L), lit(1L), lit(2L))))
+        .join(b, col("bday") === col("aday") + col("lag"))
         .groupBy(col("lag"))
         .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
           sum(col("p")).as("sy"), sum(col("c") * col("c")).as("sxx"),
