@@ -79,6 +79,55 @@ class LlmOpsSpec extends SparkSpec {
         s"onlyP=${(plain -- tiled).take(3)} onlyT=${(tiled -- plain).take(3)}")
   }
 
+  test("jaccard tau seam: both physical paths agree at τ=0.85 and nest into τ=0.9") {
+    val toks = LlmOps.docTokens(spark, sf).cache()
+    def pairs(budget: Long, tau: Double) =
+      LlmOps.jaccardPairs(spark, toks, bitmaskRowBudget = budget, tau = tau)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+    // the threshold-sweep op runs the engine at its loosest τ — both
+    // physical paths must emit the identical loosened pair set
+    val loose = pairs(Long.MaxValue, 0.85)
+    val looseJoin = pairs(0L, 0.85)
+    assert(loose.nonEmpty && loose == looseJoin,
+      s"bitmask=${loose.size} join=${looseJoin.size}")
+    // and re-filtering the loosened set at the default τ must reproduce
+    // the default engine exactly (the sweep's cumulative-count premise)
+    val strict = pairs(Long.MaxValue, 0.9)
+    assert(loose.filter(_._4 >= 0.9) == strict,
+      s"loose⊇strict violated: loose=${loose.size} strict=${strict.size}")
+  }
+
+  test("tokenMasks: popcount intersections equal the inverted-index counts") {
+    val toks = LlmOps.docTokens(spark, sf)
+      .filter(col("doc_id") % 5 === 1).cache()
+    val masks = LlmOps.tokenMasks(toks)
+      .getOrElse(fail("corpus vocab fits 64 bits — gate should be Some"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // sz = |distinct tokens| per doc, and the mask popcount agrees with it
+    val sizes = toks.groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.count(col("tok")).as("sz"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(masks.keySet == sizes.keySet)
+    masks.foreach { case (id, (mask, sz)) =>
+      assert(sz == sizes(id), s"doc $id sz")
+      assert(java.lang.Long.bitCount(mask).toLong == sz,
+        s"doc $id popcount ${java.lang.Long.bitCount(mask)} != sz $sz")
+    }
+    // pairwise: bit_count(m1 & m2) must equal the exact inverted-index
+    // intersection (the calibration op's r21 fast path vs its fallback)
+    val inter = LlmOps.postingPairCounts(
+        toks.select(col("doc_id"), col("tok")), "tok", "inter")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ids = masks.keys.toSeq.sorted
+    for (i <- ids.indices; j <- (i + 1) until ids.size) {
+      val (a, b) = (ids(i), ids(j))
+      val viaMask = java.lang.Long.bitCount(masks(a)._1 & masks(b)._1).toLong
+      assert(viaMask == inter.getOrElse((a, b), 0L),
+        s"pair ($a,$b): mask=$viaMask join=${inter.getOrElse((a, b), 0L)}")
+    }
+  }
+
   test("jaccard vocab gate: >64-token vocab probes small and routes to the join") {
     import org.apache.spark.sql.functions.{col, explode, split}
     import spark.implicits._
