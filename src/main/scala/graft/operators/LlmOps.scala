@@ -1864,10 +1864,12 @@ object LlmOps {
       val nBits = 6
       org.apache.spark.sql.graft.GraftFunctions.register(s)
       val cos = cosineCols(s)("a_emb", "n_emb")
+      // single-consumer below (anchors come from the separately cached
+      // recallAnchors scan), so no truncation: checkpointing it would be
+      // a dead eager copy of the corpus-sized side
       val e = Tables.read(s, d, "embeddings")
         .withColumn("bucket", expr(s"graft_lsh_bucket(embedding, $nBits)"))
         .select(col("vec_id"), col("embedding"), col("bucket"))
-        .truncated
       // the % 50 anchor set is a FRACTION of the corpus, not a bound, so
       // the broadcast is budget-gated exactly like [[probeAnchors]] —
       // and, like it, cached per (session, corpus) so the eager gating
@@ -2782,16 +2784,20 @@ object LlmOps {
         .truncated // feeds class totals, vocab size AND the model join
       val tots = cst.groupBy(col("lang")).agg(sum(col("c")).as("tot"))
       val vv = cst.agg(countDistinct(col("tok")).as("v"))
-      val dd = train.agg(count(lit(1)).as("d"))
+      // d (total train docs) = Σ n_docs over the |classes|-row ds — an
+      // exact integer window sum BEFORE the tots join (a lang with docs
+      // but no tokens must still count), so the separate full train-side
+      // count scan the old `dd` aggregate ran is dead work; cls is also
+      // single-consumer (the broadcast below), so no truncation
       val ds = train.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("d", sum(col("n_docs")).over(Window.partitionBy()))
       val cls = tots.join(ds, "lang")
-        .crossJoin(broadcast(vv)).crossJoin(broadcast(dd))
+        .crossJoin(broadcast(vv))
         .select(col("lang"), col("tot"), col("v"),
           round(log(lit(1.0) / (col("tot") + col("v"))), 6)
             .cast(DecimalType(18, 6)).as("lp0"),
           round(log(col("n_docs").cast(DoubleType) / col("d")), 6)
             .cast(DecimalType(18, 6)).as("prior"))
-        .truncated // |classes| rows; broadcast into the scoring fanout
       val lp = cst.join(tots, "lang").crossJoin(broadcast(vv))
         .select(col("tok"), col("lang"),
           round(log((col("c") + 1).cast(DoubleType) / (col("tot") + col("v"))), 6)
