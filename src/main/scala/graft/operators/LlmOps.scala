@@ -3113,9 +3113,13 @@ object LlmOps {
                               i -> xxhash64(concat_ws(' ', slice(t, i, 5))))
                ELSE CAST(array() AS array<bigint>) END""")).as("sh"))
         .distinct()
-        .truncated // feeds BOTH the first-owner agg and the join probe
-      val first = sh.groupBy(col("sh")).agg(min(col("doc_id")).as("first_doc"))
-      sh.join(first, "sh")
+      // first-owner via a window min over the shingle partition: the
+      // groupBy(min) + join-back formulation shuffled the (doc, sh)
+      // table by sh TWICE (agg build + probe side) and needed an eager
+      // materialization to share the distinct; one window pass does it
+      // in a single sh-exchange with a single consumer
+      sh.withColumn("first_doc",
+          min(col("doc_id")).over(Window.partitionBy(col("sh"))))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))

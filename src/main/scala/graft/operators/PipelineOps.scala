@@ -2110,29 +2110,41 @@ object PipelineOps {
       val ev = Tables.read(s, d, "events")
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("value"))
-      def lowerMedian(df: DataFrame, valCol: String, outCol: String): DataFrame = {
-        val g = df.groupBy(col("event_type"), col(valCol))
-          .agg(count(lit(1)).as("n"))
+      // ONE corpus pass: the (type, value) count table. Both medians,
+      // the deviation histogram AND the final anomaly counts are all
+      // derivable from these ~|distinct values| rows, so the per-stage
+      // corpus re-scans the row-level formulation needs (3 of them) are
+      // dead work; materialized once for its three consumers below
+      val g1 = ev.groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("n")).truncated
+      def lowerMedian(cnt: DataFrame, valCol: String, outCol: String): DataFrame = {
         val byType = Window.partitionBy(col("event_type"))
         val cum = byType.orderBy(col(valCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        g.withColumn("cum", sum(col("n")).over(cum))
+        cnt.withColumn("cum", sum(col("n")).over(cum))
           .withColumn("tot", sum(col("n")).over(byType))
           .filter(col("cum") * 2 >= col("tot"))
           .groupBy(col("event_type")).agg(min(col(valCol)).as(outCol))
       }
-      // med/mad are |series|-row tables materialized once: every later
-      // reference would otherwise re-expand their whole corpus-scanning
-      // subtree (ScanAuditSpec pins the ≤3-scan bound)
-      val med = lowerMedian(ev, "value", "med").truncated
-      val dev = ev.join(broadcast(med), "event_type")
-        .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
-      val mad = lowerMedian(dev, "dev", "mad").truncated
-      ev.join(broadcast(med.join(mad, "event_type")), "event_type")
+      // med is a |series|-row table with two consumers (the deviation
+      // regroup and the final counts); materialized so neither re-runs
+      // its window subtree
+      val med = lowerMedian(g1, "value", "med").truncated
+      // the deviation histogram regroups the COUNT table: per
+      // (type, value, n) row, dev = |value − med| is the identical IEEE
+      // op the row-level pass ran on each of its n duplicates, and
+      // summing n yields the same multiset of deviations
+      val g2 = g1.join(broadcast(med), "event_type")
+        .groupBy(col("event_type"),
+          abs(col("value") - col("med")).as("dev"))
+        .agg(sum(col("n")).as("n"))
+      val mad = lowerMedian(g2, "dev", "mad")
+      g1.join(broadcast(med.join(mad, "event_type")), "event_type")
         .groupBy(col("event_type"))
         .agg(max(col("med")).as("median_value"), max(col("mad")).as("mad"),
-          expr("count_if(abs(value - med) > 3 * mad)").as("n_anomalies"),
-          count(lit(1)).as("n_rows"))
+          coalesce(sum(when(abs(col("value") - col("med")) > col("mad") * 3,
+            col("n"))), lit(0L)).as("n_anomalies"),
+          coalesce(sum(col("n")), lit(0L)).as("n_rows"))
         .orderBy(asc_nulls_first("event_type"))
     },
     Some("""WITH ev AS (SELECT event_type, value FROM events
