@@ -371,17 +371,42 @@ object LlmOps {
           // one long of state per doc → broadcast-block pair scan with the
           // threshold applied INSIDE the loop (a join-shaped plan pays
           // per-pair row machinery; emitting pre-filter pays the encoder
-          // for all n²/2 pairs — both dominate the actual popcount)
-          val block = masks.collect().sortBy(_._1)
+          // for all n²/2 pairs — both dominate the actual popcount).
+          //
+          // Size-window pruning keeps the scan off the O(n²) cliff at the
+          // budget ceiling: inter ≤ min(n1,n2) and union ≥ max(n1,n2), so
+          // jaccard ≥ τ forces min ≥ τ·max — a row only has to scan the
+          // block slice with sz ∈ [⌊τ·n1⌋, ⌈n1/τ⌉] (bounds rounded
+          // OUTWARD, so the window can only over-include; the exact
+          // popcount test inside is unchanged and the emitted pair set is
+          // bit-identical — spec-pinned against the inverted-index path).
+          // The block is sorted by (sz, doc_id) and the window located by
+          // binary search; a degenerate all-equal-sizes corpus keeps the
+          // n²/2 worst case, any real size spread prunes proportionally.
+          val block = masks.collect().sortBy(t => (t._3, t._1))
           val bc = s.sparkContext.broadcast(block)
+          val tauL = tau
           masks.repartition(s.sparkContext.defaultParallelism)
             .flatMap { case (id1, m1, n1) =>
-              bc.value.iterator.filter(_._1 > id1).flatMap { case (id2, m2, n2) =>
-                val inter = java.lang.Long.bitCount(m1 & m2).toLong
-                val jaccard = inter.toDouble / (n1 + n2 - inter)
-                if (jaccard >= tau) Some((id1, id2, inter, n1, n2, jaccard))
-                else None
+              val blk = bc.value
+              val lo = if (tauL > 0) math.floor(tauL * n1).toLong else Long.MinValue
+              val hi = if (tauL > 0) math.ceil(n1 / tauL).toLong else Long.MaxValue
+              // first index with sz >= lo
+              var a = 0
+              var b = blk.length
+              while (a < b) {
+                val mid = (a + b) >>> 1
+                if (blk(mid)._3 < lo) a = mid + 1 else b = mid
               }
+              Iterator.range(a, blk.length).map(blk)
+                .takeWhile(_._3 <= hi)
+                .filter(_._1 > id1)
+                .flatMap { case (id2, m2, n2) =>
+                  val inter = java.lang.Long.bitCount(m1 & m2).toLong
+                  val jaccard = inter.toDouble / (n1 + n2 - inter)
+                  if (jaccard >= tauL) Some((id1, id2, inter, n1, n2, jaccard))
+                  else None
+                }
             }
             .toDF("id1", "id2", "inter", "n1", "n2", "jaccard")
         } else invertedIndexPairs

@@ -98,6 +98,34 @@ class LlmOpsSpec extends SparkSpec {
       s"loose⊇strict violated: loose=${loose.size} strict=${strict.size}")
   }
 
+  test("jaccard bitmask size-window prune: boundary sizes kept, pair set matches the join") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    import spark.implicits._
+    // sizes straddle the τ=0.9 window edges: doc 3 (sz 19) must survive the
+    // ⌊τ·n1⌋ lower bound against docs 1/2 (sz 20, J = 19/20 = 0.95 ≥ τ);
+    // doc 4 (sz 10) is pruned by size alone; doc 5 (sz 20, disjoint vocab)
+    // is inside the window and must be rejected by the popcount, not lost
+    val docs = Seq(
+      (1L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 20).map(i => s"w$i").mkString(" ")),
+      (3L, (1 to 19).map(i => s"w$i").mkString(" ")),
+      (4L, (1 to 10).map(i => s"w$i").mkString(" ")),
+      (5L, (21 to 40).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct().cache()
+    def pairs(budget: Long) =
+      LlmOps.jaccardPairs(spark, toks, bitmaskRowBudget = budget)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5))).toSet
+    val viaBitmask = pairs(Long.MaxValue)
+    val viaJoin = pairs(0L)
+    assert(viaBitmask == viaJoin,
+      s"bitmask=$viaBitmask join=$viaJoin")
+    assert(viaBitmask.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("tokenMasks: popcount intersections equal the inverted-index counts") {
     val toks = LlmOps.docTokens(spark, sf)
       .filter(col("doc_id") % 5 === 1).cache()
