@@ -142,7 +142,7 @@ object Scale {
     * silently dropped behind the live-sized 2 h default — the r7 SCALE.md
     * finding, now a parameter on the op instead of a prose caveat.
     */
-  private val replayFns: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] val replayFns: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_stream_join" -> ((s, dir) =>
       graft.streaming.StreamingOps.streamStreamJoinFrames(s, dir, watermark = "745 hours")),
     // replay-sized slack means no unmatched claim is resolvable (the final

@@ -64,6 +64,28 @@ object StreamRunner {
       // lists only explicitly-set entries, never defaults.
       val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
       if (!s.conf.getAll.contains(ckKey)) child.conf.set(ckKey, "false")
+      // One layer below Spark's checksums, Hadoop's LOCAL filesystem
+      // (file:// — ChecksumFs via the FileContext the checkpoint manager
+      // uses) writes a sibling ".<name>.crc" for every checkpoint file
+      // and re-verifies it on every read: measured on the full-outer
+      // join, 76 of the 152 files one run creates are .crc siblings —
+      // client-side checksumming that does not exist on HDFS/S3
+      // checkpoints (their integrity is storage-level). Route local
+      // checkpoints through the raw (non-checksummed) local Fs instead.
+      // The AbstractFileSystem binding is only honored from the
+      // CONTEXT-level Hadoop conf (a session-level spark.hadoop.*
+      // override measurably does not reach the checkpoint manager), so
+      // it is set there — scoped in effect to FileContext users, which
+      // in this engine is exactly the streaming checkpoint machinery;
+      // batch parquet I/O rides the FileSystem API binding (fs.file.impl)
+      // and is untouched. A deployment that configured the impl
+      // explicitly (client-side checksums on local staging disks) wins.
+      val fsKey = "fs.AbstractFileSystem.file.impl"
+      val hc = s.sparkContext.hadoopConfiguration
+      if (!s.conf.getAll.contains(s"spark.hadoop.$fsKey") &&
+          hc.get(fsKey, "org.apache.hadoop.fs.local.LocalFs")
+            == "org.apache.hadoop.fs.local.LocalFs")
+        hc.set(fsKey, "org.apache.hadoop.fs.local.RawLocalFs")
       child
     })
 
