@@ -2671,14 +2671,27 @@ object LlmOps {
             GROUP BY t.lang ORDER BY t.lang NULLS FIRST"""))
 
   private[operators] def qualityScored(s: SparkSession, d: String): DataFrame =
-    Tables.read(s, d, "documents")
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"),
-        col("n_chars"))
-      .select(col("doc_id"), col("lang"),
+    qualityScored(Tables.read(s, d, "documents")
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars")))
+
+  /** The quality profile over a pre-projected documents frame. Columns
+    * beyond (doc_id, lang, text, n_chars) ride through unchanged, so a
+    * composed op (the e2e corpus build) can fuse the quality pass with
+    * other per-doc derivations (digest, source) into ONE text-bearing
+    * scan instead of re-scanning and joining back on doc_id; the quality
+    * expression chain is byte-identical for every caller.
+    */
+  private[operators] def qualityScored(docs: DataFrame): DataFrame = {
+    val extra = docs.columns.toSeq
+      .filterNot(Set("doc_id", "lang", "text", "n_chars"))
+    val keep = (Seq("doc_id", "lang") ++ extra).map(col)
+    docs
+      .select(keep :+ split(col("text"), " ").as("t") :+ col("n_chars"): _*)
+      .select(keep ++ Seq(
         expr("CAST(size(t) AS BIGINT)").as("n_tokens"),
         expr("CAST(size(array_distinct(t)) AS BIGINT)").as("n_types"),
         expr("CAST(size(filter(t, x -> x = 'the' OR x = 'a')) AS BIGINT)").as("n_stop"),
-        col("n_chars"))
+        col("n_chars")): _*)
       .withColumn("ttr", col("n_types").cast(DoubleType) / col("n_tokens"))
       .withColumn("stop_ratio", col("n_stop").cast(DoubleType) / col("n_tokens"))
       .withColumn("avg_tok_len",
@@ -2686,6 +2699,7 @@ object LlmOps {
       .withColumn("quality",
         round(col("ttr") * 0.4 + (lit(1.0) - col("stop_ratio")) * 0.3 +
           least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) * 0.3, 6))
+  }
 
   /** Per-document type-token ratio — the lexical-diversity quality
     * signal (Gopher-style filters threshold on distinct-token fraction:

@@ -3260,12 +3260,20 @@ object PipelineOps {
     "llm_corpus_build_e2e",
     (s, d) => {
       val docs = Tables.read(s, d, "documents")
-      val quality = LlmOps.qualityScored(s, d).select(col("doc_id"), col("quality"))
-      val canon = docs
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      // ONE text-bearing scan feeds the quality score, the exact-dedup
+      // digest AND the lineage columns (was: three independent documents
+      // scans — quality, md5+window, lineage base — re-joined on doc_id;
+      // the digests and quality doubles are identical expressions, the
+      // doc_id joins were pure re-assembly)
+      val base = LlmOps.qualityScored(docs
+          .select(col("doc_id"), col("lang"), col("source"),
+            md5(col("text").cast("binary")).as("digest"),
+            col("text"), col("n_chars")))
+        .select(col("doc_id"), col("lang"), col("source"), col("digest"),
+          col("quality"))
         .withColumn("keep_id",
           min(col("doc_id")).over(Window.partitionBy(col("digest"))))
-        .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_canonical"))
+        .withColumn("is_canonical", col("doc_id") === col("keep_id"))
       val sh = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(t) >= 5
@@ -3295,9 +3303,9 @@ object PipelineOps {
         .join(evalSide, Seq("sh"), "left")
         .groupBy(col("doc_id"))
         .agg((count(col("hit")) > 0).as("contaminated"))
-      val lineage = docs.select(col("doc_id"), col("lang"), col("source"))
-        .join(quality, "doc_id")
-        .join(canon, "doc_id")
+      val lineage = base
+        .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+          col("is_canonical"))
         .withColumn("is_eval", col("doc_id") % 50 === 0)
         .join(contam, Seq("doc_id"), "left")
         .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
