@@ -419,13 +419,24 @@ object StreamingOps {
         .select(col("event_type")).distinct()
         .withColumn("type_label", upper(col("event_type")))
       val enriched = streamedEvents(s, d)
-        .select(col("event_id"), col("event_type"), col("value"))
+        .select(col("event_type"), col("value"))
         .join(broadcast(dim), "event_type")
-      StreamRunner.runToTable(enriched, "append")
-        .groupBy(col("type_label"))
+      // aggregate INSIDE the stream (complete-mode streaming agg): the
+      // memory sink then holds the O(#types) aggregate instead of every
+      // enriched row — shipping the full enriched stream to the sink and
+      // re-aggregating it batch-side was per-row dead weight (guide
+      // §2.3 "aggregate before you shuffle"; here, before the collect).
+      // Decimal sums are exact under any batch split, so the continuous
+      // form is value-identical to the batch re-aggregation it replaces.
+      // (The same move on stream_dedup_keys was A/B-measured and
+      // REJECTED: chaining a stateful agg after stateful dedup costs
+      // more than its narrow sink rows — see OPTIMIZATION_r22.md.)
+      val agg = enriched.groupBy(col("type_label"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(18, 2)))
-            .cast(DoubleType).as("total_value"))
+          sum(col("value").cast(DecimalType(18, 2))).as("total_dec"))
+      StreamRunner.runToTable(agg, "complete")
+        .select(col("type_label"), col("n"),
+          col("total_dec").cast(DoubleType).as("total_value"))
         .orderBy(asc_nulls_first("type_label"))
     },
     Some("""WITH dim AS (SELECT DISTINCT event_type,
