@@ -3299,10 +3299,16 @@ object PipelineOps {
         if (evalSh.limit((evalBudget + 1).toInt).count() <= evalBudget)
           broadcast(evalSh)
         else evalSh
+      // "any shingle hits the eval set" needs only the HITS: a left-semi
+      // join short-circuits per probe row and the distinct aggregates
+      // only contaminated docs, where the old left-join + groupBy pushed
+      // EVERY non-eval (doc, shingle) row through the doc_id exchange to
+      // mostly produce `false` rows the lineage coalesce already
+      // produces for free (absent ⇒ false, count=0 ⇒ false — identical)
       val contam = sh.filter(col("doc_id") % 50 =!= 0)
-        .join(evalSide, Seq("sh"), "left")
-        .groupBy(col("doc_id"))
-        .agg((count(col("hit")) > 0).as("contaminated"))
+        .join(evalSide, Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .withColumn("contaminated", lit(true))
       val lineage = base
         .select(col("doc_id"), col("lang"), col("source"), col("quality"),
           col("is_canonical"))
